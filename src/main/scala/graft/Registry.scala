@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL the driver replays over the same parquet
+  * tables. `headline` marks the subset Bench times at sf0.1.
+  *
+  * Oracle-parity rules used throughout (so driver hash-compare is exact):
+  *  - money sums go through DECIMAL casts in BOTH engines (order-independent
+  *    exact arithmetic; double sums are order-dependent and would flake);
+  *  - averages are written `CAST(decimal_sum AS DOUBLE)/count` in both so the
+  *    final division is a single deterministic IEEE op;
+  *  - every computed column is aliased identically in Spark and SQL (the
+  *    driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+  def all: Seq[Q] =
+    graft.operators.Relational.queries ++
+      graft.operators.Windows.queries ++
+      graft.ysb.Ysb.queries ++
+      graft.streaming.StreamingQueries.queries ++
+      graft.ext.Dedup.queries ++
+      graft.ext.Similarity.queries ++
+      graft.ext.TextAnalysis.queries ++
+      graft.ext.Multimodal.queries
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,231 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Document deduplication operators for training-data pipelines:
+  *
+  *  - exact (hash groupBy),
+  *  - MinHash signatures + LSH banding (near-dup candidate pairs),
+  *  - SimHash (48-bit) + banded Hamming pairs,
+  *  - n-gram (3-word shingle) exact Jaccard pairs,
+  *  - embedding-cosine near-dup pairs.
+  *
+  * Everything is expression-level (no UDFs): shingling, hashing and
+  * signatures are Catalyst higher-order functions over arrays, so the whole
+  * pipeline stays in WholeStageCodegen and the DuckDB oracle can mirror it
+  * exactly (md5-derived 60-bit integer hashes are identical in any engine).
+  *
+  * Scale design (100 TB): the only shuffles are groupBy(hash) for exact
+  * dedup and the band-key self-join for LSH — both shuffle compact keys
+  * (16-byte hashes / band strings), never document text. The LSH band join
+  * is the standard linear-scale near-dup path (vs the quadratic all-pairs
+  * joins, which are only enabled here for oracle-checkable small-SF runs;
+  * at scale qd03's candidate generation replaces them).
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 − 1
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  private def hashA(i: Int): Long = (1000003L * (i + 1)) % P
+  private def hashB(i: Int): Long = (7919L * (i + 1)) % P
+
+  // ---------------------------------------------------------------------
+  // qd01: exact dedup via content hash — groupBy(md5(text)), keep the
+  // minimum doc_id as canonical representative.
+  // ---------------------------------------------------------------------
+  private def qd01(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val qd01Sql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Shared shingling + MinHash signature computation.
+  // Tokens: whitespace split; shingles: distinct 3-word n-grams; per-shingle
+  // 60-bit base hash from md5 hex, reduced mod P; signature i =
+  // min over shingles of (aᵢ·h + bᵢ) mod P.
+  // ---------------------------------------------------------------------
+  private def withSignature(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(bh, b -> (${hashA(i)} * b + ${hashB(i)}) % $P))")
+    }
+    docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .withColumn("bh", expr(
+        s"transform(shingles, s -> pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), $P))"))
+      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+  }
+
+  /** DuckDB mirror of [[withSignature]] as a CTE chain ending in sigs(doc_id, sig). */
+  private def sigsSqlCte: String = {
+    val sigList = (0 until NumHashes).map { i =>
+      s"list_min(list_transform(bh, b -> (${hashA(i)} * b + ${hashB(i)}) % $P))"
+    }.mkString("[", ", ", "]")
+    s"""tokenized AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+       |  FROM tokenized WHERE len(toks) >= 3),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles,
+       |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P) AS bh
+       |  FROM shingled),
+       |sigs AS (
+       |  SELECT doc_id, $sigList AS sig FROM hashed)""".stripMargin
+  }
+
+  private def bandKey(j: Int) =
+    expr(s"concat_ws('-', slice(sig, ${RowsPerBand * j + 1}, $RowsPerBand))")
+
+  // ---------------------------------------------------------------------
+  // qd02: MinHash signatures, banded — one row per doc with the 8 LSH band
+  // keys (flat strings: portable across the oracle hash compare).
+  // ---------------------------------------------------------------------
+  private def qd02(s: SparkSession, d: String): DataFrame =
+    withSignature(Tables.documents(s, d))
+      .select(col("doc_id") +: (0 until Bands).map(j => bandKey(j).as(s"b$j")): _*)
+
+  private val qd02Sql = {
+    val bandCols = (0 until Bands).map { j =>
+      s"array_to_string(sig[${RowsPerBand * j + 1}:${RowsPerBand * (j + 1)}], '-') AS b$j"
+    }.mkString(", ")
+    s"""WITH $sigsSqlCte
+       |SELECT doc_id, $bandCols FROM sigs""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // qd03: MinHash-LSH near-dup pairs — docs sharing ≥1 band become
+  // candidates; signature-estimated Jaccard filters ≥ 0.2.
+  // ---------------------------------------------------------------------
+  private def qd03(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(Tables.documents(s, d)).cache()
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until Bands).map(j =>
+        struct(lit(j).as("band"), bandKey(j).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+      col("x.band") === col("y.band") && col("x.key") === col("y.key")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / $NumHashes")
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.2)
+  }
+
+  private val qd03Sql =
+    s"""WITH $sigsSqlCte,
+       |bands AS (
+       |  SELECT doc_id, j,
+       |    array_to_string(sig[$RowsPerBand*j+1 : $RowsPerBand*(j+1)], '-') AS key
+       |  FROM sigs, range(0, $Bands) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 AS est_jaccard
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = doc_a
+       |JOIN sigs sb ON sb.doc_id = doc_b
+       |WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qd04: exact n-gram Jaccard pairs — distinct-shingle inverted index
+  // self-join (common count) → |A∩B| / (|A|+|B|−|A∩B|), threshold 0.15.
+  // Shingle strings are md5-hashed before the shuffle so join keys are
+  // fixed-width.
+  // ---------------------------------------------------------------------
+  private def qd04(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
+        .as("sh"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.alias("x").join(sh.alias("y"),
+      col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.15)
+  }
+
+  private val qd04Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> md5(array_to_string(toks[i:i+2], ' '))))) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+      |FROM common
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.15""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qd05: embedding-cosine near-dup pairs (brute-force all-pairs at test SF;
+  // the scale path is Similarity.qs02's LSH bucketing). Threshold 0.4.
+  // ---------------------------------------------------------------------
+  private def qd05(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  private val qd05Sql = {
+    val cos = Vectors.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE $cos >= 0.4""".stripMargin
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
+    Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
+    Q("qd03_minhash_lsh_pairs", qd03, Some(qd03Sql), headline = true),
+    Q("qd04_ngram_jaccard", qd04, Some(qd04Sql)),
+    Q("qd05_embedding_dup", qd05, Some(qd05Sql)))
+}

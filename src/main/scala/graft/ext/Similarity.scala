@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>` columns).
+  *
+  *  - qs01: brute-force cosine top-k — the exact baseline. Queries broadcast
+  *    against the corpus; per-query top-k via window rank.
+  *  - qs02: LSH-bucketed ANN — 16 random-hyperplane sign buckets; each query
+  *    probes only its own bucket. This is the 100 TB path: bucketing turns
+  *    the quadratic all-pairs problem into a per-bucket equi-join (shuffle on
+  *    a 4-bit key; alternatively pre-bucket + bucketed table layout so the
+  *    probe is shuffle-free).
+  *
+  * Hyperplanes are seeded integer arithmetic (LCG) so the oracle regenerates
+  * them exactly; all float math is double-precision index-order folds (see
+  * graft.functions.Vectors determinism contract).
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumPlanes = 4 // 2^4 = 16 buckets
+
+  /** Hyperplane component (plane j, dim i): LCG over the flat index, scaled
+    * to [−0.5, 0.5). Pure integer → exact in any engine. */
+  private def planeSqlList(j: Int): String =
+    s"list_transform(range(0, $Dim), i -> ((1103515245 * ($j * $Dim + i) + 12345) % 65536) / 65536.0 - 0.5)"
+
+  private def planeExpr(j: Int): String =
+    s"transform(sequence(0, ${Dim - 1}), i -> ((1103515245L * ($j * $Dim + i) + 12345L) % 65536L) / 65536.0 - 0.5)"
+
+  /** bucket = Σ_j 2^j · [dot(emb, plane_j) > 0]. */
+  private def bucketExpr: org.apache.spark.sql.Column =
+    (0 until NumPlanes).map { j =>
+      when(Vectors.dot(col("embedding"), expr(planeExpr(j))) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(emb: String): String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN ${Vectors.dotSql(emb, planeSqlList(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------------
+  // qs01: exact top-5 cosine neighbors for query vectors (vec_id < 10)
+  // against the rest of the corpus.
+  // ---------------------------------------------------------------------
+  private def qs01(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs01Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // qs02: LSH ANN — assign every vector a 16-way sign bucket, then answer
+  // each query from its bucket only (top-3). Equi-join on bucket replaces
+  // the cross join.
+  // ---------------------------------------------------------------------
+  private def qs02(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("bucket", bucketExpr)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .select(col("q_id"), col("bucket"), col("n_id"),
+        Vectors.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  private val qs02Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT q_id, bucket, n_id, cos_sim, rank FROM (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
+       |    $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |                       ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("qs01_knn_brute", qs01, Some(qs01Sql), headline = true),
+    Q("qs02_ann_lsh", qs02, Some(qs02Sql), headline = true))
+}

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring, n-gram
+  * language ID, and content fingerprinting.
+  *
+  * All pure Catalyst expressions (regex + higher-order array functions) —
+  * one codegen'd projection per document, no shuffle except the final
+  * aggregations. Regex patterns are restricted to the ASCII/character-class
+  * subset that Java regex (Spark) and RE2 (DuckDB) interpret identically.
+  */
+object TextAnalysis {
+
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]" // letters | digits | single symbol
+  private val stopPattern = "\\b(?:the|a|of|and|to|in|is|that|for|on)\\b"
+
+  // ---------------------------------------------------------------------
+  // qt01: token counting — whitespace tokens, BPE-ish subword tokens,
+  // char length, mean token length.
+  // ---------------------------------------------------------------------
+  private def qt01(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_text"),
+        (expr("aggregate(transform(toks, t -> length(t)), 0, (a, b) -> a + b)")
+          .cast("double") / size(col("toks"))).as("mean_token_len"))
+
+  private val qt01Sql =
+    s"""SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_tokens,
+       |  length(text) AS n_chars_text,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len
+       |FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt02: quality scoring — stopword ratio, punctuation density, length
+  // band; combined score with a fixed, identically-parenthesized formula.
+  // ---------------------------------------------------------------------
+  private def qt02(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_toks", size(expr(toksExpr)))
+      .withColumn("n_stop",
+        size(regexp_extract_all(lower(col("text")), lit(stopPattern), lit(0))))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))))
+      .select(
+        col("doc_id"),
+        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        (col("n_punct").cast("double") / length(col("text"))).as("punct_ratio"),
+        expr("""((0.5 * (cast(n_stop as double) / n_toks))
+               | + (0.3 * (1.0 - (cast(n_punct as double) / length(text)))))
+               | + (0.2 * (CASE WHEN n_toks BETWEEN 50 AND 1000 THEN 1.0 ELSE 0.0 END))"""
+          .stripMargin.replace("\n", " ")).as("quality_score"))
+
+  private val qt02Sql =
+    s"""SELECT doc_id,
+       |  CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+       |  CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+       |  ((0.5 * (CAST(n_stop AS DOUBLE) / n_toks))
+       |   + (0.3 * (1.0 - (CAST(n_punct AS DOUBLE) / length(text)))))
+       |   + (0.2 * (CASE WHEN n_toks BETWEEN 50 AND 1000 THEN 1.0 ELSE 0.0 END)) AS quality_score
+       |FROM (SELECT doc_id, text,
+       |        len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+       |        len(regexp_extract_all(lower(text), '$stopPattern')) AS n_stop,
+       |        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt03: language ID — marker-character/word counts per language with a
+  // fixed-precedence argmax. (An n-gram frequency heuristic; the synthetic
+  // corpus is ASCII so predictions skew 'en' — the oracle checks the
+  // heuristic itself, not corpus ground truth.)
+  // ---------------------------------------------------------------------
+  private val cjkPattern = "[一-鿿]"
+  private val dePattern = "[äöüß]|\\b(?:der|die|das|und|ist|nicht)\\b"
+  private val frPattern = "[àâçèêëîôùû]|\\b(?:le|les|est|une|et|dans)\\b"
+  private val esPattern = "[áíóúñ¿¡]|\\b(?:el|los|las|que|una|por)\\b"
+
+  private def qt03(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_cjk", size(regexp_extract_all(col("text"), lit(cjkPattern), lit(0))))
+      .withColumn("n_de", size(regexp_extract_all(lower(col("text")), lit(dePattern), lit(0))))
+      .withColumn("n_fr", size(regexp_extract_all(lower(col("text")), lit(frPattern), lit(0))))
+      .withColumn("n_es", size(regexp_extract_all(lower(col("text")), lit(esPattern), lit(0))))
+      .select(col("doc_id"), col("lang"), col("n_cjk"), col("n_de"), col("n_fr"), col("n_es"),
+        expr("""CASE WHEN n_cjk > 0 THEN 'zh'
+               |     WHEN n_de > n_fr AND n_de > n_es AND n_de > 0 THEN 'de'
+               |     WHEN n_fr > n_es AND n_fr > 0 THEN 'fr'
+               |     WHEN n_es > 0 THEN 'es'
+               |     ELSE 'en' END""".stripMargin.replace("\n", " ")).as("pred_lang"))
+
+  private val qt03Sql =
+    s"""SELECT doc_id, lang, n_cjk, n_de, n_fr, n_es,
+       |  CASE WHEN n_cjk > 0 THEN 'zh'
+       |       WHEN n_de > n_fr AND n_de > n_es AND n_de > 0 THEN 'de'
+       |       WHEN n_fr > n_es AND n_fr > 0 THEN 'fr'
+       |       WHEN n_es > 0 THEN 'es'
+       |       ELSE 'en' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |        len(regexp_extract_all(text, '$cjkPattern')) AS n_cjk,
+       |        len(regexp_extract_all(lower(text), '$dePattern')) AS n_de,
+       |        len(regexp_extract_all(lower(text), '$frPattern')) AS n_fr,
+       |        len(regexp_extract_all(lower(text), '$esPattern')) AS n_es
+       |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt04: document fingerprinting — md5 over whitespace/punctuation-
+  // normalized text (near-exact dedup key).
+  // ---------------------------------------------------------------------
+  private def qt04(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+      .select(col("doc_id"), md5(col("norm")).as("fingerprint"),
+        substring(md5(col("norm")), 1, 8).as("fp_prefix"))
+
+  private val qt04Sql =
+    """SELECT doc_id, md5(norm) AS fingerprint, substr(md5(norm), 1, 8) AS fp_prefix
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+      |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt05: corpus word frequency — top 20 tokens (explode → count → top-k
+  // with deterministic tie-break).
+  // ---------------------------------------------------------------------
+  private def qt05(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(toksExpr)).as("token"))
+      .groupBy(lower(col("token")).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  private val qt05Sql =
+    """SELECT lower(token) AS token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY lower(token)
+      |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
+    Q("qt02_quality_score", qt02, Some(qt02Sql)),
+    Q("qt03_langid", qt03, Some(qt03Sql)),
+    Q("qt04_fingerprint", qt04, Some(qt04Sql)),
+    Q("qt05_word_freq", qt05, Some(qt05Sql)))
+}

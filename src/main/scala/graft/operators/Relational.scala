@@ -1,0 +1,389 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.sources.Tables
+
+/** Relational operator suite: filter/project, broadcast + shuffle joins,
+  * semi/anti joins, aggregation, set ops, top-k, analytic window functions,
+  * rollup, string/date/JSON expressions.
+  *
+  * Covers the reference's relational surface (SURVEY.md §2.3–§2.5, §2.8:
+  * filter P1/P2, project P3, joins J1–J3, aggregations A1/A4/A5, sorts M1,
+  * selectExpr M6) and widens it to the full surface a user of a
+  * general-purpose engine expects.
+  *
+  * Everything is declarative DataFrame API — Catalyst handles pushdown,
+  * pruning, and join-strategy selection; `broadcast()` hints pin the small
+  * dims so the plan is BroadcastHashJoin regardless of stats, which is the
+  * right call at 100 TB where the fact side dwarfs every dim.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast a 2-decimal double column to DECIMAL so
+    * sums are order-independent (double summation is not associative and
+    * would hash-mismatch the single-threaded DuckDB oracle).
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  /** Deterministic average: exact decimal sum → one double cast → one IEEE
+    * division. Bit-identical in any engine that mirrors the expression.
+    */
+  private def avgExact(c: Column): Column =
+    sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  // ---------------------------------------------------------------------
+  // q01: TPC-H Q1-shaped pricing summary — filter + groupBy + mixed aggs.
+  // Mirrors the reference's A1/A4 agg shape (count + max per group) widened
+  // with decimal money sums. [ysb/benchmark/spark/SparkYahooRunner.scala:75-76]
+  // ---------------------------------------------------------------------
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax")))).cast(DecimalType(38, 6)).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02: filter + projection — pushdown/pruning path (P1/P3).
+  // ---------------------------------------------------------------------
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast(TimestampType), lit("1996-12-31").cast(TimestampType))
+        && col("l_quantity") > lit(45))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_quantity > 45""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03: broadcast equi-join fact⋈dim + grouped agg — the YSB J1 shape
+  // (stream⋈static enrichment join). [SparkYahooRunner.scala:74]
+  // ---------------------------------------------------------------------
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+
+  private val q03Sql =
+    """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04: 5-table star join (region⋈nation⋈customer⋈orders⋈lineitem) with a
+  // selective date filter — the multi-join shuffle path; dims broadcast,
+  // fact-fact join shuffles on orderkey.
+  // ---------------------------------------------------------------------
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+        && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenue).cast(DecimalType(38, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05/q06: semi + anti joins (EXISTS / NOT EXISTS).
+  // ---------------------------------------------------------------------
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > lit(300000))
+    Tables.customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q05Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  private def q06(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07: top-k with deterministic tie-break (orderBy + limit; M1).
+  // ---------------------------------------------------------------------
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val q07Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q08: distinct (exact dedup over a projection).
+  // ---------------------------------------------------------------------
+  private def q08(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  private val q08Sql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  // ---------------------------------------------------------------------
+  // q09: set operations — UNION (distinct), INTERSECT, EXCEPT, summarized
+  // as tagged counts in one frame.
+  // ---------------------------------------------------------------------
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > lit(5000))
+      .select(col("c_custkey").as("k"))
+    val active = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    def tagCount(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+    tagCount("union", rich.union(active).distinct())
+      .unionAll(tagCount("intersect", rich.intersect(active)))
+      .unionAll(tagCount("except", rich.except(active)))
+  }
+
+  private val q09Sql =
+    """WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+      |     active AS (SELECT o_custkey AS k FROM orders)
+      |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM rich UNION SELECT k FROM active)
+      |UNION ALL
+      |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM rich INTERSECT SELECT k FROM active)
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10: analytic window functions — per-nation top-3 customers by balance.
+  // ---------------------------------------------------------------------
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(3))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
+  }
+
+  private val q10Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      |  FROM customer) WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11: global (grouping-less) aggregate — A5 shape.
+  // ---------------------------------------------------------------------
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      sum(col("l_quantity")).as("sum_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+
+  private val q11Sql =
+    """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  sum(l_quantity) AS sum_qty,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12: exact percentiles (reference A5 uses percentile_approx for latency
+  // stats [SparkYahooRunner.scala:139-144]; the oracle-checked variant is
+  // exact `percentile` — approx sketches differ across engines by design).
+  // Rounded to 6 dp: both engines interpolate in double.
+  // ---------------------------------------------------------------------
+  private def q12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"))
+
+  private val q12Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13: rollup (hierarchical grouping sets).
+  // ---------------------------------------------------------------------
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  private val q13Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14: string expressions — like-filter, substring, concat, upper, length.
+  // ---------------------------------------------------------------------
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("%AND%") || col("p_name").like("%steel%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+        length(col("p_name")).as("name_len"))
+
+  private val q14Sql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+      |  concat_ws('/', p_type, p_brand) AS type_brand, length(p_name) AS name_len
+      |FROM part WHERE p_type LIKE '%AND%' OR p_name LIKE '%steel%'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15: date/time expressions — year/month/date_trunc + conditional agg
+  // (CASE WHEN), the F14 date-formatting surface.
+  // ---------------------------------------------------------------------
+  private def q15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+
+  private val q15Sql =
+    """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n_orders,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16: JSON extraction (F2/F12 surface — from_json/get_json_object).
+  // ---------------------------------------------------------------------
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+
+  private val q16Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+      |  count(*) AS n, max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17: cross join of 1-row metric frames — J3, the reference's
+  // throughput×latency result assembly. [YahooBenchmark.scala:63]
+  // ---------------------------------------------------------------------
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).agg(count(lit(1)).as("n_orders"))
+    val c = Tables.customer(s, d).agg(count(lit(1)).as("n_customers"))
+    val l = Tables.lineitem(s, d).agg(count(lit(1)).as("n_lineitems"))
+    o.crossJoin(c).crossJoin(l)
+  }
+
+  private val q17Sql =
+    """SELECT * FROM (SELECT count(*) AS n_orders FROM orders)
+      |CROSS JOIN (SELECT count(*) AS n_customers FROM customer)
+      |CROSS JOIN (SELECT count(*) AS n_lineitems FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18: approx_count_distinct (HLL) — scale path for distinct counting
+  // (A6: the reference's windowed distinct-set becomes HLL at 100 TB).
+  // Sketches are engine-specific → rows-only check (no oracle).
+  // ---------------------------------------------------------------------
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+
+  def queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
+    Q("q02_filter_project", q02, Some(q02Sql), headline = true),
+    Q("q03_broadcast_join", q03, Some(q03Sql), headline = true),
+    Q("q04_star_join", q04, Some(q04Sql), headline = true),
+    Q("q05_semi_join", q05, Some(q05Sql)),
+    Q("q06_anti_join", q06, Some(q06Sql)),
+    Q("q07_topk", q07, Some(q07Sql)),
+    Q("q08_distinct", q08, Some(q08Sql)),
+    Q("q09_set_ops", q09, Some(q09Sql)),
+    Q("q10_window_rank", q10, Some(q10Sql), headline = true),
+    Q("q11_global_agg", q11, Some(q11Sql)),
+    Q("q12_percentiles", q12, Some(q12Sql)),
+    Q("q13_rollup", q13, Some(q13Sql)),
+    Q("q14_string_funcs", q14, Some(q14Sql)),
+    Q("q15_date_funcs", q15, Some(q15Sql)),
+    Q("q16_json_extract", q16, Some(q16Sql)),
+    Q("q17_cross_join", q17, Some(q17Sql)),
+    Q("q18_approx_distinct", q18, None))
+}

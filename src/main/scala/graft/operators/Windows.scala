@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.sources.Tables
+
+/** Time-window operators in batch form (the streaming twins live in
+  * graft.streaming): tumbling / sliding / session windows over event time,
+  * plus analytic running/lag windows.
+  *
+  * Reference surface: W1 tumbling 10 s event-time window
+  * [ysb/benchmark/spark/SparkYahooRunner.scala:75;
+  * ysb/benchmark/flink/YahooBenchmark.scala:222], W7 session-window
+  * scaffolding [sbx/Values.h:1415-1474], A6 windowed collect
+  * [sbx/test-yahoo.cpp:137-146].
+  *
+  * Oracles express buckets as exact integer epoch-microsecond arithmetic
+  * (`make_timestamp(epoch_us(ts) // W * W)`), which matches Spark's
+  * epoch-aligned `window()` in a UTC session exactly — no reliance on
+  * DuckDB `time_bucket` origin conventions.
+  */
+object Windows {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  // ---------------------------------------------------------------------
+  // qw01: tumbling 1-day event-time window × event_type — count + decimal
+  // sum + max(ts) ("lastUpdate"), the exact YSB A1 aggregate shape.
+  // ---------------------------------------------------------------------
+  private def qw01(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("sum_value"),
+        max(col("ts")).as("last_update"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"), col("last_update"))
+
+  private val qw01Sql =
+    """SELECT make_timestamp(epoch_us(ts) // 86400000000 * 86400000000) AS w_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  max(ts) AS last_update
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw02: sliding window (1 day length, 12 h slide) — each event lands in 2
+  // windows. Oracle = union of the two shifted 12 h buckets.
+  // ---------------------------------------------------------------------
+  private def qw02(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  private val qw02Sql =
+    """WITH assigned AS (
+      |  SELECT make_timestamp(epoch_us(ts) // 43200000000 * 43200000000) AS w_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp(epoch_us(ts) // 43200000000 * 43200000000 - 43200000000) AS w_start, event_type FROM events)
+      |SELECT w_start, event_type, count(*) AS n FROM assigned GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw03: session windows (30 min gap) per user — session start = min(ts),
+  // end = max(ts)+gap (Spark session_window semantics), count + value sum.
+  // Oracle: classic gaps-and-islands with lag + cumulative flag sum.
+  // ---------------------------------------------------------------------
+  private def qw03(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  private val qw03Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  user_id, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM islands GROUP BY user_id, sess""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw04: running (cumulative) aggregation per key ordered by event time —
+  // unbounded-preceding frame, exact decimal running sum.
+  // ---------------------------------------------------------------------
+  private def qw04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < lit(10))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(dec2(col("value"))).over(w).cast(DecimalType(38, 2)).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+  }
+
+  private val qw04Sql =
+    """SELECT user_id, event_id, ts,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2)))
+      |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_value,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS running_n
+      |FROM events WHERE user_id < 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw05: lag/lead — inter-event gap in microseconds per user (the latency
+  // diff shape, F9 [SparkYahooRunner.scala:138]).
+  // ---------------------------------------------------------------------
+  private def qw05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < lit(10))
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_event"))
+  }
+
+  private val qw05Sql =
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+      |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+      |FROM events WHERE user_id < 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw06: windowed collect (A6: StreamBox WinSum_mergeset ≡ windowed
+  // distinct collect) — distinct event types per 1-day window, sorted for
+  // determinism. At 100 TB collect_set per group is only safe for
+  // low-cardinality domains like this; the unbounded-cardinality path is
+  // q18_approx_distinct (HLL).
+  // ---------------------------------------------------------------------
+  private def qw06(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("types"), col("n_users"))
+
+  private val qw06Sql =
+    """SELECT make_timestamp(epoch_us(ts) // 86400000000 * 86400000000) AS w_start,
+      |  list_sort(list_distinct(list(event_type))) AS types,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
+    Q("qw02_sliding_window", qw02, Some(qw02Sql)),
+    Q("qw03_session_window", qw03, Some(qw03Sql), headline = true),
+    Q("qw04_running_agg", qw04, Some(qw04Sql)),
+    Q("qw05_lag_lead", qw05, Some(qw05Sql)),
+    Q("qw06_windowed_collect", qw06, Some(qw06Sql)))
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Q
+import graft.sources.Tables
+
+/** Structured Streaming operators, run to completion over bounded input so
+  * the driver's batch oracle can check them: `readStream` on the same
+  * parquet → transform → memory sink → `processAllAvailable()` → final
+  * table. This validates the *streaming* execution path (IncrementalExecution,
+  * state store, update/complete modes) against the batch oracle — the
+  * streaming/batch consistency invariant the reference never tested
+  * (SURVEY.md §5).
+  *
+  * Unbounded-production notes (W3/W8): `withWatermark` bounds state; the
+  * reference's Spark path runs update mode with NO watermark
+  * [ysb/benchmark/spark/SparkYahooRunner.scala:72-84] — reproduced by
+  * `YsbStreaming.query(watermark = None)`, default is a configurable
+  * watermark. Complete mode here is only for deterministic bounded runs.
+  */
+object StreamingQueries {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Stream `table` from sfDir through `transform`, collect the final result
+    * in a memory sink, return it as a batch DataFrame. */
+  def runBounded(spark: SparkSession, dir: String, table: String,
+      mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = spark.read.parquet(path).schema
+    // the file streaming source requires a directory: stream the sf dir
+    // filtered down to this table's single parquet file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+    val src = if (table == "events") Tables.normalizeEvents(raw) else raw
+    val name = s"graft_${table}_${counter.incrementAndGet()}"
+    val q = transform(src).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------------
+  // qst01: streaming tumbling-window aggregation (complete mode) — the W1/A1
+  // stateful HashAggregate path; final state must equal the batch answer.
+  // ---------------------------------------------------------------------
+  private def qst01(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_update"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("last_update"))
+    }
+
+  private val qst01Sql =
+    """SELECT make_timestamp(epoch_us(ts) // 86400000000 * 86400000000) AS w_start,
+      |  event_type, count(*) AS n, max(ts) AS last_update
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qst02: streaming YSB — stream-static broadcast join + windowed count
+  // over the streaming source (same semantics as Ysb.qysb02).
+  // ---------------------------------------------------------------------
+  private def qst02(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("c"), pmod(col("user_id"), lit(20))).as("campaign_id"))
+    runBounded(s, d, "events", "complete") { ev =>
+      ev.filter(col("event_type") === "view")
+        .join(broadcast(dim), Seq("user_id"), "inner")
+        .groupBy(window(col("ts"), "6 hours"), col("campaign_id"))
+        .agg(count(lit(1)).as("count"), max(col("ts")).as("last_update"))
+        .select(unix_millis(col("window.start")).as("time_window"),
+          col("campaign_id"), col("count"), col("last_update"))
+    }
+  }
+
+  private val qst02Sql =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id, 'c' || CAST(user_id % 20 AS VARCHAR) AS campaign_id
+      |  FROM events)
+      |SELECT epoch_ms(make_timestamp(epoch_us(ts) // 21600000000 * 21600000000)) AS time_window,
+      |  campaign_id, count(*) AS count, max(ts) AS last_update
+      |FROM events JOIN dim USING (user_id)
+      |WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qst03: streaming deduplication (dropDuplicates state op, append mode) —
+  // the streaming face of exact dedup.
+  // ---------------------------------------------------------------------
+  private def qst03(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "append") { ev =>
+      ev.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+    }
+
+  private val qst03Sql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
+  def queries: Seq[Q] = Seq(
+    Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
+    Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
+    Q("qst03_stream_dedup", qst03, Some(qst03Sql)))
+}
