@@ -23,7 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: small scan+agg to absorb codegen/JIT/IO-pool startup
-    graft.sources.Tables.lineitem(spark, sfDir).limit(1000).count()
+    try graft.sources.Tables.lineitem(spark, sfDir).limit(1000).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val headline = Registry.all.filter(_.headline)
     val results = headline.map { q =>

@@ -222,10 +222,99 @@ object Dedup {
        |WHERE $cos >= 0.4""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qd06: SimHash — 48-bit signature: per token hash h, bit j contributes
+  // +1/−1 by bit j of h; signature bit j = [sum > 0]. Pure higher-order
+  // array folds, one row per doc, no shuffle.
+  // ---------------------------------------------------------------------
+  private val SimBits = 48
+
+  private def withSimhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("tokh", expr(
+        s"transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("bitsum", expr(
+        s"""aggregate(tokh, transform(sequence(0, ${SimBits - 1}), j -> 0L),
+           | (acc, h) -> zip_with(acc, transform(sequence(0, ${SimBits - 1}),
+           |   j -> CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 THEN 1L ELSE -1L END),
+           |   (a, b) -> a + b))""".stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), expr(
+        s"""aggregate(transform(sequence(0, ${SimBits - 1}),
+           | j -> CASE WHEN element_at(bitsum, j + 1) > 0 THEN cast(pow(2, j) as bigint) ELSE 0L END),
+           | 0L, (a, b) -> a + b)""".stripMargin.replace("\n", " ")).as("simhash"))
+
+  private val simhashSqlCte =
+    s"""tokenized AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS tokh
+       |  FROM tokenized),
+       |summed AS (
+       |  SELECT doc_id, list_reduce(
+       |    [list_transform(range(0, $SimBits), j -> CAST(0 AS BIGINT))] ||
+       |    list_transform(tokh, h -> list_transform(range(0, $SimBits),
+       |      j -> CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |    (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])) AS bitsum
+       |  FROM hashed),
+       |simhashed AS (
+       |  SELECT doc_id, list_sum(list_transform(range(0, $SimBits),
+       |    j -> CASE WHEN bitsum[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END)) AS simhash
+       |  FROM summed)""".stripMargin
+
+  private def qd06(s: SparkSession, d: String): DataFrame =
+    withSimhash(Tables.documents(s, d))
+
+  private val qd06Sql =
+    s"""WITH $simhashSqlCte
+       |SELECT doc_id, simhash FROM simhashed""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qd07: SimHash near-dup pairs — band the 48 bits into 4 × 12-bit chunks
+  // (any equal chunk → candidate; guarantees recall for Hamming ≤ 3),
+  // then exact Hamming distance ≤ 12 filter via bit_count(xor).
+  // ---------------------------------------------------------------------
+  private def qd07(s: SparkSession, d: String): DataFrame = {
+    val sim = withSimhash(Tables.documents(s, d)).cache()
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096").as("chunk"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+    chunks.alias("x").join(chunks.alias("y"),
+      col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk")
+        && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+  }
+
+  private val qd07Sql =
+    s"""WITH $simhashSqlCte,
+       |chunks AS (
+       |  SELECT doc_id, simhash, c,
+       |    (simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
+       |  FROM simhashed, range(0, 4) t(c)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
     Q("qd03_minhash_lsh_pairs", qd03, Some(qd03Sql), headline = true),
     Q("qd04_ngram_jaccard", qd04, Some(qd04Sql)),
-    Q("qd05_embedding_dup", qd05, Some(qd05Sql)))
+    Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
+    Q("qd06_simhash", qd06, Some(qd06Sql)),
+    Q("qd07_simhash_pairs", qd07, Some(qd07Sql)))
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.Vectors
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: one group per distinct text, counts sum to row count") {
+    val out = Registry.byName("qd01_dedup_exact").run(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) === total)
+    assert(out.select("text_hash").distinct().count() === out.count())
+  }
+
+  test("minhash estimate tracks exact n-gram jaccard on shared pairs") {
+    val est = Registry.byName("qd03_minhash_lsh_pairs").run(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val exact = Registry.byName("qd04_ngram_jaccard").run(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val joined = est.join(exact, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty, "LSH found none of the exact near-dup pairs")
+    joined.foreach { r =>
+      val (e, x) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard"))
+      assert(math.abs(e - x) < 0.35, s"estimate $e too far from exact $x")
+    }
+  }
+
+  test("identical docs get identical simhash; different docs differ") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val simhashes = docsToSimhash(docs)
+    assert(simhashes(1L) === simhashes(2L))
+    assert(simhashes(1L) !== simhashes(3L))
+  }
+
+  private def docsToSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    // mirror of Dedup's simhash expression on an arbitrary frame
+    val sim = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .withColumn("tokh", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .withColumn("bitsum", expr(
+        """aggregate(tokh, transform(sequence(0, 47), j -> 0L),
+          | (acc, h) -> zip_with(acc, transform(sequence(0, 47),
+          |   j -> CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 THEN 1L ELSE -1L END),
+          |   (a, b) -> a + b))""".stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), expr(
+        """aggregate(transform(sequence(0, 47),
+          | j -> CASE WHEN element_at(bitsum, j + 1) > 0 THEN cast(pow(2, j) as bigint) ELSE 0L END),
+          | 0L, (a, b) -> a + b)""".stripMargin.replace("\n", " ")).as("simhash"))
+    sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force knn: 5 neighbors per query, descending similarity") {
+    val out = Registry.byName("qs01_knn_brute").run(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length === 5)
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Tables.embeddings(spark, sf).limit(1)
+      .select(Vectors.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN neighbors share the query's bucket and are a subset of corpus") {
+    val out = Registry.byName("qs02_ann_lsh").run(spark, sf)
+    assert(out.filter(col("n_id") < 10).count() === 0)
+    assert(out.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
+  }
+}
+
+class TextSpec extends SparkSpec {
+
+  test("token counts match JVM-side split") {
+    val rows = Registry.byName("qt01_token_stats").run(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("text", "n_tokens").limit(50).collect()
+    rows.foreach { r =>
+      val want = r.getString(0).trim.split("\\s+").length
+      assert(r.getAs[Int]("n_tokens") === want)
+    }
+  }
+
+  test("fingerprint is whitespace/punctuation invariant") {
+    import spark.implicits._
+    val fp = (t: String) => {
+      Seq((1L, t)).toDF("doc_id", "text")
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+        .select(md5(col("norm"))).collect()(0).getString(0)
+    }
+    assert(fp("Hello,  World!") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello there"))
+  }
+
+  test("langid heuristic: marker languages detected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "der hund und die katze ist nicht da", "de"),
+      (3L, "le chat est dans une maison et les arbres", "fr"),
+      (4L, "el perro que vive en una casa por la noche", "es"),
+      (5L, "这是一个中文文档", "zh")).toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("langid_docs")
+    val pred = docs
+      .withColumn("n_cjk", size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0))))
+      .withColumn("n_de", size(regexp_extract_all(lower(col("text")),
+        lit("[äöüß]|\\b(?:der|die|das|und|ist|nicht)\\b"), lit(0))))
+      .withColumn("n_fr", size(regexp_extract_all(lower(col("text")),
+        lit("[àâçèêëîôùû]|\\b(?:le|les|est|une|et|dans)\\b"), lit(0))))
+      .withColumn("n_es", size(regexp_extract_all(lower(col("text")),
+        lit("[áíóúñ¿¡]|\\b(?:el|los|las|que|una|por)\\b"), lit(0))))
+      .withColumn("pred", expr(
+        """CASE WHEN n_cjk > 0 THEN 'zh'
+          |     WHEN n_de > n_fr AND n_de > n_es AND n_de > 0 THEN 'de'
+          |     WHEN n_fr > n_es AND n_fr > 0 THEN 'fr'
+          |     WHEN n_es > 0 THEN 'es'
+          |     ELSE 'en' END""".stripMargin.replace("\n", " ")))
+      .select("lang", "pred").collect()
+    pred.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("stubbed decode features match JVM reference") {
+    val rows = Registry.byName("qm02_decode_features").run(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("text", "f0", "f7", "n_bytes").limit(50).collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val step = text.length / 8
+      assert(r.getAs[Double]("f0") === text.charAt(0).toDouble)
+      assert(r.getAs[Double]("f7") === text.charAt(7 * step).toDouble)
+      assert(r.getAs[Int]("n_bytes") === text.getBytes("UTF-8").length)
+    }
+  }
+
+  test("binary payload survives roundtrip with exact length") {
+    val out = Registry.byName("qm01_binary_meta").run(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("n_bytes") =!= length(col("text"))) // ASCII corpus: bytes == chars
+    assert(out.count() === 0)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{Sessionize, StreamingQueries}
+import graft.ysb.{Gen, Ysb}
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("streaming/batch consistency: windowed agg final state equals batch result") {
+    val streamed = StreamingQueries.queries.find(_.name == "qst01_stream_tumbling").get
+      .run(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last_update"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"),
+        col("last_update"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("watermark drops late data in append mode (W3/W4)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val agg = ms.toDF().toDF("event_time", "k")
+      .withWatermark("event_time", "5 seconds")
+      .groupBy(window(col("event_time"), "10 seconds"), col("k"))
+      .count()
+      .select(unix_millis(col("window.start")).as("w"), col("k"), col("count"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    try {
+      ms.addData((t(1), "a"), (t(2), "a"))
+      q.processAllAvailable() // watermark after batch: 2s−5s → nothing closed
+      ms.addData((t(30), "b"))
+      q.processAllAvailable() // watermark 25 s → [0,10) closes and emits
+      ms.addData((t(3), "a")) // later than watermark: dropped
+      ms.addData((t(60), "c"))
+      q.processAllAvailable() // watermark 55 s → [30,40) closes
+      val rows = spark.table("wm_test")
+        .collect().map(r => (r.getLong(0) - base, r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((0L, "a", 2L), (30000L, "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("no-watermark update mode re-emits corrected counts (reference Spark behavior)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val agg = ms.toDF().toDF("event_time", "k")
+      .groupBy(window(col("event_time"), "10 seconds"), col("k"))
+      .count()
+      .select(unix_millis(col("window.start")).as("w"), col("k"), col("count"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("upd_test").start()
+    try {
+      ms.addData((t(1), "a"))
+      q.processAllAvailable()
+      ms.addData((t(2), "a")) // same window: count corrected 1 → 2
+      q.processAllAvailable()
+      val emitted = spark.table("upd_test")
+        .collect().map(r => (r.getLong(0) - base, r.getString(1), r.getLong(2)))
+      assert(emitted.count(_ == (0L, "a", 1L)) === 1)
+      assert(emitted.count(_ == (0L, "a", 2L)) === 1)
+    } finally q.stop()
+  }
+
+  test("YSB streaming via MemoryStream matches batch YSB") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[graft.ysb.Event]
+    val events = Gen.boundedEvents(spark, 6000L).as[graft.ysb.Event].collect()
+    val dim = Gen.campaigns(spark)
+    val streamOut = Ysb.query(ms.toDF(), dim, "10 seconds")
+    val q = streamOut.writeStream.outputMode("complete")
+      .format("memory").queryName("ysb_stream").start()
+    try {
+      ms.addData(events.take(3000))
+      ms.addData(events.drop(3000))
+      q.processAllAvailable()
+      val got = spark.table("ysb_stream")
+      val want = Ysb.query(Gen.boundedEvents(spark, 6000L), dim, "10 seconds")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally q.stop()
+  }
+
+  test("rate-source generator stream starts and produces YSB-shaped rows") {
+    val stream = Gen.rateStream(spark, rowsPerSecond = 500, numPartitions = 2)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("rate_smoke")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      var n = 0L
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        n = spark.table("rate_smoke").count()
+      }
+      assert(n > 0)
+      val row = spark.table("rate_smoke").limit(1).collect()(0)
+      assert(row.schema.fieldNames.contains("ad_id"))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits sessions at watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Sessionize.Click]
+    val base = 1700000000000L
+    def click(u: Long, offSec: Long) = Sessionize.Click(u, new Timestamp(base + offSec * 1000))
+    val sessions = Sessionize.sessions(
+      ms.toDS().withWatermark("ts", "0 seconds").as[Sessionize.Click],
+      gapMs = 30000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    try {
+      ms.addData(click(1, 0), click(1, 10), click(2, 5))
+      q.processAllAvailable()
+      // advance watermark far past user 1/2 sessions
+      ms.addData(click(9, 1000))
+      q.processAllAvailable()
+      ms.addData(click(9, 2000)) // nudge another batch so timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("sess_test").as[Sessionize.Session].collect()
+        .map(s => (s.user_id, s.s_start.getTime - base, s.s_end.getTime - base, s.n)).toSet
+      assert(got.contains((1L, 0L, 40000L, 2L)))
+      assert(got.contains((2L, 5000L, 35000L, 1L)))
+    } finally q.stop()
+  }
+}
