@@ -57,9 +57,8 @@ object Dedup {
   // min over shingles of (aᵢ·h + bᵢ) mod P.
   // ---------------------------------------------------------------------
   private def withSignature(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(bh, b -> (${hashA(i)} * b + ${hashB(i)}) % $P))")
-    }
+    val as = (0 until NumHashes).map(hashA)
+    val bs = (0 until NumHashes).map(hashB)
     docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -67,7 +66,8 @@ object Dedup {
         "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
       .withColumn("bh", expr(
         s"transform(shingles, s -> pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), $P))"))
-      .select(col("doc_id"), array(sigCols: _*).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.MinHashExpression.minhashSig(col("bh"), as, bs, P).as("sig"))
   }
 
   /** DuckDB mirror of [[withSignature]] as a CTE chain ending in sigs(doc_id, sig). */
@@ -211,7 +211,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Vectors.cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        Vectors.fastCosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
   }
 

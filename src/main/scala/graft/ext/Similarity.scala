@@ -61,7 +61,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("n_id").asc)
     corpus.crossJoin(broadcast(queries))
       .select(col("q_id"), col("n_id"),
-        Vectors.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
   }
@@ -92,7 +92,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("n_id").asc)
     corpus.join(broadcast(queries), Seq("bucket"))
       .select(col("q_id"), col("bucket"), col("n_id"),
-        Vectors.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the dot product of two `array<float>`
+  * columns: double-precision accumulation in index order (identical
+  * semantics to the `aggregate(zip_with(...))` formulation in
+  * [[Vectors.dot]] and to the DuckDB oracle), but with whole-stage codegen
+  * instead of the interpreted lambda path of higher-order functions — the
+  * hot inner loop of every similarity/dedup query at 100 TB.
+  *
+  * (SURVEY §7.3: custom expressions only where built-ins can't express or
+  * can't go fast; this is the latter.)
+  */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float> (call sites are library-controlled;
+  // ExpectsInputTypes is private[sql] in Spark 4 so no declared coercion)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVectorExpressions {
+  def floatDot(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      FloatDot(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -27,6 +27,14 @@ object Vectors {
     * division of deterministic operands. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd variants via the native [[FloatDot]] expression — identical
+    * IEEE results to [[dot]]/[[cosine]] (same index-order double fold), for
+    * `array<float>` inputs on the hot path. */
+  def fastDot(a: Column, b: Column): Column = FloatVectorExpressions.floatDot(a, b)
+  def fastNorm(a: Column): Column = sqrt(fastDot(a, a))
+  def fastCosine(a: Column, b: Column): Column =
+    fastDot(a, b) / (fastNorm(a) * fastNorm(b))
+
   /** The DuckDB mirror of [[dot]] for oracle SQL construction. */
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
