@@ -24,6 +24,7 @@ object Registry {
   def all: Seq[Q] =
     graft.operators.Relational.queries ++
       graft.operators.Windows.queries ++
+      graft.operators.Scale.queries ++
       graft.sinks.Frames.queries ++
       graft.ysb.Ysb.queries ++
       graft.streaming.StreamingQueries.queries ++

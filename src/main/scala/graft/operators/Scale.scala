@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns that matter at 100 TB but are invisible at test SF:
+  * skew-salted joins and bucketed (shuffle-free) co-located joins.
+  * Correctness is asserted by equivalence specs (ScaleSpec); plan shape
+  * (no Exchange on bucketed joins) is asserted structurally.
+  */
+object Scale {
+
+  /** Salted broadcast-free equi-join for skewed fact keys: the fact side
+    * gets a per-row salt in [0, salt); the dim side is exploded `salt` ways,
+    * so one hot key's rows spread across `salt` shuffle partitions instead
+    * of one straggler. Join output is identical to the unsalted join.
+    *
+    * (AQE's skew-join handles sort-merge skew automatically; explicit
+    * salting remains necessary for skewed *aggregations* and for pinning
+    * behavior in streaming state, so the pattern lives here as a first-class
+    * operator.)
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-stage skew-safe aggregation: partial aggregate on (key, salt),
+    * then final on key. Identical results to a direct groupBy(key) count/sum
+    * (both are algebraic), but the first shuffle fans a hot key over `salt`
+    * reducers.
+    */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
+
+  /** Write a frame as a bucketed+sorted table: co-locates and pre-sorts by
+    * the join key so subsequent equi-joins between same-bucketed tables are
+    * shuffle-free AND sort-free (the 100 TB repeated-join layout).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a fresh session's in-memory catalog doesn't know about leftover table
+    // dirs in the warehouse from previous JVMs — clear both catalog + dir
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key. With matching
+    * bucket counts the plan contains no Exchange. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+
+  // ---------------------------------------------------------------------
+  // Driver-gated forms (oracle = the unsalted / unbucketed equivalent —
+  // which IS the correctness claim of these rewrites).
+  // ---------------------------------------------------------------------
+  import graft.Q
+  import graft.sources.Tables
+
+  private def qx01(s: SparkSession, d: String): DataFrame =
+    saltedCountSum(Tables.lineitem(s, d), "l_orderkey", "l_quantity", salt = 8)
+
+  private val qx01Sql =
+    """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sum_value
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  private def qx02(s: SparkSession, d: String): DataFrame = {
+    writeBucketed(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+      "graft_li_bkt", "l_orderkey", buckets = 8)
+    writeBucketed(Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+      "graft_ord_bkt", "l_orderkey", buckets = 8)
+    bucketedJoin(s, "graft_li_bkt", "graft_ord_bkt", "l_orderkey")
+  }
+
+  private val qx02Sql =
+    """SELECT l_orderkey, l_quantity, o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qx01_salted_agg", qx01, Some(qx01Sql)),
+    Q("qx02_bucketed_join", qx02, Some(qx02Sql)))
+}

@@ -111,6 +111,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val ctx = spark.sqlContext
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      clicks.toDF().toDF("c_key", "c_ts"),
+      views.toDF().toDF("v_key", "v_ts"),
+      "c_key", "c_ts", "v_key", "v_ts", lowerSec = 0, upperSec = 5)
+      .select(col("c_key"), unix_millis(col("c_ts")).as("ct"), unix_millis(col("v_ts")).as("vt"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      clicks.addData((1L, t(10)), (2L, t(20)))
+      views.addData((1L, t(12)), (1L, t(30)), (2L, t(19)), (3L, t(21)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").collect()
+        .map(r => (r.getLong(0), (r.getLong(1) - base) / 1000, (r.getLong(2) - base) / 1000)).toSet
+      // key 1: view@12 within [10,15] ✓, view@30 ✗; key 2: view@19 before click ✗; key 3 no click
+      assert(got === Set((1L, 10L, 12L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions at watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Sessionize.Click]
