@@ -25,6 +25,7 @@ object Registry {
     graft.operators.Relational.queries ++
       graft.operators.Windows.queries ++
       graft.operators.Scale.queries ++
+      graft.operators.AsOf.queries ++
       graft.sinks.Frames.queries ++
       graft.ysb.Ysb.queries ++
       graft.streaming.StreamingQueries.queries ++

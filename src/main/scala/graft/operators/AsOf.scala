@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.sources.Tables
+
+/** As-of (time-travel) join: for each left row, attach the latest right row
+  * with `right.ts <= left.ts` for the same key.
+  *
+  * Built by composing existing operators (SURVEY §7.3 preference (a), no
+  * custom plan node needed): union both sides tagged, sort per key by
+  * (ts, side), carry the right side's payload forward with
+  * `last(..., ignoreNulls)` over an unbounded-preceding frame, keep left
+  * rows. One shuffle on the key — the same cost profile as a sort-merge
+  * join, and it scales the same way (no per-key driver work, no broadcast
+  * of the time series).
+  *
+  * Right side must be unique per (key, ts) — pre-aggregate to enforce —
+  * so the result is deterministic and matches DuckDB's native ASOF JOIN,
+  * which serves as the oracle.
+  */
+object AsOf {
+
+  /** leftDf(keyCol, tsCol, ...) ⟕asof rightDf(keyCol, tsCol, valueCols...).
+    * Returns left columns + right valueCols (null when no right row ≤ ts).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__is_left")) ++
+        left.columns.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__is_left")) ++
+        left.columns.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort before left rows at equal ts (__is_left 0 < 1), so a
+    // right row AT the left row's timestamp is visible — ASOF `<=` semantics
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .select((Seq(col(keyCol), col(tsCol), col("__is_left")) ++
+        left.columns.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        valueCols.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("__is_left") === 1).drop("__is_left")
+  }
+
+  // ---------------------------------------------------------------------
+  // qa01: for every 'view' event, the value of the user's latest 'click'
+  // at-or-before it. Oracle: DuckDB native ASOF LEFT JOIN.
+  // ---------------------------------------------------------------------
+  private def qa01(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    asofJoin(views, clicks, "user_id", "ts", Seq("click_value"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("click_value"))
+  }
+
+  private val qa01Sql =
+    """WITH views AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+      |clicks AS (
+      |  SELECT user_id, ts, max(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT v.user_id AS user_id, v.event_id AS event_id, v.ts AS ts,
+      |  c.click_value AS click_value
+      |FROM views v ASOF LEFT JOIN clicks c
+      |  ON v.user_id = c.user_id AND v.ts >= c.ts""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qa01_asof_join", qa01, Some(qa01Sql)))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+
+import graft.operators.AsOf
+
+/** Property-based checks (ScalaCheck) for the operators whose edge cases are
+  * time/boundary-driven: session windows, tumbling windows, as-of joins —
+  * each against a brute-force in-JVM reference implementation on arbitrary
+  * small inputs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, tests: Int = 15): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(tests).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import spark.implicits._
+
+  private val base = 1700000000000L
+  private val tsGen = SGen.chooseNum(0L, 7200L) // seconds over 2 h
+  private val rowsGen = SGen.listOfN(60, SGen.zip(SGen.chooseNum(1L, 4L), tsGen))
+
+  test("property: session_window islands match brute-force reference") {
+    val gapSec = 300L
+    val prop = Prop.forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (u, s) => (u, new Timestamp(base + s * 1000)) }
+          .toDF("user_id", "ts")
+        val got = df.groupBy(session_window(col("ts"), s"$gapSec seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_millis(col("session_window.start")).as("s"),
+            unix_millis(col("session_window.end")).as("e"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        // reference: sort per user, split where gap >= gapSec
+        val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+          val ts = rs.map(_._2 * 1000 + base).sorted
+          val islands = ts.foldLeft(List.empty[List[Long]]) {
+            case (Nil, t) => List(List(t))
+            case (cur :: done, t) =>
+              if (t - cur.head < gapSec * 1000) (t :: cur) :: done
+              else List(t) :: cur :: done
+          }
+          islands.map(i => (u, i.last, i.head + gapSec * 1000, i.size.toLong))
+        }.toSet
+        got == want
+      }
+    }
+    check(prop)
+  }
+
+  test("property: tumbling windows conserve rows and align starts") {
+    val prop = Prop.forAll(rowsGen, SGen.oneOf(60L, 600L, 3600L)) { (rows, winSec) =>
+      rows.isEmpty || {
+        val df = rows.map { case (u, s) => (u, new Timestamp(base + s * 1000)) }
+          .toDF("user_id", "ts")
+        val out = df.groupBy(window(col("ts"), s"$winSec seconds"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_millis(col("window.start")).as("ws"), col("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        out.map(_._2).sum == rows.size &&
+          out.forall(_._1 % (winSec * 1000) == 0) &&
+          out.map(_._1).distinct.length == out.length
+      }
+    }
+    check(prop)
+  }
+
+  test("property: asofJoin matches brute-force latest-at-or-before lookup") {
+    val leftGen = SGen.listOfN(25, SGen.zip(SGen.chooseNum(1L, 3L), tsGen))
+    val rightGen = SGen.listOfN(25, SGen.zip(SGen.chooseNum(1L, 3L), SGen.zip(tsGen, SGen.chooseNum(1, 100))))
+    val prop = Prop.forAll(leftGen, rightGen) { (ls, rs0) =>
+      (ls.isEmpty || rs0.isEmpty) || {
+        // unique (key, ts) on the right, as the operator requires
+        val rs = rs0.map { case (k, (t, v)) => ((k, t), v) }.toMap.toList
+          .map { case ((k, t), v) => (k, t, v) }
+        val left = ls.zipWithIndex
+          .map { case ((u, s), i) => (u, new Timestamp(base + s * 1000), i.toLong) }
+          .toDF("k", "ts", "lid")
+        val right = rs.map { case (u, s, v) => (u, new Timestamp(base + s * 1000), v) }
+          .toDF("k", "ts", "v")
+        val got = AsOf.asofJoin(left, right, "k", "ts", Seq("v"))
+          .select(col("lid"), col("v")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+          .toMap
+        val want = ls.zipWithIndex.map { case ((u, s), i) =>
+          val candidates = rs.filter(r => r._1 == u && r._2 <= s)
+          i.toLong -> candidates.sortBy(_._2).lastOption.map(_._3)
+        }.toMap
+        got == want
+      }
+    }
+    check(prop, tests = 10)
+  }
+}
