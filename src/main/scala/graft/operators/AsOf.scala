@@ -77,6 +77,52 @@ object AsOf {
       |FROM views v ASOF LEFT JOIN clicks c
       |  ON v.user_id = c.user_id AND v.ts >= c.ts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Range join: left.v BETWEEN right.lo AND right.hi, rewritten as a binned
+  // equi-join — both sides bucket the range dimension at `binWidth`, ranges
+  // explode into every bin they overlap, the join becomes (bin equi) +
+  // residual filter. Turns the O(n·m) nested-loop into a hash join whose
+  // cost is O(n + m·bins_per_range) — the standard engine-level range-join
+  // optimization, composed from existing operators.
+  // ---------------------------------------------------------------------
+
+  /** points(pointCol) ⋈ ranges(loCol, hiCol) where point ∈ [lo, hi]. */
+  def rangeJoin(points: DataFrame, ranges: DataFrame,
+      pointCol: String, loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    val binnedPoints = points.withColumn("__bin",
+      (col(pointCol) / binWidth).cast("long"))
+    val binnedRanges = ranges.withColumn("__bin",
+      explode(sequence((col(loCol) / binWidth).cast("long"),
+        (col(hiCol) / binWidth).cast("long"))))
+    binnedPoints.join(binnedRanges, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  // qa02: price-band classification — every order joined to the static
+  // price bands containing its total price. Oracle: plain inequality join.
+  private def qa02(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 50).select(
+      col("id").as("band_id"),
+      (col("id") * 10000).cast("double").as("lo"),
+      ((col("id") + 1) * 10000 - 1).cast("double").as("hi"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    rangeJoin(orders, bands, "o_totalprice", "lo", "hi", binWidth = 10000L)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+  }
+
+  private val qa02Sql =
+    """WITH bands AS (
+      |  SELECT i AS band_id, CAST(i * 10000 AS DOUBLE) AS lo,
+      |         CAST((i + 1) * 10000 - 1 AS DOUBLE) AS hi
+      |  FROM range(0, 50) t(i))
+      |SELECT band_id, count(*) AS n_orders, max(o_totalprice) AS max_price
+      |FROM orders JOIN bands
+      |  ON o_totalprice >= lo AND o_totalprice <= hi
+      |GROUP BY band_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
-    Q("qa01_asof_join", qa01, Some(qa01Sql)))
+    Q("qa01_asof_join", qa01, Some(qa01Sql)),
+    Q("qa02_range_join", qa02, Some(qa02Sql)))
 }
