@@ -153,10 +153,44 @@ object TextAnalysis {
       |GROUP BY lower(token)
       |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt06: TF-IDF — per (doc, token) with tf ≥ 3: tf · ln((N+1)/(df+1)),
+  // rounded to 6 dp (ln is libm-vs-JVM ulp territory; everything else is
+  // exact integer counts). Two shuffles: (doc,token) tf and token df; the
+  // df side is a broadcast-sized token dictionary at any corpus scale.
+  // ---------------------------------------------------------------------
+  private def qt06(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count() // driver-side scalar: one count of the corpus
+    val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .select(col("doc_id"), lower(col("token")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.filter(col("tf") >= 3)
+      .join(broadcast(df), Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+  }
+
+  private val qt06Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, token, tf, df,
+      |  round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+      |FROM tf JOIN df USING (token), n
+      |WHERE tf >= 3""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
     Q("qt03_langid", qt03, Some(qt03Sql)),
     Q("qt04_fingerprint", qt04, Some(qt04Sql)),
-    Q("qt05_word_freq", qt05, Some(qt05Sql)))
+    Q("qt05_word_freq", qt05, Some(qt05Sql)),
+    Q("qt06_tfidf", qt06, Some(qt06Sql)))
 }

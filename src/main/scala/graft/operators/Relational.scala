@@ -367,6 +367,55 @@ object Relational {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
 
+  // ---------------------------------------------------------------------
+  // q19: cube (full grouping-set lattice).
+  // ---------------------------------------------------------------------
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  private val q19Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20: pivot — event counts per user-bucket fanned out to one column per
+  // event type. Oracle: conditional aggregation (empty cells NULL in both).
+  // ---------------------------------------------------------------------
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+
+  private val q20Sql =
+    """SELECT user_id % 10 AS user_bucket,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events GROUP BY user_id % 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q21: typed custom Aggregator (UDAF surface, SURVEY §2.9) — weighted
+  // mean over exact integer-cent buffers, registered via functions.udaf.
+  // ---------------------------------------------------------------------
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(graft.functions.Aggregators.WeightedMeanCents)
+    Tables.events(s, d)
+      .withColumn("w", (lit(1) + pmod(col("user_id"), lit(5))).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(wmean(col("value"), col("w")).as("weighted_mean"))
+  }
+
+  private val q21Sql =
+    """SELECT event_type,
+      |  (CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round((1 + user_id % 5) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+      |    / CAST(sum(CAST(round((1 + user_id % 5) * 100.0) AS BIGINT)) AS DOUBLE) AS weighted_mean
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -385,5 +434,8 @@ object Relational {
     Q("q15_date_funcs", q15, Some(q15Sql)),
     Q("q16_json_extract", q16, Some(q16Sql)),
     Q("q17_cross_join", q17, Some(q17Sql)),
-    Q("q18_approx_distinct", q18, None))
+    Q("q18_approx_distinct", q18, None),
+    Q("q19_cube", q19, Some(q19Sql)),
+    Q("q20_pivot", q20, Some(q20Sql)),
+    Q("q21_weighted_mean_udaf", q21, Some(q21Sql)))
 }
