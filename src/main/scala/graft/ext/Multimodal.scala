@@ -104,7 +104,28 @@ object Multimodal {
        |FROM documents WHERE length(text) >= 8)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qm03: frame sampling — 1→N expansion of a media blob into per-frame
+  // rows (`n_frames` from the metadata), each with a deterministic frame
+  // fingerprint. The explode keeps partitioning; no shuffle.
+  // ---------------------------------------------------------------------
+  private def qm03(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_frames", lit(1) + col("n_chars") % 10)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .withColumn("frame_md5",
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))
+
+  private val qm03Sql =
+    """SELECT doc_id, n_frames, frame_idx,
+      |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+      |FROM (SELECT doc_id, 1 + n_chars % 10 AS n_frames,
+      |        unnest(range(0, 1 + n_chars % 10)) AS frame_idx
+      |      FROM documents)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
-    Q("qm02_decode_features", qm02, Some(qm02Sql)))
+    Q("qm02_decode_features", qm02, Some(qm02Sql)),
+    Q("qm03_frame_sampling", qm03, Some(qm03Sql)))
 }

@@ -83,7 +83,7 @@ object Windows {
     """WITH flagged AS (
       |  SELECT user_id, ts, value,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |              >= INTERVAL 30 MINUTE OR
+      |              > INTERVAL 30 MINUTE OR
       |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events),

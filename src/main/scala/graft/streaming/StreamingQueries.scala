@@ -109,8 +109,34 @@ object StreamingQueries {
   private val qst03Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // ---------------------------------------------------------------------
+  // qst04: watermarked append-mode windowed agg — only windows the final
+  // watermark (max event time − 1 h) has closed are emitted. The bounded
+  // file arrives as ONE batch, so the final watermark — and therefore the
+  // emitted window set — is deterministic, and the oracle reproduces the
+  // close condition with the same ms arithmetic.
+  // ---------------------------------------------------------------------
+  private def qst04(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "append") { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("event_type"), col("n"))
+    }
+
+  private val qst04Sql =
+    """WITH wm AS (
+      |  SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events)
+      |SELECT epoch_ms(make_timestamp(epoch_us(ts) // 21600000000 * 21600000000)) AS w_start_ms,
+      |  event_type, count(*) AS n
+      |FROM events, wm
+      |GROUP BY 1, 2, wm.w
+      |HAVING w_start_ms + 21600000 <= wm.w""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
-    Q("qst03_stream_dedup", qst03, Some(qst03Sql)))
+    Q("qst03_stream_dedup", qst03, Some(qst03Sql)),
+    Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)))
 }

@@ -41,10 +41,12 @@ class PropertySpec extends SparkSpec {
         // reference: sort per user, split where gap >= gapSec
         val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
           val ts = rs.map(_._2 * 1000 + base).sorted
+          // Spark merges an event landing EXACTLY at the previous session's
+          // end (gap boundary inclusive) — found by this very property test
           val islands = ts.foldLeft(List.empty[List[Long]]) {
             case (Nil, t) => List(List(t))
             case (cur :: done, t) =>
-              if (t - cur.head < gapSec * 1000) (t :: cur) :: done
+              if (t - cur.head <= gapSec * 1000) (t :: cur) :: done
               else List(t) :: cur :: done
           }
           islands.map(i => (u, i.last, i.head + gapSec * 1000, i.size.toLong))
