@@ -62,12 +62,8 @@ object Dedup {
     docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))"))
-      .withColumn("bh", expr(
-        s"transform(shingles, s -> pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), $P))"))
       .select(col("doc_id"),
-        graft.functions.MinHashExpression.minhashSig(col("bh"), as, bs, P).as("sig"))
+        graft.functions.ShingleMinHash.shingleMinhashSig(col("toks"), as, bs, P).as("sig"))
   }
 
   /** DuckDB mirror of [[withSignature]] as a CTE chain ending in sigs(doc_id, sig). */

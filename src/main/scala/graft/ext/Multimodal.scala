@@ -22,6 +22,11 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  // frame-count formula shared by qm01 metadata and qm03 expansion — keep
+  // the Scala and SQL forms in lockstep
+  private val nFramesSql = "1 + n_chars % 10"
+  private def nFramesCol = expr(nFramesSql)
+
   final case class MediaRow(doc_id: Long, text: String)
   final case class MediaFeatures(
       doc_id: Long,
@@ -69,16 +74,16 @@ object Multimodal {
         md5(col("text")).as("content_md5"),
         (col("n_chars") % 640).as("width"),
         ((col("doc_id") * 37) % 480).as("height"),
-        (lit(1) + col("n_chars") % 10).as("n_frames"))
+        nFramesCol.as("n_frames"))
 
   private val qm01Sql =
-    """SELECT doc_id,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  md5(text) AS content_md5,
-      |  n_chars % 640 AS width,
-      |  (doc_id * 37) % 480 AS height,
-      |  1 + n_chars % 10 AS n_frames
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  md5(text) AS content_md5,
+       |  n_chars % 640 AS width,
+       |  (doc_id * 37) % 480 AS height,
+       |  $nFramesSql AS n_frames
+       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
   // qm02: the stubbed decode stage run through the typed batch API —
@@ -111,18 +116,18 @@ object Multimodal {
   // ---------------------------------------------------------------------
   private def qm03(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("n_frames", lit(1) + col("n_chars") % 10)
+      .withColumn("n_frames", nFramesCol)
       .select(col("doc_id"), col("n_frames"),
         explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
       .withColumn("frame_md5",
         md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))
 
   private val qm03Sql =
-    """SELECT doc_id, n_frames, frame_idx,
-      |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
-      |FROM (SELECT doc_id, 1 + n_chars % 10 AS n_frames,
-      |        unnest(range(0, 1 + n_chars % 10)) AS frame_idx
-      |      FROM documents)""".stripMargin
+    s"""SELECT doc_id, n_frames, frame_idx,
+       |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+       |FROM (SELECT doc_id, $nFramesSql AS n_frames,
+       |        unnest(range(0, $nFramesSql)) AS frame_idx
+       |      FROM documents)""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
