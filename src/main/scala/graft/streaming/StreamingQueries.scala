@@ -134,9 +134,48 @@ object StreamingQueries {
       |GROUP BY 1, 2, wm.w
       |HAVING w_start_ms + 21600000 <= wm.w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst05: the YSB pipeline fed by the custom DataSourceV2 replay source
+  // (graft.sources.ReplaySourceProvider) across multiple micro-batches —
+  // same deterministic rows as Gen.boundedEvents(100000), so it shares
+  // qysb01's oracle SQL.
+  // ---------------------------------------------------------------------
+  private def qst05(s: SparkSession, d: String): DataFrame = {
+    val stream = s.readStream
+      .format("graft.sources.ReplaySourceProvider")
+      .option("totalRows", "100000")
+      .option("rowsPerBatch", "25000")
+      .option("numPartitions", "8")
+      .load()
+    val out = graft.ysb.Ysb.query(stream, graft.ysb.Gen.campaigns(s), "10 seconds")
+    val name = s"graft_replay_${counter.incrementAndGet()}"
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  private val qst05Sql = // identical generation arithmetic to qysb01's oracle
+    """WITH ev AS (
+      |  SELECT 'ad' || CAST(i % 1000 AS VARCHAR) AS ad_id,
+      |         ['view','click','purchase'][CAST(i % 3 AS INT) + 1] AS event_type,
+      |         make_timestamp(1704067200000000 + i * 1000) AS event_time
+      |  FROM range(0, 100000) t(i)),
+      |dim AS (
+      |  SELECT 'ad' || CAST(a AS VARCHAR) AS ad_id,
+      |         'camp' || CAST(a // 10 AS VARCHAR) AS campaign_id
+      |  FROM range(0, 1000) t(a))
+      |SELECT epoch_ms(make_timestamp(epoch_us(event_time) // 10000000 * 10000000)) AS time_window,
+      |  campaign_id, count(*) AS count, max(event_time) AS last_update
+      |FROM ev JOIN dim USING (ad_id)
+      |WHERE event_type = 'view'
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
     Q("qst03_stream_dedup", qst03, Some(qst03Sql)),
-    Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)))
+    Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)),
+    Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)))
 }

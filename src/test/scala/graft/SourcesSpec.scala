@@ -18,6 +18,28 @@ class SourcesSpec extends SparkSpec {
     assert(pq.exceptAll(csv).count() === 0)
   }
 
+  test("DataSourceV2 replay source: multi-batch streaming YSB equals batch YSB") {
+    val stream = spark.readStream
+      .format("graft.sources.ReplaySourceProvider")
+      .option("totalRows", "30000")
+      .option("rowsPerBatch", "7000")
+      .option("numPartitions", "3")
+      .load()
+    assert(stream.isStreaming)
+    val dim = graft.ysb.Gen.campaigns(spark)
+    val q = graft.ysb.Ysb.query(stream, dim, "10 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("replay_ysb").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("replay_ysb")
+      val want = graft.ysb.Ysb.query(
+        graft.ysb.Gen.boundedEvents(spark, 30000L), dim, "10 seconds")
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally q.stop()
+  }
+
   test("events nanos timestamps truncate to DuckDB-equal micros") {
     // Tables.events must expose ts as TimestampType (micros)
     val ev = Tables.events(spark, sf)
