@@ -77,10 +77,14 @@ object YsbStreamingBench {
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(s"${cfg.triggerMillis} milliseconds"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // H4 latency definition: per updated (window, campaign) group,
+          // emission time − max(event_time) in the group — one sample per
+          // group per trigger (the reference's Kafka-LogAppendTime variant
+          // with broker timestamp → emission wall clock)
           val emitMs = System.currentTimeMillis()
-          batch.select(max(unix_millis(col("last_update")))).collect()
-            .headOption.filterNot(_.isNullAt(0))
-            .foreach(r => latencies.add((emitMs - r.getLong(0)).toDouble))
+          batch.select(unix_millis(col("last_update"))).collect()
+            .foreach(r => if (!r.isNullAt(0))
+              latencies.add((emitMs - r.getLong(0)).toDouble))
         }
         .start()
       query.awaitTermination(cfg.runDurationMillis)
