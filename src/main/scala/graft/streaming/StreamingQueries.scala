@@ -172,10 +172,47 @@ object StreamingQueries {
       |WHERE event_type = 'view'
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst06: streaming session windows (merging session state) — append mode
+  // emits each session once its end (last event + gap) is at or below the
+  // final watermark (max event time − 1 h). Eviction compares µs window end
+  // against ms-truncated watermark × 1000 (WatermarkSupport semantics),
+  // mirrored exactly in the oracle.
+  // ---------------------------------------------------------------------
+  private def qst06(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "append") { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"), col("n"))
+    }
+
+  private val qst06Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged),
+      |wm AS (SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS w FROM events)
+      |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  user_id, count(*) AS n
+      |FROM islands, wm
+      |GROUP BY user_id, sess, wm.w
+      |HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE) <= wm.w""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
     Q("qst03_stream_dedup", qst03, Some(qst03Sql)),
     Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)),
-    Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)))
+    Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)),
+    Q("qst06_stream_session", qst06, Some(qst06Sql)))
 }

@@ -111,6 +111,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val dedup = ms.toDF().toDF("event_time", "k")
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_test").start()
+    try {
+      ms.addData((t(1), "a"), (t(2), "a"), (t(3), "b")) // dup "a" within horizon
+      q.processAllAvailable()
+      ms.addData((t(100), "c"))                          // advances watermark far
+      q.processAllAvailable()
+      ms.addData((t(101), "a"))                          // "a" re-allowed: state expired
+      q.processAllAvailable()
+      val ks = spark.table("ddww_test").collect().map(_.getString(1))
+      assert(ks.count(_ == "a") === 2) // once per watermark horizon
+      assert(ks.count(_ == "b") === 1)
+      assert(ks.count(_ == "c") === 1)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     implicit val ctx = spark.sqlContext
     val base = 1700000000000L
