@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Plan lint: structural guards over the optimized physical plans of every
+  * registry query — the properties that keep queries scalable can regress
+  * silently while results stay correct, so they're pinned here.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // queries whose *intended* shape is an all-pairs comparison at small SF
+  private val allowNestedLoop = Set(
+    "q17_cross_join",     // 1-row × 1-row metric frames (J3, by design)
+    "qs01_knn_brute",     // exact baseline: deliberate broadcast cross join
+    "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
+    "qa01_asof_join",     // range condition on window carry output
+    "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
+
+  // streaming / side-effecting queries execute eagerly — skip plan capture
+  private val skip = Set("qst01_stream_tumbling", "qst02_stream_ysb",
+    "qst03_stream_dedup", "qst04_stream_watermark_append",
+    "qst05_replay_source_ysb", "qst06_stream_session", "qx02_bucketed_join")
+
+  Registry.all.filterNot(q => skip(q.name)).foreach { q =>
+    test(s"${q.name}: no accidental nested-loop join") {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      if (!allowNestedLoop(q.name)) {
+        assert(!plan.contains("CartesianProduct"),
+          s"unexpected CartesianProduct in ${q.name}")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"unexpected BroadcastNestedLoopJoin in ${q.name}")
+      }
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan (q02)") {
+    val plan = Registry.byName("q02_filter_project").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushed filters:\n${plan.take(600)}")
+  }
+
+  test("column pruning reaches the parquet scan (q02 reads 5 of 11 columns)") {
+    val plan = Registry.byName("q02_filter_project").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"pruning failed: $readSchema")
+  }
+
+  test("YSB dimension join broadcasts (qysb02)") {
+    val plan = Registry.byName("qysb02_events").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+  }
+}
