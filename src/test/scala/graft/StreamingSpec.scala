@@ -111,6 +111,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counters accumulate across batches (RocksDB)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Long]
+    val q = graft.streaming.RunningCounters.countByKey(ms.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_test").start()
+    try {
+      ms.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      ms.addData(1L, 3L)
+      q.processAllAvailable()
+      val rows = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 2L, 2L), (2L, 1L, 1L), (1L, 3L, 1L), (3L, 1L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups inside the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
