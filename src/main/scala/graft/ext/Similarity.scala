@@ -112,7 +112,78 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs03: IVF-style ANN — inverted-file search with sampled centroids
+  // (every 50th vector; sample-initialized IVF, no training) and nprobe=2:
+  // each vector is assigned to its nearest centroid (cell); each query
+  // scans only the cells of its 2 nearest centroids. All arithmetic is the
+  // deterministic double dot-product, so the oracle mirrors it exactly.
+  // At scale: centroids broadcast, cell assignment is a map-side pass, and
+  // the probe is an equi-join on cell id — same shuffle shape as qs02.
+  // ---------------------------------------------------------------------
+  private def qs03(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // nearest / 2nd-nearest centroid per vector (cosine, tie-break c_id)
+    def cellsFor(v: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("c_id").asc)
+      v.crossJoin(broadcast(cents))
+        .select(col(idCol), col(embCol),
+          col("c_id"), Vectors.fastCosine(col(embCol), col("c_emb")).as("c_sim"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+    }
+    val corpusCells = cellsFor(
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", keep = 1)
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+    val queryCells = cellsFor(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", keep = 2) // nprobe = 2
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    queryCells.join(corpusCells, Seq("c_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .distinct() // a neighbor may appear via both probed cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  private val qs03Sql = {
+    val qcos = Vectors.cosineSql("v.embedding", "c.embedding")
+    val cos = Vectors.cosineSql("q.q_emb", "n.n_emb")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0),
+       |corpus_cells AS (
+       |  SELECT n_id, n_emb, c_id FROM (
+       |    SELECT v.vec_id AS n_id, v.embedding AS n_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 10)
+       |  WHERE r <= 1),
+       |query_cells AS (
+       |  SELECT q_id, q_emb, c_id FROM (
+       |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id < 10)
+       |  WHERE r <= 2)
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+       |  FROM (SELECT DISTINCT q.q_id, n.n_id, $cos AS cos_sim
+       |        FROM query_cells q JOIN corpus_cells n USING (c_id)))
+       |WHERE rank <= 3""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qs01_knn_brute", qs01, Some(qs01Sql), headline = true),
-    Q("qs02_ann_lsh", qs02, Some(qs02Sql), headline = true))
+    Q("qs02_ann_lsh", qs02, Some(qs02Sql), headline = true),
+    Q("qs03_ann_ivf", qs03, Some(qs03Sql)))
 }

@@ -15,6 +15,7 @@ class PlanLintSpec extends SparkSpec {
     "q17_cross_join",     // 1-row × 1-row metric frames (J3, by design)
     "qs01_knn_brute",     // exact baseline: deliberate broadcast cross join
     "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
+    "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
