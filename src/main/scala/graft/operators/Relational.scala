@@ -416,6 +416,95 @@ object Relational {
       |    / CAST(sum(CAST(round((1 + user_id % 5) * 100.0) AS BIGINT)) AS DOUBLE) AS weighted_mean
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q22: analytic window function family — ntile / percent_rank / cume_dist
+  // / first_value over a deterministic ordering.
+  // ---------------------------------------------------------------------
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d).select(
+      col("c_nationkey"), col("c_custkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      first_value(col("c_custkey")).over(w).as("poorest"))
+  }
+
+  private val q22Sql =
+    """SELECT c_nationkey, c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(c_custkey) OVER w AS poorest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23: array functions — collect, sort, slice, membership, stringify.
+  // ---------------------------------------------------------------------
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        size(col("lines")).as("n_lines"),
+        concat_ws(",", col("lines")).as("lines_str"),
+        element_at(col("lines"), 1).as("first_line"),
+        array_contains(col("lines"), 3).as("has_line3"))
+
+  private val q23Sql =
+    """SELECT l_orderkey,
+      |  len(lines) AS n_lines,
+      |  array_to_string(lines, ',') AS lines_str,
+      |  lines[1] AS first_line,
+      |  list_contains(lines, 3) AS has_line3
+      |FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      |      FROM lineitem GROUP BY l_orderkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24: null semantics — nullif/coalesce/null-skipping aggregates.
+  // ---------------------------------------------------------------------
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(nullif(col("l_discount"), lit(0.0))).as("n_discounted"),
+        sum(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).as("sum_disc_or_neg1"),
+        max(nullif(col("l_linestatus"), lit("O"))).as("max_nonopen_status"))
+
+  private val q24Sql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  count(nullif(l_discount, 0.0)) AS n_discounted,
+      |  CAST(sum(CAST(coalesce(nullif(l_discount, 0.0), -1.0) AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_disc_or_neg1,
+      |  max(nullif(l_linestatus, 'O')) AS max_nonopen_status
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25: date arithmetic — datediff, date_add, weekday classification,
+  // hour extraction (engine-neutral numbering handled explicitly: Spark
+  // dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday).
+  // ---------------------------------------------------------------------
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))).as("max_day"),
+        sum(when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L)).as("n_weekend"),
+        min(hour(col("ts"))).as("first_hour"),
+        max(date_add(to_date(col("ts")), 30)).as("max_plus30"))
+
+  private val q25Sql =
+    """SELECT user_id,
+      |  max(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS max_day,
+      |  sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS n_weekend,
+      |  min(hour(ts)) AS first_hour,
+      |  max(CAST(ts AS DATE) + 30) AS max_plus30
+      |FROM events GROUP BY user_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -437,5 +526,9 @@ object Relational {
     Q("q18_approx_distinct", q18, None),
     Q("q19_cube", q19, Some(q19Sql)),
     Q("q20_pivot", q20, Some(q20Sql)),
-    Q("q21_weighted_mean_udaf", q21, Some(q21Sql)))
+    Q("q21_weighted_mean_udaf", q21, Some(q21Sql)),
+    Q("q22_window_analytics", q22, Some(q22Sql)),
+    Q("q23_array_funcs", q23, Some(q23Sql)),
+    Q("q24_null_funcs", q24, Some(q24Sql)),
+    Q("q25_date_arith", q25, Some(q25Sql)))
 }
