@@ -266,9 +266,11 @@ object Dedup {
   private def qd06(s: SparkSession, d: String): DataFrame =
     withSimhash(Tables.documents(s, d))
 
+  // CAST AS BIGINT: DuckDB list_sum yields HUGEINT, which the driver's
+  // pandas canonicalization renders as float64 vs Spark's int64.
   private val qd06Sql =
     s"""WITH $simhashSqlCte
-       |SELECT doc_id, simhash FROM simhashed""".stripMargin
+       |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM simhashed""".stripMargin
 
   // ---------------------------------------------------------------------
   // qd07: SimHash near-dup pairs — band the 48 bits into 4 × 12-bit chunks

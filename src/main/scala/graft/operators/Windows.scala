@@ -36,7 +36,9 @@ object Windows {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("sum_value"),
+        // exact decimal accumulation, one final DOUBLE cast mirrored in the
+        // oracle — DECIMAL outputs hash-mismatch the driver (VERDICT r01)
+        sum(dec2(col("value"))).cast(DoubleType).as("sum_value"),
         max(col("ts")).as("last_update"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"), col("last_update"))
@@ -44,7 +46,7 @@ object Windows {
   private val qw01Sql =
     """SELECT make_timestamp(epoch_us(ts) // 86400000000 * 86400000000) AS w_start,
       |  event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       |  max(ts) AS last_update
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -74,7 +76,7 @@ object Windows {
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("sum_value"))
+        sum(dec2(col("value"))).cast(DoubleType).as("sum_value"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n"), col("sum_value"))
@@ -94,7 +96,7 @@ object Windows {
       |  FROM flagged)
       |SELECT min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
       |  user_id, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM islands GROUP BY user_id, sess""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -108,7 +110,7 @@ object Windows {
     Tables.events(s, d)
       .filter(col("user_id") < lit(10))
       .select(col("user_id"), col("event_id"), col("ts"),
-        sum(dec2(col("value"))).over(w).cast(DecimalType(38, 2)).as("running_value"),
+        sum(dec2(col("value"))).over(w).cast(DoubleType).as("running_value"),
         count(lit(1)).over(w).as("running_n"))
   }
 
@@ -116,7 +118,7 @@ object Windows {
     """SELECT user_id, event_id, ts,
       |  CAST(sum(CAST(value AS DECIMAL(12,2)))
       |       OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_value,
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
       |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS UNBOUNDED PRECEDING) AS running_n
       |FROM events WHERE user_id < 10""".stripMargin
@@ -147,16 +149,18 @@ object Windows {
   // low-cardinality domains like this; the unbounded-cardinality path is
   // q18_approx_distinct (HLL).
   // ---------------------------------------------------------------------
+  // Output the set as a comma-joined string, not array<string>: the
+  // driver's pandas sort crashes on array output columns (VERDICT r01).
   private def qw06(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 day"))
-      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
         countDistinct(col("user_id")).as("n_users"))
       .select(col("window.start").as("w_start"), col("types"), col("n_users"))
 
   private val qw06Sql =
     """SELECT make_timestamp(epoch_us(ts) // 86400000000 * 86400000000) AS w_start,
-      |  list_sort(list_distinct(list(event_type))) AS types,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 

@@ -41,16 +41,19 @@ object Frames {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val framed = toKafkaFrame(ev, col("user_id"))
     val parsed = fromKafkaFrame(framed, ev.schema)
+    // Exact decimal accumulation inside, one final DOUBLE cast mirrored in
+    // the oracle: DECIMAL output columns hash-mismatch in the driver's
+    // pandas canonicalization (VERDICT r01).
     parsed.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_value"),
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
         max(col("user_id")).as("max_user"))
   }
 
   private val qj01Sql =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       |  max(user_id) AS max_user
       |FROM events GROUP BY event_type""".stripMargin
 

@@ -1,13 +1,28 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: for each query result
 parquet dumped by graft.Verify, run the corresponding DuckDB oracle SQL over
-the same sf dir and compare (columns sorted by name, rows sorted, values
-compared exactly — floats exactly too, to surface any nondeterminism early).
+the same sf dir and compare two ways:
+
+1. exact compare (round-1 behavior): columns sorted by name, rows sorted,
+   values compared exactly — floats exactly too.
+2. pandas compare (driver-faithful, added in round 2): both sides go through
+   pandas (spark parquet via pyarrow, oracle via duckdb .df()), dtypes must
+   match after datetime-unit normalization, rows must sort without error, and
+   values must match. This is the mode that catches the representation
+   divergences the driver flagged in round 1 (int32 vs int64, DuckDB HUGEINT
+   -> float64, NULL cells -> float64) that fetchall-str compare silently
+   passes.
+
+Additionally any spark-side output column with a hash-risk physical type
+(decimal, date32, list/array) FAILS regardless of values: round 1 proved the
+driver's canonicalization mismatches those types even when values are exact.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
+import pyarrow.dataset as pads
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +40,65 @@ def norm_rows(cols, rows):
     out.sort()
     return [cols[i] for i in order], out
 
+RISKY_TYPES = ("decimal", "date32", "list", "large_list", "fixed_size_list")
+
+def risky_columns(qdir):
+    """Spark-side physical types the driver's canonicalization is known to
+    mismatch even on exact values (VERDICT r01)."""
+    schema = pads.dataset(glob.glob(f"{qdir}/*.parquet")).schema
+    out = []
+    for name, typ in zip(schema.names, schema.types):
+        t = str(typ)
+        if any(t.startswith(r) for r in RISKY_TYPES):
+            out.append(f"{name}:{t}")
+    return out
+
+def norm_dtype(dt):
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"  # driver passes timestamps regardless of unit
+    if s in ("int8", "int16", "int32", "int64"):
+        return "int"  # driver r01 passed int32 Spark vs int64 DuckDB (qm01, qs01..)
+    return s
+
+def norm_pd_cell(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def pandas_compare(qdir, sql, con):
+    """Mirror the driver: pandas on both sides, dtype-aware. Returns a list
+    of issue strings (empty = pass)."""
+    issues = []
+    spark_df = pd.read_parquet(qdir)
+    oracle_df = con.sql(sql).df()
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if s_cols != o_cols:
+        return [f"columns {s_cols} vs {o_cols}"]
+    spark_df, oracle_df = spark_df[s_cols], oracle_df[s_cols]
+    for c in s_cols:
+        sd, od = norm_dtype(spark_df[c].dtype), norm_dtype(oracle_df[c].dtype)
+        if sd != od:
+            issues.append(f"dtype[{c}]: spark {sd} vs oracle {od}")
+    try:
+        spark_df = spark_df.sort_values(by=s_cols).reset_index(drop=True)
+        oracle_df = oracle_df.sort_values(by=s_cols).reset_index(drop=True)
+    except TypeError as e:
+        issues.append(f"row sort crashed (driver would err): {e}")
+        return issues
+    if len(spark_df) != len(oracle_df):
+        issues.append(f"rows {len(spark_df)} vs {len(oracle_df)}")
+        return issues
+    if not issues:
+        for c in s_cols:
+            sv = [norm_pd_cell(v) for v in spark_df[c].tolist()]
+            ov = [norm_pd_cell(v) for v in oracle_df[c].tolist()]
+            if sv != ov:
+                bad = next(i for i in range(len(sv)) if sv[i] != ov[i])
+                issues.append(
+                    f"value[{c}] row {bad}: spark {sv[bad]} vs oracle {ov[bad]}")
+    return issues
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -40,6 +114,11 @@ def main(sf_dir, out_dir):
             got_cols, got = norm_rows(got_rel.columns, got_rel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: cannot read result: {e}")
+            n_fail += 1
+            continue
+        risky = risky_columns(qdir)
+        if risky:
+            print(f"FAIL {name}: hash-risk output types {risky}")
             n_fail += 1
             continue
         if name not in oracles:
@@ -67,8 +146,16 @@ def main(sf_dir, out_dir):
                 print(f"   oracle-only: {r}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(got)} rows")
-            n_pass += 1
+            try:
+                issues = pandas_compare(qdir, oracles[name], con)
+            except Exception as e:
+                issues = [f"pandas compare crashed: {e}"]
+            if issues:
+                print(f"FAIL {name}: pandas-mode " + "; ".join(issues[:4]))
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(got)} rows")
+                n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
     return 1 if n_fail else 0
 
