@@ -27,6 +27,7 @@ object Registry {
       graft.operators.Scale.queries ++
       graft.operators.AsOf.queries ++
       graft.sinks.Frames.queries ++
+      graft.sources.FileSources.queries ++
       graft.ysb.Ysb.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.ext.Dedup.queries ++

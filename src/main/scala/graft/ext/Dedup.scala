@@ -107,20 +107,55 @@ object Dedup {
        |SELECT doc_id, $bandCols FROM sigs""".stripMargin
   }
 
-  // ---------------------------------------------------------------------
-  // qd03: MinHash-LSH near-dup pairs — docs sharing ≥1 band become
-  // candidates; signature-estimated Jaccard filters ≥ 0.2.
-  // ---------------------------------------------------------------------
-  private def qd03(s: SparkSession, d: String): DataFrame = {
-    val sigs = withSignature(Tables.documents(s, d)).cache()
-    val bands = sigs.select(col("doc_id"),
+  /** Max docs per LSH bucket considered for pair generation. A bucket
+    * larger than this is almost always an exact-duplicate cluster (already
+    * handled by qd01's hash dedup) and would make candidate generation
+    * quadratic in the cluster size — the classic LSH hot-bucket skew
+    * failure at 100 TB. Dropped buckets are observable via
+    * [[oversizedLshBuckets]] (asserted 0 at test SF in DedupSpec).
+    */
+  val BucketCap = 64
+
+  /** (band, key) → sorted member list, one shuffle. Shared by candidate
+    * generation and the drop metric. */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(Tables.documents(s, d))
+    sigs.select(col("doc_id"),
       explode(array((0 until Bands).map(j =>
         struct(lit(j).as("band"), bandKey(j).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.alias("x").join(bands.alias("y"),
-      col("x.band") === col("y.band") && col("x.key") === col("y.key")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+  }
+
+  /** Buckets exceeding [[BucketCap]] (the ones qd03 skips) — the "logged
+    * drops" channel for the capped candidate generation. */
+  def oversizedLshBuckets(s: SparkSession, d: String): DataFrame =
+    lshBuckets(s, d).filter(size(col("ids")) > BucketCap)
+      .select(col("band"), col("key"), size(col("ids")).as("n_docs"))
+
+  /** All (a < b) pairs within one sorted id array — pair explosion is
+    * bounded by BucketCap² per bucket, executed map-side after the single
+    * groupBy shuffle. */
+  private val pairExplode = expr(
+    """flatten(transform(sequence(1, size(ids) - 1),
+      |  i -> transform(slice(ids, i + 1, size(ids) - i),
+      |    b -> struct(element_at(ids, i) AS doc_a, b AS doc_b))))"""
+      .stripMargin.replace("\n", " "))
+
+  // ---------------------------------------------------------------------
+  // qd03: MinHash-LSH near-dup pairs — docs sharing ≥1 band become
+  // candidates; signature-estimated Jaccard filters ≥ 0.2.
+  // Candidate generation is groupBy(band,key) + capped pair explosion:
+  // one shuffle of compact keys, explicit skew bound (vs the round-1
+  // band self-join, which was three shuffles and unbounded per bucket).
+  // ---------------------------------------------------------------------
+  private def qd03(s: SparkSession, d: String): DataFrame = {
+    val sigs = withSignature(Tables.documents(s, d)).cache()
+    val cand = lshBuckets(s, d)
+      .filter(size(col("ids")).between(2, BucketCap))
+      .select(explode(pairExplode).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -137,10 +172,14 @@ object Dedup {
        |  SELECT doc_id, j,
        |    array_to_string(sig[$RowsPerBand*j+1 : $RowsPerBand*(j+1)], '-') AS key
        |  FROM sigs, range(0, $Bands) t(j)),
+       |kept AS (
+       |  SELECT j, key FROM bands GROUP BY j, key
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)
+       |    ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id
+       |  JOIN kept k ON k.j = x.j AND k.key = x.key)
        |SELECT doc_a, doc_b,
        |  list_sum(list_transform(list_zip(sa.sig, sb.sig),
        |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 AS est_jaccard
@@ -278,18 +317,28 @@ object Dedup {
   // then exact Hamming distance ≤ 12 filter via bit_count(xor).
   // ---------------------------------------------------------------------
   private def qd07(s: SparkSession, d: String): DataFrame = {
-    val sim = withSimhash(Tables.documents(s, d)).cache()
-    val chunks = sim.select(col("doc_id"), col("simhash"),
+    // Same capped-bucket shape as qd03, but the bucket members carry
+    // (doc_id, simhash) structs so the Hamming distance is computed
+    // map-side at pair-explosion time — one shuffle total, no sig re-join.
+    val sim = withSimhash(Tables.documents(s, d))
+    val buckets = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096").as("chunk"))): _*))
         .as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.chunk").as("chunk"))
-    chunks.alias("x").join(chunks.alias("y"),
-      col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk")
-        && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .select(col("ck.c").as("c"), col("ck.chunk").as("chunk"),
+        struct(col("doc_id"), col("simhash")).as("ds"))
+      .groupBy(col("c"), col("chunk"))
+      .agg(sort_array(collect_list(col("ds"))).as("ids")) // sorts by doc_id
+      .filter(size(col("ids")).between(2, BucketCap))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(1, size(ids) - 1),
+        |  i -> transform(slice(ids, i + 1, size(ids) - i),
+        |    b -> struct(element_at(ids, i).doc_id AS doc_a, b.doc_id AS doc_b,
+        |      bit_count(element_at(ids, i).simhash ^ b.simhash) AS hamming))))"""
+        .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 12)
   }
@@ -300,11 +349,15 @@ object Dedup {
        |  SELECT doc_id, simhash, c,
        |    (simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
        |  FROM simhashed, range(0, 4) t(c)),
+       |kept AS (
+       |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    bit_count(xor(x.simhash, y.simhash)) AS hamming
        |  FROM chunks x JOIN chunks y
-       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |  JOIN kept k ON k.c = x.c AND k.chunk = x.chunk)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12""".stripMargin
 
   def queries: Seq[Q] = Seq(

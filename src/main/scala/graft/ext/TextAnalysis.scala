@@ -161,7 +161,10 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private def qt06(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val n = docs.count() // driver-side scalar: one count of the corpus
+    // Corpus size as a broadcast 1-row frame (q17 cross-join pattern) —
+    // keeps the whole query lazy instead of forcing an eager driver-side
+    // count() job per invocation.
+    val nFrame = docs.agg(count(lit(1)).as("corpus_n"))
     val toks = docs.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
       .select(col("doc_id"), lower(col("token")).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -169,8 +172,9 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.filter(col("tf") >= 3)
       .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nFrame))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+        round(col("tf") * log((col("corpus_n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
   }
 
   private val qt06Sql =

@@ -28,6 +28,10 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("no LSH bucket exceeds the skew cap at test SF (drop metric empty)") {
+    assert(Dedup.oversizedLshBuckets(spark, sf).count() === 0)
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
@@ -79,6 +83,26 @@ class SimilaritySpec extends SparkSpec {
   test("LSH ANN neighbors share the query's bucket and are a subset of corpus") {
     val out = Registry.byName("qs02_ann_lsh").run(spark, sf)
     assert(out.filter(col("n_id") < 10).count() === 0)
+    assert(out.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
+  }
+
+  test("IVF centroid sample is exactly K rows regardless of corpus size") {
+    val cents = Similarity.ivfCentroids(spark, sf)
+    assert(cents.count() === Similarity.IvfK)
+    assert(cents.select("c_id").distinct().count() === Similarity.IvfK)
+  }
+
+  test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
+    val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
+      .filter(col("rank") <= 3).select("q_id", "n_id")
+    def recall(nprobe: Int): Long =
+      Similarity.lshAnn(spark, sf, numPlanes = 8, nprobe = nprobe)
+        .select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    // finer bucketing still returns at most topK rows per query
+    val out = Similarity.lshAnn(spark, sf, numPlanes = 8, nprobe = 4)
     assert(out.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
   }
 }

@@ -16,6 +16,7 @@ class PlanLintSpec extends SparkSpec {
     "qs01_knn_brute",     // exact baseline: deliberate broadcast cross join
     "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
+    "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
@@ -49,6 +50,22 @@ class PlanLintSpec extends SparkSpec {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
       s"pruning failed: $readSchema")
+  }
+
+  test("q04 star join: date filter pushed to the orders scan, dims broadcast") {
+    val plan = Registry.byName("q04_star_join").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the o_orderdate range filter is written post-join but must reach the
+    // orders parquet scan via Catalyst pushdown
+    val ordersScan = plan.linesIterator
+      .filter(_.contains("orders.parquet"))
+      .find(_.contains("PushedFilters"))
+    assert(ordersScan.exists(l =>
+      l.contains("o_orderdate") && !l.contains("PushedFilters: []")),
+      s"o_orderdate filter not pushed to orders scan:\n${ordersScan.getOrElse("scan line not found")}")
+    // customer/nation/region dims must be broadcast, not shuffled
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected >= 3 broadcast joins for the three dims")
   }
 
   test("YSB dimension join broadcasts (qysb02)") {
