@@ -32,6 +32,7 @@ object Registry {
       graft.streaming.StreamingQueries.queries ++
       graft.ext.Dedup.queries ++
       graft.ext.Similarity.queries ++
+      graft.ext.Clustering.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Multimodal.queries
 

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Embedding clustering: one k-means refinement iteration (assign → new
+  * centroids) over the `embeddings` table, seeded from the fixed-K IVF
+  * centroid sample.
+  *
+  * The blocker for oracle-gating clustering is float-sum order dependence:
+  * a per-cell mean is a sum of member vectors, and double addition is not
+  * associative, so a parallel Spark sum and a single-threaded DuckDB sum
+  * disagree in the last ulp. The deterministic formulation here:
+  *
+  *  1. assignment uses the exact double cosine (index-order fold — proven
+  *     bit-identical across engines in round 1);
+  *  2. component sums are FIXED-POINT: each float component is scaled by
+  *     2^24 (exact in IEEE — power of two), rounded (ties away from zero in
+  *     both engines) to BIGINT, and summed exactly; the mean is then one
+  *     IEEE division of the exact integer sum — order-independent;
+  *  3. the mean-vector norm is an index-order left fold over the per-dim
+  *     means (Spark `aggregate` ≡ DuckDB `list_reduce`).
+  *
+  * Scale design (100 TB): K centroids broadcast; assignment is a map-side
+  * pass (O(N·K) dot products); the component sum shuffles (c_id, dim)
+  * triples — 64·K groups, trivially small — with map-side partial
+  * aggregation doing nearly all the work. Iterating to convergence is a
+  * driver loop over this one step.
+  */
+object Clustering {
+
+  private val Dim = 64
+  private val Scale = 1 << 24 // fixed-point scale: exact float multiplier
+
+  /** Assign every vector to its nearest seed centroid (cosine, tie-break on
+    * centroid id). */
+  private def assigned(s: SparkSession, d: String): DataFrame = {
+    val cents = Similarity.ivfCentroids(s, d)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        Vectors.fastCosine(col("embedding"), col("c_emb")).as("c_sim"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+  }
+
+  private def qc01(s: SparkSession, d: String): DataFrame = {
+    val dims = assigned(s, d)
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("c_id"), col("dim"),
+        expr(s"cast(round(cast(v as double) * $Scale) as bigint)").as("q"))
+    val sums = dims.groupBy(col("c_id"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val means = sums.select(col("c_id"), col("dim"), col("n"),
+      (col("sq").cast("double") / Scale / col("n")).as("m"))
+    means.groupBy(col("c_id"))
+      .agg(max(col("n")).as("n_members"),
+        sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("c_id"), col("n_members"),
+        expr("dm[0].m").as("m0"), expr("dm[1].m").as("m1"), expr("dm[2].m").as("m2"),
+        expr("sqrt(aggregate(transform(dm, x -> x.m * x.m), 0D, (a, b) -> a + b))")
+          .as("centroid_norm"))
+  }
+
+  private val qc01Sql = {
+    val acos = Vectors.cosineSql("e.embedding", "c.c_emb")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $acos DESC, c.c_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE r = 1),
+       |dims AS (
+       |  SELECT c_id, j AS dim,
+       |    CAST(round(CAST(embedding[j + 1] AS DOUBLE) * $Scale) AS BIGINT) AS q
+       |  FROM assigned, range(0, $Dim) t(j)),
+       |sums AS (
+       |  SELECT c_id, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+       |  FROM dims GROUP BY 1, 2),
+       |means AS (
+       |  SELECT c_id, dim, n, CAST(sq AS DOUBLE) / $Scale / n AS m FROM sums),
+       |packed AS (
+       |  SELECT c_id, max(n) AS n_members, list(m ORDER BY dim) AS ms
+       |  FROM means GROUP BY c_id)
+       |SELECT c_id, n_members, ms[1] AS m0, ms[2] AS m1, ms[3] AS m2,
+       |  sqrt(list_reduce(list_transform(ms, x -> x * x), (a, b) -> a + b))
+       |    AS centroid_norm
+       |FROM packed""".stripMargin
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("qc01_kmeans_step", qc01, Some(qc01Sql)))
+}

@@ -92,6 +92,14 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.select("c_id").distinct().count() === Similarity.IvfK)
   }
 
+  test("kmeans step: every vector assigned once, at most K non-empty cells") {
+    val out = Registry.byName("qc01_kmeans_step").run(spark, sf)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum("n_members")).collect()(0).getLong(0) === total)
+    assert(out.count() <= graft.ext.Similarity.IvfK)
+    assert(out.filter(col("centroid_norm") <= 0).count() === 0)
+  }
+
   test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")

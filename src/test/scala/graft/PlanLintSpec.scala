@@ -17,6 +17,7 @@ class PlanLintSpec extends SparkSpec {
     "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
+    "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
