@@ -194,7 +194,19 @@ object Dedup {
   // self-join (common count) → |A∩B| / (|A|+|B|−|A∩B|), threshold 0.15.
   // Shingle strings are md5-hashed before the shuffle so join keys are
   // fixed-width.
+  //
+  // Stop-shingle bound: shingles with document frequency > ShingleDfCap
+  // are excluded (from both the join and the per-doc counts, mirrored in
+  // the oracle), so Jaccard is computed over *informative* shingles. A
+  // boilerplate shingle shared by millions of documents would otherwise
+  // make the inverted-index self-join quadratic in its df — the qd04
+  // analogue of the LSH hot-bucket cap. df = 1 shingles are additionally
+  // skipped on the join side only (they cannot produce a pair but still
+  // count in the union size). Max observed df at sf0.1 is 25, so the cap
+  // binds nothing at test SF.
   // ---------------------------------------------------------------------
+  val ShingleDfCap = 64
+
   private def qd04(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
@@ -202,8 +214,11 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
         .as("sh"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.alias("x").join(sh.alias("y"),
+    val dfBySh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val informative = sh.join(dfBySh.filter(col("df") <= ShingleDfCap), "sh")
+    val counts = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val joinable = informative.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
+    val common = joinable.alias("x").join(joinable.alias("y"),
       col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -217,17 +232,23 @@ object Dedup {
   }
 
   private val qd04Sql =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, len(toks) - 1),
       |    i -> md5(array_to_string(toks[i:i+2], ' '))))) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       |        FROM documents)
       |  WHERE len(toks) >= 3),
-      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+      |informative AS (
+      |  SELECT doc_id, s.sh, d.df FROM sh s JOIN df d USING (sh)
+      |  WHERE d.df <= $ShingleDfCap),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM informative GROUP BY doc_id),
       |common AS (
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  FROM informative x JOIN informative y
+      |    ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  WHERE x.df >= 2
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard

@@ -56,15 +56,20 @@ final class ThroughputListener extends StreamingQueryListener {
 
 object YsbStreamingBench {
 
+  /** Latency histogram: 10 ms bucket → sample count. Percentiles computed
+    * to bucket resolution; driver memory is bounded by the latency range,
+    * not by group cardinality. */
   final case class TrialResult(rows: Long, seconds: Double, throughput: Double,
-      latencies: Seq[Double])
+      latHist: Map[Long, Long])
+
+  private val LatBucketMs = 10L
 
   /** One streaming trial: rate-source YSB → windowed counts → foreachBatch
     * latency probe, run for `runDurationMillis`. */
   def runTrial(spark: SparkSession, cfg: YsbConfig): TrialResult = {
     val listener = new ThroughputListener
     spark.streams.addListener(listener)
-    val latencies = new ConcurrentLinkedQueue[Double]()
+    val hist = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
     try {
       val events = Gen.rateStream(spark, cfg.recordsPerSecond,
         cfg.genParallelism, cfg.rampUpSeconds, cfg.numCampaigns)
@@ -80,18 +85,26 @@ object YsbStreamingBench {
           // H4 latency definition: per updated (window, campaign) group,
           // emission time − max(event_time) in the group — one sample per
           // group per trigger (the reference's Kafka-LogAppendTime variant
-          // with broker timestamp → emission wall clock)
+          // with broker timestamp → emission wall clock). Samples are
+          // aggregated to a 10 ms histogram ON EXECUTORS, so the collect
+          // is bounded by the latency range even when the key space is
+          // unbounded (an unaggregated per-group collect would OOM the
+          // driver at user-controlled cardinality).
           val emitMs = System.currentTimeMillis()
-          batch.select(unix_millis(col("last_update"))).collect()
-            .foreach(r => if (!r.isNullAt(0))
-              latencies.add((emitMs - r.getLong(0)).toDouble))
+          batch
+            .select(((lit(emitMs) - unix_millis(col("last_update")))
+              .cast("long") / LatBucketMs).cast("long").as("bucket"))
+            .filter(col("bucket").isNotNull)
+            .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+            .collect()
+            .foreach(r => hist.merge(r.getLong(0), r.getLong(1), (a, b) => a + b))
         }
         .start()
       query.awaitTermination(cfg.runDurationMillis)
       query.stop()
       import scala.jdk.CollectionConverters._
       TrialResult(listener.totalRows, listener.elapsedSec, listener.throughput,
-        latencies.asScala.toSeq)
+        hist.asScala.toMap.map { case (k, v) => (k: Long, v: Long) })
     } finally spark.streams.removeListener(listener)
   }
 
@@ -102,12 +115,22 @@ object YsbStreamingBench {
       runTrial(spark, cfg)
     }
 
-  private def pct(xs: Seq[Double], p: Double): Double =
-    if (xs.isEmpty) 0.0
-    else {
-      val s = xs.sorted
-      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+  /** Percentile from a merged bucket histogram (bucket midpoint, 10 ms
+    * resolution). */
+  private def pct(hist: Map[Long, Long], p: Double): Double = {
+    if (hist.isEmpty) return 0.0
+    val total = hist.valuesIterator.sum
+    val target = math.max(1L, math.ceil(p * total).toLong)
+    var seen = 0L
+    for ((bucket, n) <- hist.toSeq.sortBy(_._1)) {
+      seen += n
+      if (seen >= target) return bucket * LatBucketMs + LatBucketMs / 2.0
     }
+    hist.keys.max * LatBucketMs + LatBucketMs / 2.0
+  }
+
+  private def mergeHists(hs: Seq[Map[Long, Long]]): Map[Long, Long] =
+    hs.flatten.groupMapReduce(_._1)(_._2)(_ + _)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,7 +149,7 @@ object YsbStreamingBench {
       numTrials = args.lift(2).map(_.toInt).getOrElse(1))
     val trials = run(spark, cfg)
     val best = trials.maxBy(_.throughput)
-    val lat = trials.flatMap(_.latencies)
+    val lat = mergeHists(trials.map(_.latHist))
     println(
       s"""{"metric":"ysb_stream_throughput","value":${best.throughput},"unit":"rows/sec",""" +
       s""""rows":${best.rows},"seconds":${best.seconds},""" +

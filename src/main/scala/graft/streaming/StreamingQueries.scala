@@ -208,11 +208,54 @@ object StreamingQueries {
       |GROUP BY user_id, sess, wm.w
       |HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE) <= wm.w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst07: stream-stream interval join — clicks joined to the same user's
+  // purchases within [click, click + 1 day]. Two independent streaming
+  // readers over the same bounded file; inner join emits matches as they
+  // arrive (the watermark only bounds state eviction), so append-mode
+  // memory sink holds every pair at end of stream. Oracle: the equivalent
+  // batch self-join. At scale the 1-day bound caps per-key state; the join
+  // shuffles both sides on user_id.
+  // ---------------------------------------------------------------------
+  private def qst07(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = s.read.parquet(path).schema
+    def stream(): DataFrame = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val name = s"graft_sjoin_${counter.incrementAndGet()}"
+    val q = StreamJoin.intervalJoin(clicks, purchases,
+      "l_user", "l_ts", "r_user", "r_ts",
+      lowerSec = 0L, upperSec = 86400L, watermark = "1 day")
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  private val qst07Sql =
+    """SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+      |  epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'purchase'
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
     Q("qst03_stream_dedup", qst03, Some(qst03Sql)),
     Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)),
     Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)),
-    Q("qst06_stream_session", qst06, Some(qst06Sql)))
+    Q("qst06_stream_session", qst06, Some(qst06Sql)),
+    Q("qst07_stream_interval_join", qst07, Some(qst07Sql)))
 }
