@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W5 hybrid trigger: early update fires, final append purge equals last fire") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val (early, fin) = graft.streaming.HybridTrigger.dual(
+      ms.toDF().toDF("event_time", "k"), "event_time", "k",
+      "10 seconds", "5 seconds")
+    val qe = early.writeStream.outputMode("update")
+      .format("memory").queryName("hy_early").start()
+    val qf = fin.writeStream.outputMode("append")
+      .format("memory").queryName("hy_final").start()
+    try {
+      def step(data: (Timestamp, String)*): Unit = {
+        ms.addData(data)
+        qe.processAllAvailable(); qf.processAllAvailable()
+      }
+      step((t(1), "a"))   // early FIRE: (0, a, 1)
+      step((t(2), "a"))   // early FIRE: corrected (0, a, 2)
+      step((t(30), "b"))  // watermark 25 s -> [0,10) purges in the final sink
+      def rows(table: String) = spark.table(table).collect()
+        .map(r => (r.getTimestamp(0).getTime - base, r.getString(1), r.getLong(2))).toSet
+      assert(rows("hy_early") === Set((0L, "a", 1L), (0L, "a", 2L), (30000L, "b", 1L)))
+      assert(rows("hy_final") === Set((0L, "a", 2L)))
+      // the FIRE_AND_PURGE row equals the last early FIRE for that window
+      val lastEarly = rows("hy_early").groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => (k._1, k._2, rs.map(_._3).max) }.toSet
+      assert(rows("hy_final").subsetOf(lastEarly))
+    } finally { qe.stop(); qf.stop() }
+  }
+
   test("no-watermark update mode re-emits corrected counts (reference Spark behavior)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
