@@ -52,7 +52,9 @@ object Clustering {
       .select(col("vec_id"), col("embedding"), col("c_id"))
   }
 
-  private def qc01(s: SparkSession, d: String): DataFrame = {
+  /** Refined centroids after one iteration: (c_id, n_members,
+    * ms = array<double> mean vector in dim order). */
+  private def refinedCentroids(s: SparkSession, d: String): DataFrame = {
     val dims = assigned(s, d)
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("c_id"), col("dim"),
@@ -65,14 +67,28 @@ object Clustering {
       .agg(max(col("n")).as("n_members"),
         sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("c_id"), col("n_members"),
-        expr("dm[0].m").as("m0"), expr("dm[1].m").as("m1"), expr("dm[2].m").as("m2"),
-        expr("sqrt(aggregate(transform(dm, x -> x.m * x.m), 0D, (a, b) -> a + b))")
-          .as("centroid_norm"))
+        expr("transform(dm, x -> x.m)").as("ms"))
   }
 
-  private val qc01Sql = {
+  private def qc01(s: SparkSession, d: String): DataFrame =
+    refinedCentroids(s, d)
+      .select(col("c_id"), col("n_members"),
+        expr("ms[0]").as("m0"), expr("ms[1]").as("m1"), expr("ms[2]").as("m2"),
+        expr("sqrt(aggregate(transform(ms, x -> x * x), 0D, (a, b) -> a + b))")
+          .as("centroid_norm"))
+
+  private def qc01Sql =
+    s"""WITH $refinedSqlCte
+       |SELECT c_id, n_members, ms[1] AS m0, ms[2] AS m1, ms[3] AS m2,
+       |  sqrt(list_reduce(list_transform(ms, x -> x * x), (a, b) -> a + b))
+       |    AS centroid_norm
+       |FROM packed""".stripMargin
+
+  /** Shared CTE chain ending in packed(c_id, n_members, ms) — the DuckDB
+    * mirror of [[refinedCentroids]]. */
+  private def refinedSqlCte = {
     val acos = Vectors.cosineSql("e.embedding", "c.c_emb")
-    s"""WITH cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK}),
        |assigned AS (
@@ -93,13 +109,57 @@ object Clustering {
        |  SELECT c_id, dim, n, CAST(sq AS DOUBLE) / $Scale / n AS m FROM sums),
        |packed AS (
        |  SELECT c_id, max(n) AS n_members, list(m ORDER BY dim) AS ms
-       |  FROM means GROUP BY c_id)
-       |SELECT c_id, n_members, ms[1] AS m0, ms[2] AS m1, ms[3] AS m2,
-       |  sqrt(list_reduce(list_transform(ms, x -> x * x), (a, b) -> a + b))
-       |    AS centroid_norm
-       |FROM packed""".stripMargin
+       |  FROM means GROUP BY c_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // qc02: second k-means iteration — reassign every vector to its nearest
+  // REFINED centroid (double mean vectors from qc01's machinery) and report
+  // per-cell membership plus the mean cosine distance (inertia). The
+  // distance sum uses the same fixed-point trick at 2^32 scale: each
+  // (1 − cos) is an identical double in both engines, so the scaled
+  // rounding and exact integer sum are order-independent; one final IEEE
+  // division yields the mean. (Exact while the scaled sum stays below
+  // 2^53 — ~2 M vectors per cell at this scale; raise/lower Scale2 per
+  // corpus.) Demonstrates the driver-loop iteration pattern: each extra
+  // iteration is one more assignment pass over a broadcast centroid set.
+  // ---------------------------------------------------------------------
+  private val Scale2 = 4294967296L // 2^32
+
+  private def qc02(s: SparkSession, d: String): DataFrame = {
+    val cents1 = refinedCentroids(s, d).select(col("c_id"), col("ms"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(cents1))
+      .select(col("vec_id"), col("c_id"),
+        Vectors.cosine(col("embedding"), col("ms")).as("sim"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr(s"cast(round((1.0 - sim) * $Scale2) as bigint)")).as("fp"))
+      .select(col("c_id"), col("n_members"),
+        (col("fp").cast("double") / Scale2 / col("n_members")).as("avg_cos_dist"))
+  }
+
+  private val qc02Sql = {
+    val rcos = Vectors.cosineSql("e.embedding", "p.ms")
+    s"""WITH $refinedSqlCte,
+       |assign2 AS (
+       |  SELECT vec_id, c_id, sim FROM (
+       |    SELECT e.vec_id, p.c_id, $rcos AS sim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $rcos DESC, p.c_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN packed p)
+       |  WHERE r = 1)
+       |SELECT c_id, count(*) AS n_members,
+       |  CAST(CAST(sum(CAST(round((1.0 - sim) * $Scale2) AS BIGINT)) AS BIGINT)
+       |       AS DOUBLE) / $Scale2 / count(*) AS avg_cos_dist
+       |FROM assign2 GROUP BY c_id""".stripMargin
   }
 
   def queries: Seq[Q] = Seq(
-    Q("qc01_kmeans_step", qc01, Some(qc01Sql)))
+    Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
+    Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)))
 }

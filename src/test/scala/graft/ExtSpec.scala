@@ -100,6 +100,13 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("centroid_norm") <= 0).count() === 0)
   }
 
+  test("kmeans iter2: full reassignment, mean cosine distance in [0, 2]") {
+    val out = Registry.byName("qc02_kmeans_iter2").run(spark, sf)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum("n_members")).collect()(0).getLong(0) === total)
+    assert(out.filter(col("avg_cos_dist") < 0 || col("avg_cos_dist") > 2).count() === 0)
+  }
+
   test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")

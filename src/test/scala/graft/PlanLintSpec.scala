@@ -18,6 +18,7 @@ class PlanLintSpec extends SparkSpec {
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
+    "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
