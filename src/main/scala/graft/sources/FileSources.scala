@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Q
 
@@ -37,6 +38,38 @@ object FileSources {
   private val qf01Sql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  /** Microsecond-precision timestamp format: Spark's default JSON timestamp
+    * format truncates to millis, which would silently lose the events
+    * table's microsecond precision in the roundtrip. */
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def jsonDir(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft-jsonl-events-" + Integer.toHexString(d.hashCode)
+
+  /** qf02: JSON-lines roundtrip of the events table (timestamps at full
+    * microsecond precision, doubles shortest-roundtrip via Jackson, nested
+    * JSON `props` as escaped strings) — then an aggregate over the re-read
+    * rows, hash-matched against the parquet oracle. */
+  private def qf02(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val path = jsonDir(d)
+    events.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", TsFmt).json(path)
+    s.read.schema(events.schema).option("timestampFormat", TsFmt).json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).as("max_ts"),
+        min(col("value")).as("min_value"),
+        max(col("user_id")).as("max_user"))
+  }
+
+  private val qf02Sql =
+    """SELECT event_type, count(*) AS n, max(ts) AS max_ts,
+      |  min(value) AS min_value, max(user_id) AS max_user
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
-    Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)))
+    Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
+    Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)))
 }

@@ -250,6 +250,39 @@ object StreamingQueries {
       | AND l.event_type = 'click' AND r.event_type = 'purchase'
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst08: keyed running counters via transformWithState (A7) on the
+  // RocksDB state store — the checkpointable successor of the reference's
+  // atomic counters. The update-mode sink receives one (key, total, delta)
+  // row per key per micro-batch; the gated output takes max(total) per
+  // key, which equals the batch count whatever the batch split was.
+  // ---------------------------------------------------------------------
+  private def qst08(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$d/events.parquet"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema: StructType = s.read.parquet(path).schema
+      val keys = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id")).as(org.apache.spark.sql.Encoders.scalaLong)
+      val name = s"graft_counters_${counter.incrementAndGet()}"
+      val q = RunningCounters.countByKey(keys).toDF()
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name).groupBy(col("key")).agg(max(col("total")).as("n"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val qst08Sql =
+    "SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id"
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -257,5 +290,6 @@ object StreamingQueries {
     Q("qst04_stream_watermark_append", qst04, Some(qst04Sql)),
     Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)),
     Q("qst06_stream_session", qst06, Some(qst06Sql)),
-    Q("qst07_stream_interval_join", qst07, Some(qst07Sql)))
+    Q("qst07_stream_interval_join", qst07, Some(qst07Sql)),
+    Q("qst08_stream_running_counters", qst08, Some(qst08Sql)))
 }

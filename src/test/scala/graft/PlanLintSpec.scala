@@ -26,7 +26,8 @@ class PlanLintSpec extends SparkSpec {
   private val skip = Set("qst01_stream_tumbling", "qst02_stream_ysb",
     "qst03_stream_dedup", "qst04_stream_watermark_append",
     "qst05_replay_source_ysb", "qst06_stream_session",
-    "qst07_stream_interval_join", "qx02_bucketed_join")
+    "qst07_stream_interval_join", "qst08_stream_running_counters",
+    "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {
