@@ -117,21 +117,21 @@ object Dedup {
   val BucketCap = 64
 
   /** (band, key) → sorted member list, one shuffle. Shared by candidate
-    * generation and the drop metric. */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val sigs = withSignature(Tables.documents(s, d))
+    * generation and the drop metric. Takes the signature frame so callers
+    * can reuse a cached one instead of recomputing signatures. */
+  private def lshBuckets(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(array((0 until Bands).map(j =>
         struct(lit(j).as("band"), bandKey(j).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-  }
 
   /** Buckets exceeding [[BucketCap]] (the ones qd03 skips) — the "logged
     * drops" channel for the capped candidate generation. */
   def oversizedLshBuckets(s: SparkSession, d: String): DataFrame =
-    lshBuckets(s, d).filter(size(col("ids")) > BucketCap)
+    lshBuckets(withSignature(Tables.documents(s, d)))
+      .filter(size(col("ids")) > BucketCap)
       .select(col("band"), col("key"), size(col("ids")).as("n_docs"))
 
   /** All (a < b) pairs within one sorted id array — pair explosion is
@@ -152,7 +152,7 @@ object Dedup {
   // ---------------------------------------------------------------------
   private def qd03(s: SparkSession, d: String): DataFrame = {
     val sigs = withSignature(Tables.documents(s, d)).cache()
-    val cand = lshBuckets(s, d)
+    val cand = lshBuckets(sigs)
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(pairExplode).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))

@@ -153,10 +153,12 @@ object Similarity {
       .limit(IvfK)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
-  private def qs03(s: SparkSession, d: String): DataFrame = {
+  /** IVF ANN with scale knobs: `nprobe` cells scanned per query, top-`topK`
+    * returned. The gated qs03 uses (nprobe = 2, topK = 3). */
+  def ivfAnn(s: SparkSession, d: String, nprobe: Int = 2, topK: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d)
-    // nearest / 2nd-nearest centroid per vector (cosine, tie-break c_id)
+    // nearest `keep` centroids per vector (cosine, tie-break c_id)
     def cellsFor(v: DataFrame, idCol: String, embCol: String, keep: Int) = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("c_sim").desc, col("c_id").asc)
@@ -174,17 +176,19 @@ object Similarity {
     val queryCells = cellsFor(
       e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", keep = 2) // nprobe = 2
+      "q_id", "q_emb", keep = nprobe)
       .select(col("q_id"), col("q_emb"), col("c_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id").asc)
     queryCells.join(corpusCells, Seq("c_id"))
       .select(col("q_id"), col("n_id"),
         Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
-      .distinct() // a neighbor may appear via both probed cells
+      .distinct() // a neighbor may appear via several probed cells
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
   }
+
+  private def qs03(s: SparkSession, d: String): DataFrame = ivfAnn(s, d)
 
   private val qs03Sql = {
     val qcos = Vectors.cosineSql("v.embedding", "c.embedding")

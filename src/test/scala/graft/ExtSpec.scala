@@ -92,6 +92,15 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.select("c_id").distinct().count() === Similarity.IvfK)
   }
 
+  test("IVF multi-probe recall >= single-probe recall") {
+    val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
+      .filter(col("rank") <= 3).select("q_id", "n_id")
+    def recall(nprobe: Int): Long =
+      Similarity.ivfAnn(spark, sf, nprobe = nprobe)
+        .select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    assert(recall(4) >= recall(1))
+  }
+
   test("kmeans step: every vector assigned once, at most K non-empty cells") {
     val out = Registry.byName("qc01_kmeans_step").run(spark, sf)
     val total = Tables.embeddings(spark, sf).count()
