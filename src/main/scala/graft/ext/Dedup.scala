@@ -289,17 +289,8 @@ object Dedup {
     docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("tokh", expr(
-        s"transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-      .withColumn("bitsum", expr(
-        s"""aggregate(tokh, transform(sequence(0, ${SimBits - 1}), j -> 0L),
-           | (acc, h) -> zip_with(acc, transform(sequence(0, ${SimBits - 1}),
-           |   j -> CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 THEN 1L ELSE -1L END),
-           |   (a, b) -> a + b))""".stripMargin.replace("\n", " ")))
-      .select(col("doc_id"), expr(
-        s"""aggregate(transform(sequence(0, ${SimBits - 1}),
-           | j -> CASE WHEN element_at(bitsum, j + 1) > 0 THEN cast(pow(2, j) as bigint) ELSE 0L END),
-           | 0L, (a, b) -> a + b)""".stripMargin.replace("\n", " ")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.TokenSimHash.simhash(col("toks"), SimBits).as("simhash"))
 
   private val simhashSqlCte =
     s"""tokenized AS (

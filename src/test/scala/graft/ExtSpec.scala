@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpec {
     assert(simhashes(1L) !== simhashes(3L))
   }
 
+  test("native TokenSimHash equals the interpreted HOF formulation") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val native = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.TokenSimHash.simhash(col("toks"), 48).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = docsToSimhash(docs)
+    assert(native === hof)
+  }
+
   private def docsToSimhash(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
     // mirror of Dedup's simhash expression on an arbitrary frame
     val sim = docs
