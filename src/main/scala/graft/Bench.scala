@@ -20,7 +20,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    val headline = Registry.all.filter(_.headline)
+    // Driver contract times the headline set; SPARK_GRAFT_BENCH_ALL=1 times
+    // every gated batch query (local telemetry for finding regressions the
+    // 14-query headline set wouldn't surface).
+    val headline =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
+      else Registry.all.filter(_.headline)
     // Best-of-2 per query: a single cold pass bills one-time JVM/codegen/
     // page-cache effects to whichever query hits them first (round-1 driver
     // run measured 23.7 s where warm local runs measured 14.5 s). Two timed

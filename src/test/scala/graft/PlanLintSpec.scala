@@ -72,6 +72,20 @@ class PlanLintSpec extends SparkSpec {
       "expected >= 3 broadcast joins for the three dims")
   }
 
+  // Headline batch queries must keep a WholeStageCodegen span (the `*(n)`
+  // stage markers in the plan tree) — a query falling entirely out of
+  // codegen (e.g. an interpreted expression sneaking into the hot path) is
+  // a silent multi-x regression at 100 TB.
+  Registry.all.filter(q => q.headline && !skip(q.name)).foreach { q =>
+    test(s"${q.name}: plan contains a WholeStageCodegen span") {
+      val df = q.run(spark, sf)
+      df.collect() // execute THIS plan so AQE finalizes it (count() builds a new one)
+      // exchange-less plans never get AQE-wrapped — both forms carry `*(n)` markers
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"no codegen span in ${q.name}:\n${plan.take(400)}")
+    }
+  }
+
   test("YSB dimension join broadcasts (qysb02)") {
     val plan = Registry.byName("qysb02_events").run(spark, sf)
       .queryExecution.executedPlan.toString
