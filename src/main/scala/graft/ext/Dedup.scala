@@ -214,13 +214,18 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
         .as("sh"))
-    val dfBySh = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val informative = sh.join(dfBySh.filter(col("df") <= ShingleDfCap), "sh")
-    val counts = informative.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val joinable = informative.filter(col("df") >= 2).select(col("doc_id"), col("sh"))
-    val common = joinable.alias("x").join(joinable.alias("y"),
-      col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // One shuffle builds the capped posting lists; per-doc counts and
+    // pair explosion both derive from them — the shingle explode runs
+    // once and there is no inverted-index self-join at all (same values
+    // as the self-join formulation, which the oracle retains).
+    val posting = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+    val counts = posting.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = posting.filter(col("df") >= 2)
+      .select(explode(pairExplode).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
