@@ -74,6 +74,57 @@ class PropertySpec extends SparkSpec {
     check(prop)
   }
 
+  test("property: TokenSimHash matches a JVM brute-force SimHash") {
+    val wordGen = SGen.listOfN(8, SGen.alphaLowerChar).map(_.mkString)
+    val docGen = SGen.nonEmptyListOf(wordGen)
+    val prop = Prop.forAll(SGen.listOfN(5, docGen)) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = df
+        .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+        .select(col("doc_id"), graft.functions.TokenSimHash.simhash(col("toks"), 48).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = docs.zipWithIndex.map { case (ws, i) =>
+        val sums = new Array[Int](48)
+        ws.foreach { w =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8"))
+          val v = (0 until 8).foldLeft(0L)((acc, b) => (acc << 8) | (d(b) & 0xffL)) >>> 4
+          (0 until 48).foreach(j => if (((v >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1)
+        }
+        i.toLong -> (0 until 48).foldLeft(0L)((acc, j) =>
+          if (sums(j) > 0) acc | (1L << j) else acc)
+      }.toMap
+      got == want
+    }
+    check(prop)
+  }
+
+  test("property: capped pair explosion yields exactly the a<b pairs per bucket") {
+    val idsGen = SGen.listOf(SGen.chooseNum(0L, 30L)).map(_.distinct)
+    val prop = Prop.forAll(SGen.nonEmptyListOf(idsGen)) { buckets =>
+      val df = buckets.zipWithIndex
+        .map { case (ids, i) => (i.toLong, ids.sorted.toArray) }
+        .toDF("bucket", "ids")
+        .filter(size(col("ids")) >= 2)
+      val got = df.select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    b -> struct(element_at(ids, i) AS a, b AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val want = buckets.flatMap { ids =>
+        val s = ids.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      got == want
+    }
+    check(prop)
+  }
+
   test("property: asofJoin matches brute-force latest-at-or-before lookup") {
     val leftGen = SGen.listOfN(25, SGen.zip(SGen.chooseNum(1L, 3L), tsGen))
     val rightGen = SGen.listOfN(25, SGen.zip(SGen.chooseNum(1L, 3L), SGen.zip(tsGen, SGen.chooseNum(1, 100))))
