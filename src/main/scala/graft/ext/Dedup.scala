@@ -166,8 +166,10 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.2)
   }
 
-  private val qd03Sql =
-    s"""WITH $sigsSqlCte,
+  /** CTE chain ending in lsh_pairs(doc_a, doc_b, est_jaccard) — shared by
+    * qd03 and qd08's component closure. */
+  private def lshPairsSqlCte =
+    s"""$sigsSqlCte,
        |bands AS (
        |  SELECT doc_id, j,
        |    array_to_string(sig[$RowsPerBand*j+1 : $RowsPerBand*(j+1)], '-') AS key
@@ -179,15 +181,20 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id
-       |  JOIN kept k ON k.j = x.j AND k.key = x.key)
-       |SELECT doc_a, doc_b,
-       |  list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 AS est_jaccard
-       |FROM cand
-       |JOIN sigs sa ON sa.doc_id = doc_a
-       |JOIN sigs sb ON sb.doc_id = doc_b
-       |WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.2""".stripMargin
+       |  JOIN kept k ON k.j = x.j AND k.key = x.key),
+       |lsh_pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.2)""".stripMargin
+
+  private val qd03Sql =
+    s"""WITH $lshPairsSqlCte
+       |SELECT doc_a, doc_b, est_jaccard FROM lsh_pairs""".stripMargin
 
   // ---------------------------------------------------------------------
   // qd04: exact n-gram Jaccard pairs — distinct-shingle inverted index
@@ -377,6 +384,60 @@ object Dedup {
        |  JOIN kept k ON k.c = x.c AND k.chunk = x.chunk)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd08: near-dup connected components — the actual dedup decision: docs
+  // linked by any qd03 near-dup pair collapse into one component, labeled
+  // by the component's minimum doc_id (keep-min policy, matching qd01).
+  //
+  // Spark side is iterative min-label propagation (the Pregel/GraphX
+  // pattern as plain DataFrame joins): each round every node takes the min
+  // of its own and its neighbors' labels; converges to the component min
+  // in O(graph diameter) rounds. Near-dup components are shallow (dup
+  // clusters are cliques or short chains), so the driver loop runs a
+  // handful of rounds; the per-round `count()` is the convergence check —
+  // the one place a driver action is the algorithm, same as any iterative
+  // solver. At 100 TB scale the same loop runs with edges/labels
+  // checkpointed; rounds stay diameter-bound. Oracle: DuckDB recursive-CTE
+  // transitive closure, min over reachable ids.
+  // ---------------------------------------------------------------------
+  private def qd08(s: SparkSession, d: String): DataFrame = {
+    val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 30) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .cache()
+      changed = next.alias("n")
+        .join(labels.select(col("id"), col("label").as("old")).alias("o"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+  }
+
+  private val qd08Sql =
+    s"""WITH RECURSIVE $lshPairsSqlCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh_pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
@@ -384,5 +445,6 @@ object Dedup {
     Q("qd04_ngram_jaccard", qd04, Some(qd04Sql)),
     Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
-    Q("qd07_simhash_pairs", qd07, Some(qd07Sql)))
+    Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
+    Q("qd08_dedup_components", qd08, Some(qd08Sql)))
 }

@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.oversizedLshBuckets(spark, sf).count() === 0)
   }
 
+  test("near-dup components: endpoints share labels, label is component min") {
+    val comp = Registry.byName("qd08_dedup_components").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Registry.byName("qd03_minhash_lsh_pairs").run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min, s"component $label label is not its min id")
+    }
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
