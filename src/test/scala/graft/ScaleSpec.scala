@@ -27,6 +27,41 @@ class ScaleSpec extends SparkSpec {
     assert(direct.exceptAll(salted).count() === 0)
   }
 
+  test("AQE splits a skewed join partition (runtime skew handling)") {
+    // Adversarial skew: 90% of fact rows share one key. With the skew
+    // thresholds lowered to test size, AQE must mark the skewed partition
+    // split (OptimizeSkewedJoin) — and the result must equal the plain join.
+    import spark.implicits._
+    val overrides = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // the groupBy(k) downstream requires the join's partitioning, which
+      // normally vetoes the split — force it (costs one extra shuffle,
+      // exactly the trade a real skewed pipeline makes)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 40000)
+        .select((when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000)).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k").groupBy("k").agg(count(lit(1)).as("n"))
+      val rows = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(7L) === 36000L) // the hot key: 90% of the fact side
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n${plan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join runs shuffle-free (no Exchange in plan)") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     Scale.writeBucketed(
