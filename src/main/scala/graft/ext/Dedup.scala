@@ -443,6 +443,8 @@ object Dedup {
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
     Q("qd03_minhash_lsh_pairs", qd03, Some(qd03Sql), headline = true),
     Q("qd04_ngram_jaccard", qd04, Some(qd04Sql)),
+    // SMALL-SF ONLY: deliberate all-pairs exact baseline (O(N²)) — never
+    // bench/run above test SF; the scale path is qd03 (LSH) / qs02.
     Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),

@@ -219,6 +219,9 @@ object Similarity {
   }
 
   def queries: Seq[Q] = Seq(
+    // SMALL-SF ONLY corpus side: exact brute-force baseline — queries are
+    // broadcast (bounded) but the corpus scan is O(N·|queries|); at real
+    // scale use qs02 (LSH) or qs03 (IVF).
     Q("qs01_knn_brute", qs01, Some(qs01Sql), headline = true),
     Q("qs02_ann_lsh", qs02, Some(qs02Sql), headline = true),
     Q("qs03_ann_ivf", qs03, Some(qs03Sql)))
