@@ -542,6 +542,75 @@ object Relational {
       |  CAST(max(CAST(ts AS DATE) + 30) AS TIMESTAMP) AS max_plus30
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q26: explicit GROUPING SETS + grouping_id — the general grouping
+  // lattice form (rollup/cube are its shorthands; q13/q19 cover those).
+  // grouping_id disambiguates which set produced each row, so NULL group
+  // cells are unambiguous in the gate.
+  // ---------------------------------------------------------------------
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g26_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, CAST(grouping_id() AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM g26_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
+  private val q26Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27: scalar subquery — customers above the global average balance.
+  // Catalyst plans the subquery as a broadcast scalar; one extra
+  // lightweight aggregation job at any scale.
+  // ---------------------------------------------------------------------
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g27_customer")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_above,
+        |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+        |FROM g27_customer
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                          / count(*) FROM g27_customer)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  private val q27Sql =
+    """SELECT c_mktsegment, count(*) AS n_above,
+      |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                          / count(*) FROM customer)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q28: SQL front-end parity — a multi-table query written as pure ANSI
+  // SQL over registered temp views (everything else in the registry uses
+  // the DataFrame API; this gates the spark.sql() entry point itself).
+  // ---------------------------------------------------------------------
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("g28_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g28_customer")
+    s.sql(
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM g28_orders JOIN g28_customer ON o_custkey = c_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
+  }
+
+  private val q28Sql =
+    """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY c_mktsegment, o_orderstatus""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -567,5 +636,8 @@ object Relational {
     Q("q22_window_analytics", q22, Some(q22Sql)),
     Q("q23_array_funcs", q23, Some(q23Sql)),
     Q("q24_null_funcs", q24, Some(q24Sql)),
-    Q("q25_date_arith", q25, Some(q25Sql)))
+    Q("q25_date_arith", q25, Some(q25Sql)),
+    Q("q26_grouping_sets", q26, Some(q26Sql)),
+    Q("q27_scalar_subquery", q27, Some(q27Sql)),
+    Q("q28_sql_frontend", q28, Some(q28Sql)))
 }
