@@ -251,6 +251,70 @@ object StreamingQueries {
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qst09: stream-stream LEFT OUTER interval join — same pair query as
+  // qst07, but clicks with no purchase emit a null-padded row once the
+  // watermark passes the point where a match could still arrive
+  // (l_ts + upper bound). Nullable outputs are coalesced to -1 (NULL int
+  // cells are driver-hash-fragile). Oracle: inner pairs UNION ALL the
+  // unmatched clicks old enough for the final watermark (max ts − 1 day,
+  // ms-truncated) to have expired their match window.
+  // ---------------------------------------------------------------------
+  private def qst09(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = s.read.parquet(path).schema
+    def stream(): DataFrame = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    val name = s"graft_sjoin_outer_${counter.incrementAndGet()}"
+    val joined = clicks.withWatermark("l_ts", "1 day")
+      .join(
+        purchases.withWatermark("r_ts", "1 day"),
+        expr("""l_user = r_user AND
+                r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1 DAY"""),
+        "left_outer")
+    val q = joined
+      .select(col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_micros(col("r_ts")) - unix_micros(col("l_ts")), lit(-1L))
+          .as("gap_us"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  private val qst09Sql =
+    """WITH wm AS (
+      |  -- global watermark = min over the two inputs' watermarks, each
+      |  -- defined on its FILTERED stream (max click ts vs max purchase ts,
+      |  -- ms-truncated, minus the 1-day delay)
+      |  SELECT (least(
+      |    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'click'),
+      |    (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'))
+      |    - 86400000) * 1000 AS w FROM events LIMIT 1),
+      |pairs AS (
+      |  SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+      |    epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+      |  FROM events l JOIN events r
+      |    ON l.user_id = r.user_id
+      |   AND l.event_type = 'click' AND r.event_type = 'purchase'
+      |   AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 DAY)
+      |SELECT click_id, purchase_id, gap_us FROM pairs
+      |UNION ALL
+      |SELECT l.event_id AS click_id, -1 AS purchase_id, -1 AS gap_us
+      |FROM events l, wm
+      |WHERE l.event_type = 'click'
+      |  AND l.event_id NOT IN (SELECT click_id FROM pairs)
+      |  AND epoch_us(l.ts + INTERVAL 1 DAY) < wm.w""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qst08: keyed running counters via transformWithState (A7) on the
   // RocksDB state store — the checkpointable successor of the reference's
   // atomic counters. The update-mode sink receives one (key, total, delta)
@@ -291,5 +355,6 @@ object StreamingQueries {
     Q("qst05_replay_source_ysb", qst05, Some(qst05Sql)),
     Q("qst06_stream_session", qst06, Some(qst06Sql)),
     Q("qst07_stream_interval_join", qst07, Some(qst07Sql)),
-    Q("qst08_stream_running_counters", qst08, Some(qst08Sql)))
+    Q("qst08_stream_running_counters", qst08, Some(qst08Sql)),
+    Q("qst09_stream_outer_join", qst09, Some(qst09Sql)))
 }

@@ -27,7 +27,7 @@ class PlanLintSpec extends SparkSpec {
     "qst03_stream_dedup", "qst04_stream_watermark_append",
     "qst05_replay_source_ysb", "qst06_stream_session",
     "qst07_stream_interval_join", "qst08_stream_running_counters",
-    "qx02_bucketed_join")
+    "qst09_stream_outer_join", "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {
