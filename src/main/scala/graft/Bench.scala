@@ -22,9 +22,15 @@ object Bench {
 
     // Driver contract times the headline set; SPARK_GRAFT_BENCH_ALL=1 times
     // every gated batch query (local telemetry for finding regressions the
-    // 14-query headline set wouldn't surface).
+    // 14-query headline set wouldn't surface). The all mode still excludes
+    // the streaming run-to-completion queries (they time Structured
+    // Streaming machinery, not a batch plan) and the deliberate O(N²)
+    // small-SF-only baselines, which must never run above test scale.
+    val smallSfOnly = Set("qd05_embedding_dup", "qs01_knn_brute")
     val headline =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        Registry.all.filterNot(q =>
+          q.name.startsWith("qst") || smallSfOnly(q.name))
       else Registry.all.filter(_.headline)
     // Best-of-2 per query: a single cold pass bills one-time JVM/codegen/
     // page-cache effects to whichever query hits them first (round-1 driver

@@ -21,11 +21,14 @@ import graft.sources.Tables
   * exactly (md5-derived 60-bit integer hashes are identical in any engine).
   *
   * Scale design (100 TB): the only shuffles are groupBy(hash) for exact
-  * dedup and the band-key self-join for LSH — both shuffle compact keys
-  * (16-byte hashes / band strings), never document text. The LSH band join
-  * is the standard linear-scale near-dup path (vs the quadratic all-pairs
-  * joins, which are only enabled here for oracle-checkable small-SF runs;
-  * at scale qd03's candidate generation replaces them).
+  * dedup and a single groupBy(band-key) for LSH — both shuffle compact
+  * keys (16-byte hashes / band strings), never document text. LSH
+  * candidate pairs come from capped per-bucket pair explosion after that
+  * one shuffle ([[BucketCap]] bounds the worst bucket; the DuckDB oracles
+  * express the same capped semantics as a band self-join). This is the
+  * standard linear-scale near-dup path (vs the quadratic all-pairs joins,
+  * which are only enabled here for oracle-checkable small-SF runs; at
+  * scale qd03's candidate generation replaces them).
   */
 object Dedup {
 
@@ -400,6 +403,8 @@ object Dedup {
   // checkpointed; rounds stay diameter-bound. Oracle: DuckDB recursive-CTE
   // transitive closure, min over reachable ids.
   // ---------------------------------------------------------------------
+  private val MaxPropagationRounds = 30
+
   private def qd08(s: SparkSession, d: String): DataFrame = {
     val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
@@ -409,19 +414,30 @@ object Dedup {
       .select(col("id"), col("id").as("label")).cache()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 30) {
-      val nbrMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+    while (changed > 0 && round < MaxPropagationRounds) {
+      val next = labels.join(
+        edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nbr")),
+        col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .cache()
       changed = next.alias("n")
         .join(labels.select(col("id"), col("label").as("old")).alias("o"), "id")
         .filter(col("label") =!= col("old")).count()
+      // `changed` materialized `next`, so the superseded round is safe to drop
+      labels.unpersist()
       labels = next
       round += 1
     }
+    pairs.unpersist()
+    edges.unpersist()
+    // Non-convergence must be loud: a silently truncated propagation would
+    // return labels that are not the component minimum (wrong keep
+    // decisions) and hash-mismatch the closure oracle with no diagnostics.
+    require(changed == 0,
+      s"label propagation did not converge in $MaxPropagationRounds rounds " +
+        "(component diameter exceeds the cap); raise MaxPropagationRounds")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 

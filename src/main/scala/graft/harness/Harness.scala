@@ -134,13 +134,7 @@ object YsbStreamingBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-ysb-stream-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local("graft-ysb-stream-bench", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = YsbConfig(
       recordsPerSecond = args.headOption.map(_.toLong).getOrElse(2000000L),
@@ -166,14 +160,7 @@ object YsbBatchBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(50000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-ysb-batch-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local("graft-ysb-batch-bench", cpus)
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     Ysb.query(Gen.boundedEvents(spark, 100000L), Gen.campaigns(spark)).count()

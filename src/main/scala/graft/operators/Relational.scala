@@ -376,6 +376,11 @@ object Relational {
   // default → 15% bound, a ≥3σ guarantee). The bound is deterministic for
   // a fixed dataset + Spark version, and the oracle asserts it as TRUE —
   // an honest property-based gate rather than a value copy.
+  //
+  // NOTE: the exact countDistinct exists for the GATE only (small SF). The
+  // production 100 TB form of this operator is the sketch alone —
+  // `approx_count_distinct(user_id)` without the exact twin — since the
+  // exact distinct shuffle is precisely what HLL avoids at scale.
   // ---------------------------------------------------------------------
   private def q18(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -22,10 +22,16 @@ import graft.Q
   */
 object FileSources {
 
-  /** Deterministic per-sfDir scratch location for the CSV copy. */
-  private def csvDir(d: String): String =
+  /** Scratch location for a roundtrip copy: deterministic per (sfDir,
+    * table) within one JVM, but unique per process — two concurrent
+    * sessions (e.g. Verify and Bench on the same sfDir) must not race on
+    * one directory with mode=overwrite. */
+  private def scratchDir(table: String, d: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft-csv-supplier-" + Integer.toHexString(d.hashCode)
+      s"/graft-$table-" + Integer.toHexString(d.hashCode) +
+      "-p" + ProcessHandle.current().pid()
+
+  private def csvDir(d: String): String = scratchDir("csv-supplier", d)
 
   private def qf01(s: SparkSession, d: String): DataFrame = {
     val supplier = Tables.supplier(s, d)
@@ -43,9 +49,7 @@ object FileSources {
     * table's microsecond precision in the roundtrip. */
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-  private def jsonDir(d: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft-jsonl-events-" + Integer.toHexString(d.hashCode)
+  private def jsonDir(d: String): String = scratchDir("jsonl-events", d)
 
   /** qf02: JSON-lines roundtrip of the events table (timestamps at full
     * microsecond precision, doubles shortest-roundtrip via Jackson, nested

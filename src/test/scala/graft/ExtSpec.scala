@@ -56,7 +56,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("native TokenSimHash equals the interpreted HOF formulation") {
-    val docs = Tables.documents(spark, sf).limit(200)
+    // orderBy before limit: a bare limit takes an arbitrary 200 rows per
+    // job, and the two pipelines below execute as independent jobs
+    val docs = Tables.documents(spark, sf).orderBy(col("doc_id")).limit(200)
     val native = docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 1)
