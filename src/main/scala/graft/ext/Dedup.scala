@@ -454,6 +454,71 @@ object Dedup {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd09: fixed-point PageRank over the near-dup graph — ranks documents
+  // inside duplicate clusters (a canonical-representative score beyond
+  // keep-min). Determinism: ranks are 2^20-scaled BIGINTs; contribution =
+  // rank // degree (integer floor division — positive operands, identical
+  // in Spark `div` and DuckDB `//`); damping = ·85 // 100; teleport is a
+  // precomputed integer literal. Every operation is exact integer
+  // arithmetic, so Spark's parallel sums hash-match the single-threaded
+  // oracle bit-for-bit — the same trick as qc01/qc02's fixed-point means.
+  // Three fixed iterations (unrolled as CTE generations in the oracle).
+  // ---------------------------------------------------------------------
+  private val RankScale = 1L << 20
+  private val RankTeleport = RankScale * 15 / 100
+  private val RankIters = 3
+
+  private def qd09(s: SparkSession, d: String): DataFrame = {
+    val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    val nodes = edges.select(col("src").as("id")).distinct().cache()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), lit(RankScale).as("r"))
+    for (_ <- 1 to RankIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "r_id"), col("src") === col("r_id"))
+        .join(outdeg.withColumnRenamed("src", "d_id"), col("src") === col("d_id"))
+        .select(col("dst").as("id"), expr("r div deg").as("contrib"))
+        .groupBy(col("id")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(RankTeleport) +
+            expr("cast(coalesce(s, 0L) * 85 div 100 as bigint)")).as("r"))
+    }
+    val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp")).cache()
+    out.count() // materialize before dropping the inputs it derives from
+    pairs.unpersist(); edges.unpersist(); nodes.unpersist()
+    out
+  }
+
+  private val qd09Sql = {
+    def gen(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.id,
+         |    $RankTeleport + CAST(coalesce(sum(x.contrib), 0) * 85 // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, p.r // o.deg AS contrib
+         |    FROM edges e
+         |    JOIN $prev p ON p.id = e.src
+         |    JOIN outdeg o ON o.id = e.src) x ON x.id = n.id
+         |  GROUP BY n.id)""".stripMargin
+    s"""WITH $lshPairsSqlCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh_pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |outdeg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST($RankScale AS BIGINT) AS r FROM nodes),
+       |${gen("r0", "r1")},
+       |${gen("r1", "r2")},
+       |${gen("r2", "r3")}
+       |SELECT id AS doc_id, r AS rank_fp FROM r$RankIters""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
@@ -464,5 +529,6 @@ object Dedup {
     Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
-    Q("qd08_dedup_components", qd08, Some(qd08Sql)))
+    Q("qd08_dedup_components", qd08, Some(qd08Sql)),
+    Q("qd09_graph_rank", qd09, Some(qd09Sql)))
 }

@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("graph rank: one row per near-dup node, every rank above teleport floor") {
+    val rank = Registry.byName("qd09_graph_rank").run(spark, sf)
+    val comp = Registry.byName("qd08_dedup_components").run(spark, sf)
+    assert(rank.count() === comp.count()) // same node set as the components
+    assert(rank.filter(col("rank_fp") < (1L << 20) * 15 / 100).count() === 0)
+  }
+
   test("identical docs get identical simhash; different docs differ") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
