@@ -190,11 +190,54 @@ object TextAnalysis {
       |FROM tf JOIN df USING (token), n
       |WHERE tf >= 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt07: unigram log-prob score — the CCNet-style perplexity filter: per
+  // document, mean −ln p(token) under the corpus unigram model (lower =
+  // more typical text; a quality gate drops the high tail). Determinism:
+  // each token's −ln(cnt/N) is computed identically in both engines,
+  // scaled to integer micro-nats (round(x·1e6) → BIGINT), and summed
+  // exactly — the per-doc sum is order-independent; one final IEEE
+  // division by token count. Two shuffles: the unigram counts (a
+  // broadcast-sized dictionary at any corpus scale) and the per-doc sum.
+  // ---------------------------------------------------------------------
+  private def qt07(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .select(col("doc_id"), lower(col("token")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("corpus_n"))
+    toks
+      .join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("cast(round(-ln(cast(cnt as double) / corpus_n) * 1e6) as bigint)")
+          .as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s").cast("double") / 1e6 / col("n_tokens")).as("mean_nll"))
+  }
+
+  private val qt07Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS token
+      |  FROM documents),
+      |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |total AS (SELECT count(*) AS corpus_n FROM toks),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / corpus_n) * 1e6) AS BIGINT) AS nll_micro
+      |  FROM toks JOIN counts USING (token), total)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(CAST(sum(nll_micro) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean_nll
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
     Q("qt03_langid", qt03, Some(qt03Sql)),
     Q("qt04_fingerprint", qt04, Some(qt04Sql)),
     Q("qt05_word_freq", qt05, Some(qt05Sql)),
-    Q("qt06_tfidf", qt06, Some(qt06Sql)))
+    Q("qt06_tfidf", qt06, Some(qt06Sql)),
+    Q("qt07_unigram_logprob", qt07, Some(qt07Sql)))
 }

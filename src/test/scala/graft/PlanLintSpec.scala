@@ -17,6 +17,7 @@ class PlanLintSpec extends SparkSpec {
     "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
+    "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qa01_asof_join",     // range condition on window carry output
