@@ -153,8 +153,19 @@ object Dedup {
   // one shuffle of compact keys, explicit skew bound (vs the round-1
   // band self-join, which was three shuffles and unbounded per bucket).
   // ---------------------------------------------------------------------
+  /** LSH candidate-generation stage: signatures → one groupBy(band,key)
+    * shuffle → sorted bucket member lists. Exposed (package-private) so
+    * PlanLintSpec can pin the single-Exchange contract — a refactor that
+    * reintroduced the round-1 band self-join would fail that test. */
+  private[graft] def lshStage(s: SparkSession, d: String): DataFrame =
+    lshBuckets(withSignature(Tables.documents(s, d)))
+
   private def qd03(s: SparkSession, d: String): DataFrame = {
-    val sigs = withSignature(Tables.documents(s, d)).cache()
+    // localCheckpoint (not cache): sigs is read three times below, so it is
+    // materialized once either way, but the checkpoint's lifetime is owned
+    // by the GC/ContextCleaner instead of leaking a session-lifetime cache
+    // entry per invocation (bench best-of-2 / repeated tests).
+    val sigs = withSignature(Tables.documents(s, d)).localCheckpoint(true)
     val cand = lshBuckets(sigs)
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(pairExplode).as("p"))
@@ -217,20 +228,27 @@ object Dedup {
   // ---------------------------------------------------------------------
   val ShingleDfCap = 64
 
-  private def qd04(s: SparkSession, d: String): DataFrame = {
+  /** qd04 candidate-generation stage: shingle explode → one groupBy(sh)
+    * shuffle → capped posting lists. Package-private for the PlanLintSpec
+    * single-Exchange contract. */
+  private[graft] def postingStage(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 2), i -> md5(concat_ws(' ', slice(toks, i, 3)))))"))
         .as("sh"))
+    sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+  }
+
+  private def qd04(s: SparkSession, d: String): DataFrame = {
     // One shuffle builds the capped posting lists; per-doc counts and
     // pair explosion both derive from them — the shingle explode runs
     // once and there is no inverted-index self-join at all (same values
     // as the self-join formulation, which the oracle retains).
-    val posting = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
+    val posting = postingStage(s, d)
     val counts = posting.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = posting.filter(col("df") >= 2)
@@ -343,21 +361,27 @@ object Dedup {
   // (any equal chunk → candidate; guarantees recall for Hamming ≤ 3),
   // then exact Hamming distance ≤ 12 filter via bit_count(xor).
   // ---------------------------------------------------------------------
-  private def qd07(s: SparkSession, d: String): DataFrame = {
-    // Same capped-bucket shape as qd03, but the bucket members carry
-    // (doc_id, simhash) structs so the Hamming distance is computed
-    // map-side at pair-explosion time — one shuffle total, no sig re-join.
-    val sim = withSimhash(Tables.documents(s, d))
-    val buckets = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"),
-          expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096").as("chunk"))): _*))
-        .as("ck"))
+  /** qd07 candidate-generation stage: one groupBy(chunk) shuffle carrying
+    * (doc_id, simhash) structs so Hamming is map-side afterwards.
+    * Package-private for the PlanLintSpec single-Exchange contract. */
+  private[graft] def simhashBucketStage(s: SparkSession, d: String): DataFrame =
+    withSimhash(Tables.documents(s, d))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096").as("chunk"))): _*))
+          .as("ck"))
       .select(col("ck.c").as("c"), col("ck.chunk").as("chunk"),
         struct(col("doc_id"), col("simhash")).as("ds"))
       .groupBy(col("c"), col("chunk"))
       .agg(sort_array(collect_list(col("ds"))).as("ids")) // sorts by doc_id
       .filter(size(col("ids")).between(2, BucketCap))
+
+  private def qd07(s: SparkSession, d: String): DataFrame = {
+    // Same capped-bucket shape as qd03, but the bucket members carry
+    // (doc_id, simhash) structs so the Hamming distance is computed
+    // map-side at pair-explosion time — one shuffle total, no sig re-join.
+    val buckets = simhashBucketStage(s, d)
     buckets.select(explode(expr(
       """flatten(transform(sequence(1, size(ids) - 1),
         |  i -> transform(slice(ids, i + 1, size(ids) - i),

@@ -156,8 +156,12 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   // qt06: TF-IDF — per (doc, token) with tf ≥ 3: tf · ln((N+1)/(df+1)),
   // rounded to 6 dp (ln is libm-vs-JVM ulp territory; everything else is
-  // exact integer counts). Two shuffles: (doc,token) tf and token df; the
-  // df side is a broadcast-sized token dictionary at any corpus scale.
+  // exact integer counts). Two shuffles: (doc,token) tf and token df. The
+  // df dictionary join is deliberately NOT hinted: whitespace-token
+  // vocabulary grows with corpus size (Heaps' law — URLs, typos, hashes),
+  // so at 100 TB the dictionary is not broadcast-safe. AQE broadcasts it
+  // when it measures small and shuffle-joins it when it doesn't
+  // (asserted in PlanLintSpec). The bounded-dictionary shape is qt08.
   // ---------------------------------------------------------------------
   private def qt06(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -171,7 +175,7 @@ object TextAnalysis {
     val df = toks.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.filter(col("tf") >= 3)
-      .join(broadcast(df), Seq("token"))
+      .join(df, Seq("token"))
       .crossJoin(broadcast(nFrame))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log((col("corpus_n") + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
@@ -195,10 +199,14 @@ object TextAnalysis {
   // document, mean −ln p(token) under the corpus unigram model (lower =
   // more typical text; a quality gate drops the high tail). Determinism:
   // each token's −ln(cnt/N) is computed identically in both engines,
-  // scaled to integer micro-nats (round(x·1e6) → BIGINT), and summed
-  // exactly — the per-doc sum is order-independent; one final IEEE
-  // division by token count. Two shuffles: the unigram counts (a
-  // broadcast-sized dictionary at any corpus scale) and the per-doc sum.
+  // quantized to 0.1-milli-nats (round(x·1e4) → BIGINT — coarse enough
+  // that libm-vs-JVM ln ulp differences sit ~1e-11 from any rounding tie),
+  // and summed exactly — the per-doc sum is order-independent; one final
+  // IEEE division by token count. Two shuffles: the unigram counts and
+  // the per-doc sum. The dictionary join is NOT hinted (vocabulary grows
+  // with corpus — Heaps' law); AQE picks broadcast vs shuffle at runtime.
+  // The capped-dictionary variant that IS broadcast-safe by construction
+  // is qt08.
   // ---------------------------------------------------------------------
   private def qt07(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -207,15 +215,15 @@ object TextAnalysis {
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("corpus_n"))
     toks
-      .join(broadcast(counts), Seq("token"))
+      .join(counts, Seq("token"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
-        expr("cast(round(-ln(cast(cnt as double) / corpus_n) * 1e6) as bigint)")
-          .as("nll_micro"))
+        expr("cast(round(-ln(cast(cnt as double) / corpus_n) * 1e4) as bigint)")
+          .as("nll_q"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_q")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("s").cast("double") / 1e6 / col("n_tokens")).as("mean_nll"))
+        (col("s").cast("double") / 1e4 / col("n_tokens")).as("mean_nll"))
   }
 
   private val qt07Sql =
@@ -226,10 +234,71 @@ object TextAnalysis {
       |total AS (SELECT count(*) AS corpus_n FROM toks),
       |scored AS (
       |  SELECT doc_id,
-      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / corpus_n) * 1e6) AS BIGINT) AS nll_micro
+      |    CAST(round(-ln(CAST(cnt AS DOUBLE) / corpus_n) * 1e4) AS BIGINT) AS nll_q
       |  FROM toks JOIN counts USING (token), total)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  CAST(CAST(sum(nll_micro) AS BIGINT) AS DOUBLE) / 1e6 / count(*) AS mean_nll
+      |  CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE) / 1e4 / count(*) AS mean_nll
+      |FROM scored GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt08: capped-dictionary unigram log-prob — the shape a CCNet-style
+  // quality filter actually runs at 100 TB: the unigram model keeps only
+  // the top-V tokens (deterministic order: count desc, token asc), so the
+  // dictionary is ≤ V rows BY CONSTRUCTION and the broadcast hint is
+  // justified at any corpus scale — unlike qt07's full vocabulary.
+  // Out-of-vocabulary tokens fall back to the rare-token floor
+  // p = 1/corpus_n (count-1 smoothing); per-doc OOV counts are emitted so
+  // a pipeline can also gate on OOV rate. Same integer-quantization
+  // determinism as qt07. One groupBy(token) shuffle for the counts, a
+  // TakeOrderedAndProject for the top-V (no full sort), broadcast join,
+  // one per-doc shuffle.
+  // ---------------------------------------------------------------------
+  def unigramCapped(s: SparkSession, d: String, dictCap: Int): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .select(col("doc_id"), lower(col("token")).as("token"))
+    val topV = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(dictCap)
+    val total = toks.agg(count(lit(1)).as("corpus_n"))
+    toks
+      .join(broadcast(topV), Seq("token"), "left") // ≤ dictCap rows, bounded
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("cast(round(-ln(cast(coalesce(cnt, 1) as double) / corpus_n) * 1e4) as bigint)")
+          .as("nll_q"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        sum(col("nll_q")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("s").cast("double") / 1e4 / col("n_tokens")).as("mean_nll"))
+  }
+
+  // The synthetic corpus has a 31-token vocabulary, so the gated variant
+  // caps at 16 to actually exercise the OOV fallback path (a production V
+  // would be ~1e5 — the plan shape is identical).
+  private val DictCap = 16
+
+  private def qt08(s: SparkSession, d: String): DataFrame =
+    unigramCapped(s, d, DictCap)
+
+  private val qt08Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS token
+      |  FROM documents),
+      |topv AS (
+      |  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+      |  ORDER BY cnt DESC, token ASC LIMIT $DictCap),
+      |total AS (SELECT count(*) AS corpus_n FROM toks),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(-ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / corpus_n) * 1e4) AS BIGINT) AS nll_q,
+      |    CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM toks t LEFT JOIN topv v ON t.token = v.token, total)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE) / 1e4 / count(*) AS mean_nll
       |FROM scored GROUP BY doc_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
@@ -239,5 +308,6 @@ object TextAnalysis {
     Q("qt04_fingerprint", qt04, Some(qt04Sql)),
     Q("qt05_word_freq", qt05, Some(qt05Sql)),
     Q("qt06_tfidf", qt06, Some(qt06Sql)),
-    Q("qt07_unigram_logprob", qt07, Some(qt07Sql)))
+    Q("qt07_unigram_logprob", qt07, Some(qt07Sql)),
+    Q("qt08_unigram_capped", qt08, Some(qt08Sql)))
 }
