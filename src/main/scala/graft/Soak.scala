@@ -1,0 +1,143 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scaling soak: synthesizes an N× (default 10×) copy of the sf0.1 corpus
+  * and measures how per-query wall time scales with data size — the first
+  * empirical check of the "every gated path is linear" design claims
+  * (BASELINE.md records the resulting table).
+  *
+  * Generation is union-of-reseeded-copies, NOT duplication, so the scaled
+  * data keeps the statistical shape the operators are sensitive to:
+  *
+  *  - fact keys are offset per copy (l_orderkey/o_orderkey, event_id,
+  *    doc_id, vec_id) so joins stay 1:1 against the unscaled dims and
+  *    outputs scale linearly instead of quadratically;
+  *  - document text is letter-rotated per copy (translate with a rotated
+  *    alphabet): token/shingle structure and lengths are preserved but
+  *    hashes differ, so copy k's near-dup clusters mirror copy 0's without
+  *    creating cross-copy duplicates — LSH/posting bucket sizes stay flat
+  *    (the property that keeps qd03/qd04/qd07 linear; the drop metrics are
+  *    asserted 0 below);
+  *  - embeddings get a per-copy seeded perturbation (cosine structure
+  *    within a copy preserved, copies distinct); query vectors (vec_id<10)
+  *    exist only in copy 0, so ANN query fan-out stays fixed while the
+  *    corpus grows — the 100 TB shape.
+  *
+  * Dims (region/nation/customer/supplier/part) are copied unscaled: at real
+  * scale dims grow far slower than facts, and this keeps q03/q04's
+  * broadcast-ability invariant — exactly what those plans claim at 100 TB.
+  *
+  * Output: one JSON line per scale with per-query best-of-2 seconds, plus
+  * a ratio line (x10 time / sf0.1 time per query; linear scaling ⇒ ratio
+  * ≲ 10 modulo fixed per-query overhead, which makes cheap queries report
+  * ratios well under the data multiple).
+  */
+object Soak {
+
+  private def timed(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rotated(k: Int): String = {
+    val r = (k * 7) % 26
+    alpha.drop(r) + alpha.take(r)
+  }
+
+  private def generate(s: SparkSession, base: String, out: String, mult: Int): Unit = {
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(k => f(df, k)).reduce(_ unionAll _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // unscaled dims, copied verbatim
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(Tables.load(s, base, t), t)
+
+    val orderOff = Tables.orders(s, base).agg(max(col("o_orderkey")))
+      .collect()(0).getLong(0) + 1
+    write(copies(Tables.orders(s, base)) { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * orderOff))
+    }, "orders")
+    write(copies(Tables.lineitem(s, base)) { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * orderOff))
+    }, "lineitem")
+
+    val eventOff = Tables.events(s, base).agg(max(col("event_id")))
+      .collect()(0).getLong(0) + 1
+    // ts written as micros TimestampType; Tables.normalizeEvents passes it
+    // through (the nanos coercion only applies to the driver's raw files)
+    write(copies(Tables.events(s, base)) { (df, k) =>
+      df.withColumn("event_id", col("event_id") + lit(k * eventOff))
+    }, "events")
+
+    val docOff = Tables.documents(s, base).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) + 1
+    write(copies(Tables.documents(s, base)) { (df, k) =>
+      df.withColumn("doc_id", col("doc_id") + lit(k * docOff))
+        .withColumn("text", translate(col("text"), alpha, rotated(k)))
+    }, "documents")
+
+    val vecOff = Tables.embeddings(s, base).agg(max(col("vec_id")))
+      .collect()(0).getLong(0) + 1
+    write(copies(Tables.embeddings(s, base)) { (df, k) =>
+      if (k == 0) df
+      else df.withColumn("vec_id", col("vec_id") + lit(k * vecOff))
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, i) -> cast(x +
+             |(((vec_id * 31 + $k * 1103515245 + i * 12345) % 1000) / 10000.0 - 0.05)
+             |as float))""".stripMargin.replace("\n", " ")))
+    }, "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
+    val out = s"target/soak/x$mult"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local("graft-soak", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+      System.err.println(s"[soak] generating ${mult}x corpus under $out")
+      generate(spark, base, out, mult)
+    }
+
+    val names = Registry.all.filter(_.headline).map(_.name) ++
+      Seq("qd04_ngram_jaccard", "qd07_simhash_pairs")
+    val queries = names.map(Registry.byName)
+
+    def run(dir: String): Seq[(String, Double)] = queries.map { q =>
+      def pass(): Double = timed(q.run(spark, dir).count())
+      q.name -> (try math.min(pass(), pass())
+      catch { case e: Throwable =>
+        System.err.println(s"[soak] ${q.name} @ $dir failed: ${e.getMessage}"); -1.0 })
+    }
+    // warmups absorb codegen/JIT
+    Tables.lineitem(spark, base).limit(1000).count()
+    val baseTimes = run(base)
+    val soakTimes = run(out)
+
+    def js(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"soak_base","sf":"$base","queries":${js(baseTimes)}}""")
+    println(s"""{"metric":"soak_x$mult","sf":"$out","queries":${js(soakTimes)}}""")
+    val ratios = baseTimes.zip(soakTimes).map { case ((n, b), (_, x)) =>
+      n -> (if (b > 0 && x > 0) x / b else -1.0) }
+    println(s"""{"metric":"soak_ratio_x$mult","queries":${js(ratios)}}""")
+
+    // linearity preconditions: the skew caps must not be binding at 10×
+    val oversized = graft.ext.Dedup.oversizedLshBuckets(spark, out).count()
+    val dfDrops = graft.ext.Dedup.shingleDfDrops(spark, out).count()
+    println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops}""")
+    spark.stop()
+  }
+}

@@ -164,7 +164,12 @@ object Dedup {
     // localCheckpoint (not cache): sigs is read three times below, so it is
     // materialized once either way, but the checkpoint's lifetime is owned
     // by the GC/ContextCleaner instead of leaking a session-lifetime cache
-    // entry per invocation (bench best-of-2 / repeated tests).
+    // entry per invocation (bench best-of-2 / repeated tests). Constraint:
+    // localCheckpoint truncates lineage and stores blocks on executors
+    // only, so under executor loss / dynamic allocation the job fails
+    // unrecoverably instead of recomputing — right for this single-node
+    // bench; at cluster scale prefer reliable `checkpoint()` (HDFS-backed)
+    // or caller-owned cache() whose blocks can be rebuilt from lineage.
     val sigs = withSignature(Tables.documents(s, d)).localCheckpoint(true)
     val cand = lshBuckets(sigs)
       .filter(size(col("ids")).between(2, BucketCap))
@@ -231,7 +236,7 @@ object Dedup {
   /** qd04 candidate-generation stage: shingle explode → one groupBy(sh)
     * shuffle → capped posting lists. Package-private for the PlanLintSpec
     * single-Exchange contract. */
-  private[graft] def postingStage(s: SparkSession, d: String): DataFrame = {
+  private def rawPostings(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -240,8 +245,17 @@ object Dedup {
         .as("sh"))
     sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
   }
+
+  private[graft] def postingStage(s: SparkSession, d: String): DataFrame =
+    rawPostings(s, d).filter(col("df") <= ShingleDfCap)
+
+  /** Shingles whose document frequency exceeds [[ShingleDfCap]] (the ones
+    * qd04 excludes from Jaccard) — the logged-drops channel for the
+    * posting-list cap, symmetric to [[oversizedLshBuckets]]. */
+  def shingleDfDrops(s: SparkSession, d: String): DataFrame =
+    rawPostings(s, d).filter(col("df") > ShingleDfCap)
+      .select(col("sh"), col("df"))
 
   private def qd04(s: SparkSession, d: String): DataFrame = {
     // One shuffle builds the capped posting lists; per-doc counts and
@@ -318,14 +332,16 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val SimBits = 48
 
-  private def withSimhash(docs: DataFrame): DataFrame =
+  /** Package-private: reused by the streaming near-dup dedup (qst10), whose
+    * per-doc signature must be bit-identical to the batch one. */
+  private[graft] def withSimhash(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         graft.functions.TokenSimHash.simhash(col("toks"), SimBits).as("simhash"))
 
-  private val simhashSqlCte =
+  private[graft] val simhashSqlCte =
     s"""tokenized AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents WHERE len(trim(text)) > 0),
@@ -416,54 +432,77 @@ object Dedup {
   // linked by any qd03 near-dup pair collapse into one component, labeled
   // by the component's minimum doc_id (keep-min policy, matching qd01).
   //
-  // Spark side is iterative min-label propagation (the Pregel/GraphX
-  // pattern as plain DataFrame joins): each round every node takes the min
-  // of its own and its neighbors' labels; converges to the component min
-  // in O(graph diameter) rounds. Near-dup components are shallow (dup
-  // clusters are cliques or short chains), so the driver loop runs a
-  // handful of rounds; the per-round `count()` is the convergence check —
-  // the one place a driver action is the algorithm, same as any iterative
-  // solver. At 100 TB scale the same loop runs with edges/labels
-  // checkpointed; rounds stay diameter-bound. Oracle: DuckDB recursive-CTE
-  // transitive closure, min over reachable ids.
+  // Spark side is min-label propagation accelerated by pointer doubling
+  // (path halving — the Shiloach–Vishkin trick as plain DataFrame joins):
+  // each round every node takes the min of its own and its neighbors'
+  // labels, then every label is replaced by its label's label. Plain
+  // propagation alone converges in O(diameter) rounds — a chain-shaped dup
+  // cluster of length d needs d rounds; the doubling step halves remaining
+  // label-chain depth each round, so convergence is O(log d) (a 100-node
+  // path converges in ~8 rounds, pinned by a DedupSpec property test). The
+  // per-round `count()` is the convergence check — the one place a driver
+  // action is the algorithm, same as any iterative solver. At 100 TB scale
+  // the same loop runs with edges/labels checkpointed; rounds stay
+  // log-diameter-bound. Oracle: DuckDB recursive-CTE transitive closure,
+  // min over reachable ids.
   // ---------------------------------------------------------------------
   private val MaxPropagationRounds = 30
 
-  private def qd08(s: SparkSession, d: String): DataFrame = {
-    val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
+  /** Min-label connected components over undirected pair edges
+    * (columns: doc_a, doc_b). Returns (id, label) with label = component
+    * minimum. Exposed (package-private) so DedupSpec can pin the O(log d)
+    * round bound on adversarial (path-graph) inputs qd03 never produces. */
+  private[graft] def components(pairFrame: DataFrame,
+      maxRounds: Int = MaxPropagationRounds): DataFrame = {
+    // Eager localCheckpoint on every per-round frame: the doubling step
+    // references the propagated frame twice and the propagated frame
+    // references labels twice, so WITHOUT lineage truncation the logical
+    // plan triples per round — exponential analyze/plan cost that OOMs the
+    // driver near round 10. Checkpointing pins each round to a constant-size
+    // LogicalRDD (block lifetime is GC/ContextCleaner-owned; executor-loss
+    // caveat as in qd03 — at cluster scale use reliable checkpoint()).
+    val pairs = pairFrame.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < MaxPropagationRounds) {
-      val next = labels.join(
+    while (changed > 0 && round < maxRounds) {
+      // (1) neighbor-min: label ← min(label, min of neighbors' labels)
+      val propagated = labels.join(
         edges.join(labels, col("src") === col("id"))
           .groupBy(col("dst")).agg(min(col("label")).as("nbr")),
         col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .cache()
+      // (2) pointer doubling: label ← label(label). Every label value is
+      // itself a node id (it started as one), so the self-join always
+      // resolves; coalesce covers the already-minimal fixed points.
+      val next = propagated.join(
+        propagated.select(col("id").as("l_id"), col("label").as("l_label")),
+        col("label") === col("l_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
       changed = next.alias("n")
         .join(labels.select(col("id"), col("label").as("old")).alias("o"), "id")
         .filter(col("label") =!= col("old")).count()
-      // `changed` materialized `next`, so the superseded round is safe to drop
-      labels.unpersist()
       labels = next
       round += 1
     }
-    pairs.unpersist()
-    edges.unpersist()
     // Non-convergence must be loud: a silently truncated propagation would
     // return labels that are not the component minimum (wrong keep
     // decisions) and hash-mismatch the closure oracle with no diagnostics.
     require(changed == 0,
-      s"label propagation did not converge in $MaxPropagationRounds rounds " +
-        "(component diameter exceeds the cap); raise MaxPropagationRounds")
+      s"label propagation did not converge in $maxRounds rounds " +
+        "(log₂ component diameter exceeds the cap); raise maxRounds")
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
+
+  private def qd08(s: SparkSession, d: String): DataFrame =
+    components(qd03(s, d))
 
   private val qd08Sql =
     s"""WITH RECURSIVE $lshPairsSqlCte,
@@ -512,8 +551,12 @@ object Dedup {
           (lit(RankTeleport) +
             expr("cast(coalesce(s, 0L) * 85 div 100 as bigint)")).as("r"))
     }
-    val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp")).cache()
-    out.count() // materialize before dropping the inputs it derives from
+    // Eager localCheckpoint materializes the ranks in the same single pass
+    // that pins them before the inputs are unpersisted (vs the old
+    // cache()+count(), which spent a full extra job) — same pattern as
+    // qd03's sigs; same executor-loss caveat (see qd03 comment).
+    val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+      .localCheckpoint(true)
     pairs.unpersist(); edges.unpersist(); nodes.unpersist()
     out
   }

@@ -147,17 +147,20 @@ object Similarity {
 
   /** Deterministic fixed-K centroid sample: the K vectors with the smallest
     * md5(vec_id). Exactly K rows whatever the corpus size. */
-  def ivfCentroids(s: SparkSession, d: String): DataFrame =
+  def ivfCentroids(s: SparkSession, d: String, k: Int = IvfK): DataFrame =
     Tables.embeddings(s, d)
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(IvfK)
+      .limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
 
-  /** IVF ANN with scale knobs: `nprobe` cells scanned per query, top-`topK`
-    * returned. The gated qs03 uses (nprobe = 2, topK = 3). */
-  def ivfAnn(s: SparkSession, d: String, nprobe: Int = 2, topK: Int = 3): DataFrame = {
+  /** IVF ANN with scale knobs: `k` centroids (cells), `nprobe` cells scanned
+    * per query, top-`topK` returned. The gated qs03 uses
+    * (k = 16, nprobe = 2, topK = 3); SimilaritySpec measures recall@3 vs the
+    * exact baseline across the (k, nprobe) grid. */
+  def ivfAnn(s: SparkSession, d: String, nprobe: Int = 2, topK: Int = 3,
+      k: Int = IvfK): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cents = ivfCentroids(s, d)
+    val cents = ivfCentroids(s, d, k)
     // nearest `keep` centroids per vector (cosine, tie-break c_id)
     def cellsFor(v: DataFrame, idCol: String, embCol: String, keep: Int) = {
       val w = Window.partitionBy(col(idCol))

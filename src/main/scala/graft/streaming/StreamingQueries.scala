@@ -347,6 +347,58 @@ object StreamingQueries {
   private val qst08Sql =
     "SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id"
 
+  // ---------------------------------------------------------------------
+  // qst10: streaming near-dup dedup (see NearDupDedup) — documents stream
+  // in, each is SimHash-banded and flagged per bucket against everything
+  // previously seen there; the kept set is docs with no duplicate flag in
+  // any bucket. The "earlier doc wins" rule is doc_id order (batch-split
+  // independent), so the final table equals the batch drop rule the oracle
+  // states: drop b iff some a < b shares a 12-bit chunk with Hamming ≤ 12.
+  // The per-bucket flag reduction happens batch-side on the sink table
+  // (qst08 pattern — chaining a second stateful agg onto
+  // transformWithState in one streaming query is restricted).
+  // ---------------------------------------------------------------------
+  private def qst10(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$d/documents.parquet"
+      val schema: StructType = s.read.parquet(path).schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val sim = graft.ext.Dedup.withSimhash(docs)
+      val name = s"graft_neardup_${counter.incrementAndGet()}"
+      val q = NearDupDedup.flagNearDuplicates(sim)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .groupBy(col("docId"), col("simhash"))
+        .agg(max(col("dup")).as("dup"))
+        .filter(col("dup") === 0)
+        .select(col("docId").as("doc_id"), col("simhash"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val qst10Sql =
+    s"""WITH ${graft.ext.Dedup.simhashSqlCte},
+       |chunks AS (
+       |  SELECT doc_id, simhash, c,
+       |    (simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
+       |  FROM simhashed, range(0, 4) t(c)),
+       |dup AS (
+       |  SELECT DISTINCT y.doc_id
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |   AND bit_count(xor(x.simhash, y.simhash)) <= ${NearDupDedup.HammingMax})
+       |SELECT s.doc_id, CAST(s.simhash AS BIGINT) AS simhash
+       |FROM simhashed s
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -356,5 +408,6 @@ object StreamingQueries {
     Q("qst06_stream_session", qst06, Some(qst06Sql)),
     Q("qst07_stream_interval_join", qst07, Some(qst07Sql)),
     Q("qst08_stream_running_counters", qst08, Some(qst08Sql)),
-    Q("qst09_stream_outer_join", qst09, Some(qst09Sql)))
+    Q("qst09_stream_outer_join", qst09, Some(qst09Sql)),
+    Q("qst10_stream_neardup", qst10, Some(qst10Sql)))
 }

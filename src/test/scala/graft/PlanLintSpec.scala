@@ -18,6 +18,7 @@ class PlanLintSpec extends SparkSpec {
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
+    "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qa01_asof_join",     // range condition on window carry output
@@ -28,7 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "qst03_stream_dedup", "qst04_stream_watermark_append",
     "qst05_replay_source_ysb", "qst06_stream_session",
     "qst07_stream_interval_join", "qst08_stream_running_counters",
-    "qst09_stream_outer_join", "qx02_bucketed_join")
+    "qst09_stream_outer_join", "qst10_stream_neardup", "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {
@@ -84,6 +85,46 @@ class PlanLintSpec extends SparkSpec {
       // exchange-less plans never get AQE-wrapped — both forms carry `*(n)` markers
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("*("), s"no codegen span in ${q.name}:\n${plan.take(400)}")
+    }
+  }
+
+  // ----- candidate-generation single-Exchange contracts ------------------
+  // The round-1 LSH formulation was a band self-join: three shuffles and
+  // unbounded per-bucket blowup. The current qd03/qd04/qd07 candidate stages
+  // are contractually ONE hash-partition shuffle each (groupBy on a compact
+  // bucket key, pair explosion map-side afterwards). A refactor that
+  // reintroduces a self-join adds an Exchange and fails here even though
+  // results stay hash-correct.
+  private def shuffleExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("qd03 LSH candidate stage: exactly one shuffle Exchange") {
+    assert(shuffleExchanges(graft.ext.Dedup.lshStage(spark, sf)) == 1)
+  }
+
+  test("qd04 posting-list candidate stage: exactly one shuffle Exchange") {
+    assert(shuffleExchanges(graft.ext.Dedup.postingStage(spark, sf)) == 1)
+  }
+
+  test("qd07 simhash bucket candidate stage: exactly one shuffle Exchange") {
+    assert(shuffleExchanges(graft.ext.Dedup.simhashBucketStage(spark, sf)) == 1)
+  }
+
+  // ----- dictionary joins must stay unhinted (AQE decides) ----------------
+  // qt06/qt07 join an UNBOUNDED token dictionary (vocabulary grows with
+  // corpus — Heaps' law): a static broadcast() hint there is a 100 TB
+  // driver-OOM. The only legitimate hint in each query is the 1-row
+  // corpus-N cross frame. Counting ResolvedHint nodes in the analyzed plan
+  // pins that: a reintroduced broadcast(df) adds a second hint and fails.
+  for (name <- Seq("qt06_tfidf", "qt07_unigram_logprob")) {
+    test(s"$name: only the 1-row corpus-N frame is broadcast-hinted") {
+      val analyzed = Registry.byName(name).run(spark, sf)
+        .queryExecution.analyzed.toString
+      val hints = "ResolvedHint".r.findAllIn(analyzed).size
+      assert(hints == 1,
+        s"expected exactly 1 broadcast hint (corpus-N frame), found $hints — " +
+          "the unbounded dictionary join must stay unhinted for AQE")
     }
   }
 

@@ -216,6 +216,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup equals the batch drop rule (qst10)") {
+    val streamed = StreamingQueries.queries.find(_.name == "qst10_stream_neardup").get
+      .run(spark, sf)
+    // batch formulation of the same rule: drop b iff some a < b shares a
+    // 12-bit simhash chunk with Hamming(a, b) <= 12 (no bucket cap)
+    val sim = graft.ext.Dedup.withSimhash(graft.sources.Tables.documents(spark, sf))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+          .cast("long") * 4 + c): _*)).as("ck"))
+    val dropped = chunks.alias("x").join(chunks.alias("y"),
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.simhash ^ y.simhash) <= 12"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    val batch = sim.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("simhash"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions at watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Sessionize.Click]
