@@ -93,7 +93,7 @@ object Soak {
       else df.withColumn("vec_id", col("vec_id") + lit(k * vecOff))
         .withColumn("embedding", expr(
           s"""transform(embedding, (x, i) -> cast(x +
-             |(((vec_id * 31 + $k * 1103515245 + i * 12345) % 1000) / 10000.0 - 0.05)
+             |(((vec_id * 31L + ${k}L * 1103515245L + i * 12345L) % 1000L) / 10000.0 - 0.05)
              |as float))""".stripMargin.replace("\n", " ")))
     }, "embeddings")
   }

@@ -301,6 +301,119 @@ object TextAnalysis {
       |  CAST(CAST(sum(nll_q) AS BIGINT) AS DOUBLE) / 1e4 / count(*) AS mean_nll
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt09: repetition-based quality signals — the Gopher/MassiveText rules a
+  // production pre-filter runs: the fraction of all word 2-grams taken by
+  // the single most frequent one (boilerplate/listicle detector) and the
+  // fraction of 3-gram occurrences that are repeats. Grams are md5-hashed
+  // BEFORE the shuffle so group keys are fixed-width (the qd04 trick).
+  // All counts are exact integers; each output ratio is one IEEE division,
+  // so the oracle matches bit-for-bit. Shuffles: one groupBy(doc_id, gram)
+  // per gram order + the per-doc rollup — the same linear, partial-agg-
+  // heavy shape as qt06's tf counting.
+  // ---------------------------------------------------------------------
+  private def qt09(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    def gramCounts(n: Int) = toks
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${n - 1}), i -> md5(concat_ws(' ', slice(tk, i, $n))))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val a2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n2"))
+    val a3 = gramCounts(3).groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+    toks.select(col("doc_id"), size(col("tk")).as("n_words"))
+      .join(a2, Seq("doc_id"))
+      .join(a3, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("top2_n").cast("double") / col("n2")).as("top2gram_frac"),
+        ((col("n3") - col("d3")).cast("double") / col("n3")).as("dup3gram_frac"))
+  }
+
+  private val qt09Sql =
+    """WITH tks AS (
+      |  SELECT doc_id, tk FROM (
+      |    SELECT doc_id,
+      |      list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS tk
+      |    FROM documents)
+      |  WHERE len(tk) >= 3),
+      |c2 AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |      i -> md5(array_to_string(tk[i:i+1], ' ')))) AS g
+      |    FROM tks)
+      |  GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, max(c) AS top2_n, sum(c) AS n2 FROM c2 GROUP BY doc_id),
+      |c3 AS (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+      |      i -> md5(array_to_string(tk[i:i+2], ' ')))) AS g
+      |    FROM tks)
+      |  GROUP BY 1, 2),
+      |a3 AS (SELECT doc_id, sum(c) AS n3, count(*) AS d3 FROM c3 GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.tk) AS n_words,
+      |  CAST(top2_n AS DOUBLE) / n2 AS top2gram_frac,
+      |  CAST(n3 - d3 AS DOUBLE) / n3 AS dup3gram_frac
+      |FROM tks t
+      |JOIN a2 ON a2.doc_id = t.doc_id
+      |JOIN a3 ON a3.doc_id = t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt10: benchmark-contamination screening — the GPT-3-style n-gram
+  // decontamination pass: a document is contaminated if it shares a word
+  // 5-gram with the eval set (stand-in here: docs with doc_id % 97 = 0;
+  // in production the benchmark suite). Per corpus doc: distinct 5-grams,
+  // how many hit the eval set, the fraction, and the binary flag.
+  //
+  // Scale shape: unlike qt06/qt07's unbounded dictionaries, the broadcast
+  // here is justified BY CONSTRUCTION (qt08's argument): the eval side is
+  // a fixed benchmark suite, orders of magnitude smaller than the corpus
+  // and independent of corpus size. Corpus work is one gram explode + one
+  // per-doc rollup — linear, no self-join.
+  // ---------------------------------------------------------------------
+  private val EvalIdMod = 97
+
+  private def qt10(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalIdMod === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % EvalIdMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_grams")).as("contamination_frac"),
+        when(col("n_contaminated") > 0, 1L).otherwise(0L).as("is_contaminated"))
+  }
+
+  private val qt10Sql =
+    s"""WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      |    i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g
+      |  FROM (SELECT doc_id,
+      |          list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)) AS tk
+      |        FROM documents)
+      |  WHERE len(tk) >= 5),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $EvalIdMod = 0),
+      |corp AS (
+      |  SELECT g.doc_id, CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM g LEFT JOIN ev ON g.g = ev.g
+      |  WHERE g.doc_id % $EvalIdMod <> 0)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+      |  CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / count(*) AS contamination_frac,
+      |  CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS is_contaminated
+      |FROM corp GROUP BY doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -309,5 +422,7 @@ object TextAnalysis {
     Q("qt05_word_freq", qt05, Some(qt05Sql)),
     Q("qt06_tfidf", qt06, Some(qt06Sql)),
     Q("qt07_unigram_logprob", qt07, Some(qt07Sql)),
-    Q("qt08_unigram_capped", qt08, Some(qt08Sql)))
+    Q("qt08_unigram_capped", qt08, Some(qt08Sql)),
+    Q("qt09_gopher_repetition", qt09, Some(qt09Sql)),
+    Q("qt10_contamination", qt10, Some(qt10Sql)))
 }

@@ -99,7 +99,35 @@ object Scale {
     """SELECT l_orderkey, l_quantity, o_totalprice
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx03: deterministic stratified sampling — the mixture-control primitive
+  // of a training-data pipeline: per-source keep rates applied through a
+  // uniform md5-derived bucket of doc_id. No RNG state, so the sample is
+  // reproducible, independent of partitioning/visit order, and re-runnable
+  // incrementally (the same doc always lands on the same side — what
+  // `df.sample()` cannot promise across retries/scans at 100 TB). The
+  // predicate is a pure per-row projection of (doc_id, source): a map-side
+  // filter, no shuffle at all. Rate table: a literal CASE here (even
+  // sources 50%, odd 20%); a broadcast dim in production.
+  // ---------------------------------------------------------------------
+  private def qx03(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("rate", expr(
+        "CASE WHEN cast(substring(source, 4) as int) % 2 = 0 THEN 50 ELSE 20 END"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+
+  private val qx03Sql =
+    """SELECT doc_id, source,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
-    Q("qx02_bucketed_join", qx02, Some(qx02Sql)))
+    Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
+    Q("qx03_stratified_sample", qx03, Some(qx03Sql)))
 }

@@ -305,6 +305,34 @@ class TextSpec extends SparkSpec {
       .select("lang", "pred").collect()
     pred.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("gopher repetition: a fully repetitive doc maxes both fractions") {
+    import spark.implicits._
+    // "spam spam spam ..." → the one 2-gram takes 100% of 2-gram mass and
+    // every 3-gram occurrence beyond the first distinct one is a repeat
+    val out = Registry.byName("qt09_gopher_repetition").run(spark, sf)
+    assert(out.count() === Tables.documents(spark, sf)
+      .filter(size(expr("split(trim(text), '\\\\s+')")) >= 3).count())
+    assert(out.filter(col("top2gram_frac") < 0 || col("top2gram_frac") > 1 ||
+      col("dup3gram_frac") < 0 || col("dup3gram_frac") > 1).count() === 0)
+    val spam = Seq((1L, ("spam " * 10).trim)).toDF("doc_id", "text")
+    val dir = "/tmp/graft-qt09-spam"
+    spam.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("qt09_gopher_repetition").run(spark, dir).collect()(0)
+    assert(r.getAs[Double]("top2gram_frac") === 1.0)
+    // 8 trigram occurrences, 1 distinct → 7/8 repeats
+    assert(r.getAs[Double]("dup3gram_frac") === 7.0 / 8.0)
+  }
+
+  test("contamination: eval docs excluded, flags consistent, self-overlap detected") {
+    val out = Registry.byName("qt10_contamination").run(spark, sf)
+    assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
+    assert(out.filter(col("n_contaminated") > col("n_grams")).count() === 0)
+    assert(out.filter((col("is_contaminated") === 1) =!=
+      (col("n_contaminated") > 0)).count() === 0)
+    // the 31-token synthetic vocabulary guarantees some 5-gram collisions
+    assert(out.filter(col("is_contaminated") === 1).count() > 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

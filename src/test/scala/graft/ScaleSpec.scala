@@ -82,4 +82,23 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("stratified sample is deterministic, rate-bounded, and shuffle-free") {
+    val q = Registry.byName("qx03_stratified_sample")
+    val a = q.run(spark, sf)
+    val b = q.run(spark, sf)
+    // identical across runs (no RNG state — the reproducibility contract)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // every kept row satisfies its source's rate bound
+    val viol = a.filter(
+      (expr("cast(substring(source, 4) as int) % 2 = 0") && col("bucket") >= 50) ||
+        (expr("cast(substring(source, 4) as int) % 2 = 1") && col("bucket") >= 20))
+    assert(viol.count() === 0)
+    // md5 buckets are uniform enough that each stratum lands near its rate
+    val total = Tables.documents(spark, sf).count().toDouble
+    val kept = a.count().toDouble
+    assert(kept / total > 0.2 && kept / total < 0.5, s"overall keep ${kept / total}")
+    // pure map-side filter: no Exchange anywhere in the plan
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
