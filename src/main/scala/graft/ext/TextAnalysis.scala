@@ -414,6 +414,38 @@ object TextAnalysis {
       |  CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS is_contaminated
       |FROM corp GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt11: PII redaction — scrub emails and dashed/dotted phone numbers
+  // (the pre-training privacy pass), emitting per-doc redaction counts and
+  // the md5 of the redacted text so the full rewrite is oracle-checked
+  // without shipping a text column through the hash gate. Patterns stay in
+  // the character-class subset Java regex and RE2 read identically; Spark
+  // regexp_replace is replace-all by default, DuckDB needs the 'g' flag.
+  // Pure per-row projection: codegen'd, zero shuffle.
+  // ---------------------------------------------------------------------
+  private val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  private def qt11(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>")).as("redacted_hash"))
+
+  private val qt11Sql =
+    s"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '$emailPattern')) AS n_emails,
+      |  len(regexp_extract_all(text, '$phonePattern')) AS n_phones,
+      |  md5(regexp_replace(
+      |    regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+      |    '$phonePattern', '<PHONE>', 'g')) AS redacted_hash
+      |FROM documents""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -424,5 +456,6 @@ object TextAnalysis {
     Q("qt07_unigram_logprob", qt07, Some(qt07Sql)),
     Q("qt08_unigram_capped", qt08, Some(qt08Sql)),
     Q("qt09_gopher_repetition", qt09, Some(qt09Sql)),
-    Q("qt10_contamination", qt10, Some(qt10Sql)))
+    Q("qt10_contamination", qt10, Some(qt10Sql)),
+    Q("qt11_pii_redaction", qt11, Some(qt11Sql)))
 }

@@ -126,8 +126,51 @@ object Scale {
       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
       |      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx04: domain-mixing allocation — the other half of mixture control
+  // (qx03 executes a rate; this computes the rates): given a global token
+  // budget and per-source mixing weights, allocate tokens per source
+  // proportionally and derive the keep-rate each source needs. The
+  // Pile/Dolma-style planning step. All integer arithmetic (floor
+  // divisions on positive operands are identical in Spark `div` and DuckDB
+  // `//`), so the oracle matches exactly. Shape: one groupBy(source)
+  // (tiny: |sources| groups, partial-agg does the work) + a 1-row weight-
+  // sum frame joined via broadcast cross (the q17/qt06 corpus-N pattern).
+  // ---------------------------------------------------------------------
+  private val MixBudget = 1000000L // target tokens in the mixed corpus
+
+  private def qx04(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("weight", expr(
+        "CASE WHEN cast(substring(source, 4) as int) % 2 = 0 THEN 3L ELSE 1L END"))
+    val wsum = perSource.agg(sum(col("weight")).as("wsum"))
+    perSource.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr(s"$MixBudget * weight div wsum").as("alloc_tokens"))
+      .withColumn("keep_rate_pct",
+        least(lit(100L), expr("alloc_tokens * 100 div n_tokens")))
+  }
+
+  private val qx04Sql =
+    s"""WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3 ELSE 1 END AS weight
+      |  FROM documents GROUP BY source),
+      |ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM per_source)
+      |SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+      |  CAST($MixBudget * weight // wsum AS BIGINT) AS alloc_tokens,
+      |  least(100, CAST(($MixBudget * weight // wsum) * 100 // n_tokens AS BIGINT))
+      |    AS keep_rate_pct
+      |FROM per_source, ws""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
-    Q("qx03_stratified_sample", qx03, Some(qx03Sql)))
+    Q("qx03_stratified_sample", qx03, Some(qx03Sql)),
+    Q("qx04_domain_mix", qx04, Some(qx04Sql)))
 }

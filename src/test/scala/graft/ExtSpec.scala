@@ -333,6 +333,33 @@ class TextSpec extends SparkSpec {
     // the 31-token synthetic vocabulary guarantees some 5-gram collisions
     assert(out.filter(col("is_contaminated") === 1).count() > 0)
   }
+
+  test("PII redaction: counts and rewrite match JVM regex on planted PII") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or 555-867-5309 now"),
+      (2L, "two mails a@b.io c@d.org and dotted phone 123.456.7890"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val dir = "/tmp/graft-qt11-pii"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("qt11_pii_redaction").run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[String]("redacted_hash"))).toMap
+    assert(out(1L)._1 === 1 && out(1L)._2 === 1)
+    assert(out(2L)._1 === 2 && out(2L)._2 === 1)
+    assert(out(3L)._1 === 0 && out(3L)._2 === 0)
+    // JVM-side reference rewrite hashes identically
+    def jvm(s: String): String = {
+      val red = s
+        .replaceAll("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+        .replaceAll("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>")
+      java.security.MessageDigest.getInstance("MD5").digest(red.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(out(1L)._3 === jvm("contact me at jane.doe+spam@example.co.uk or 555-867-5309 now"))
+    assert(out(3L)._3 === jvm("no pii here at all"))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

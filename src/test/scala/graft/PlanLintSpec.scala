@@ -19,6 +19,7 @@ class PlanLintSpec extends SparkSpec {
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
+    "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qa01_asof_join",     // range condition on window carry output

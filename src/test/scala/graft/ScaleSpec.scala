@@ -101,4 +101,18 @@ class ScaleSpec extends SparkSpec {
     // pure map-side filter: no Exchange anywhere in the plan
     assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("domain mix: allocations proportional to weight, rates consistent") {
+    val out = Registry.byName("qx04_domain_mix").run(spark, sf).collect()
+    val budget = 1000000L
+    val wsum = out.map(_.getAs[Long]("weight")).sum
+    out.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") === budget * r.getAs[Long]("weight") / wsum)
+      val expectRate = math.min(100L,
+        r.getAs[Long]("alloc_tokens") * 100 / r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("keep_rate_pct") === expectRate)
+    }
+    // total allocation never exceeds the budget (floor division only loses)
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum <= budget)
+  }
 }
