@@ -34,7 +34,8 @@ object Registry {
       graft.ext.Similarity.queries ++
       graft.ext.Clustering.queries ++
       graft.ext.TextAnalysis.queries ++
-      graft.ext.Multimodal.queries
+      graft.ext.Multimodal.queries ++
+      graft.ext.Pipeline.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -341,10 +341,13 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.TokenSimHash.simhash(col("toks"), SimBits).as("simhash"))
 
-  private[graft] val simhashSqlCte =
+  /** The simhash CTE chain over an arbitrary (doc_id, text) relation —
+    * reused by qd06/qd07/qst10 (over `documents`) and the e2e pipeline
+    * (over its dedup-survivor CTE). */
+  private[graft] def simhashSqlCteFrom(rel: String): String =
     s"""tokenized AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM documents WHERE len(trim(text)) > 0),
+       |  FROM $rel WHERE len(trim(text)) > 0),
        |hashed AS (
        |  SELECT doc_id,
        |    list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS tokh
@@ -362,6 +365,8 @@ object Dedup {
        |    j -> CASE WHEN bitsum[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT)
        |         ELSE CAST(0 AS BIGINT) END)) AS simhash
        |  FROM summed)""".stripMargin
+
+  private[graft] val simhashSqlCte: String = simhashSqlCteFrom("documents")
 
   private def qd06(s: SparkSession, d: String): DataFrame =
     withSimhash(Tables.documents(s, d))

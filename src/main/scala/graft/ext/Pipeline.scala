@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** End-to-end training-data ingest pipeline — the composition a user of
+  * this engine actually runs over a raw document dump, as one gated query:
+  *
+  *   1. quality gate: ≥ 10 whitespace tokens (stand-in for the qt02/qt09
+  *      score thresholds — the filter STRUCTURE is what the pipeline pins);
+  *   2. exact dedup: keep the minimum doc_id per md5(text) (qd01 policy);
+  *   3. near-dup drop over the survivors: drop b iff some surviving a < b
+  *      shares a 12-bit SimHash chunk with Hamming ≤ 12 (the qd07/qst10
+  *      cascade-free rule);
+  *   4. stratified sample: qx03's deterministic md5-bucket per-source
+  *      rates (even sources 50%, odd 20%);
+  *   5. report: per-source document and token counts of the final corpus.
+  *
+  * Every stage is deterministic (hash policies, no RNG), so the whole
+  * composition is DuckDB-oracle-gated end to end — the property that lets
+  * a pipeline owner refactor any stage and prove the corpus unchanged.
+  *
+  * Scale shape: stage shuffles are the stages' own (text-hash window, one
+  * chunk groupBy for near-dup candidates, final per-source rollup); no
+  * stage introduces a join or shuffle beyond what its standalone query
+  * (qd01/qd07/qx03) already pays, and the final report is |sources| rows.
+  */
+object Pipeline {
+
+  private val MinTokens = 10
+  private val HammingMax = 12
+
+  /** Survivors of quality gate + exact dedup + near-dup drop + sampling,
+    * with (doc_id, text, source, nt). Package-private for the spec. */
+  private[graft] def sampledCorpus(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.documents(s, d)
+      .withColumn("nt", size(expr("split(trim(text), '\\\\s+')")).cast("long"))
+      .filter(col("nt") >= MinTokens)
+    // exact dedup: min doc_id per content hash (one shuffle on md5)
+    val dedup = qual
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    // near-dup drop among survivors: SimHash chunks → capped-free exact
+    // rule (chunk equi-join; both ends must be survivors)
+    val sim = Dedup.withSimhash(dedup.select(col("doc_id"), col("text")))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+          .cast("long") * 4 + c): _*)).as("ck"))
+    val dropped = chunks.alias("x").join(chunks.alias("y"),
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
+          expr(s"bit_count(x.simhash ^ y.simhash) <= $HammingMax"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    val kept = dedup.join(dropped, Seq("doc_id"), "left_anti")
+    // deterministic stratified sample (qx03 rates)
+    kept
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("rate", expr(
+        "CASE WHEN cast(substring(source, 4) as int) % 2 = 0 THEN 50 ELSE 20 END"))
+      .filter(col("bucket") < col("rate"))
+  }
+
+  private def qp01(s: SparkSession, d: String): DataFrame =
+    sampledCorpus(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+
+  private val qp01Sql =
+    s"""WITH qual AS (
+      |  SELECT doc_id, text, source,
+      |    len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $MinTokens),
+      |dedup AS (
+      |  SELECT doc_id, text, source, nt FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM qual)
+      |  WHERE rn = 1),
+      |${Dedup.simhashSqlCteFrom("dedup")},
+      |chunks AS (
+      |  SELECT doc_id, simhash,
+      |    ((simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096) * 4 + c AS ck
+      |  FROM simhashed, range(0, 4) t(c)),
+      |dup AS (
+      |  SELECT DISTINCT y.doc_id
+      |  FROM chunks x JOIN chunks y
+      |    ON x.ck = y.ck AND x.doc_id < y.doc_id
+      |   AND bit_count(xor(x.simhash, y.simhash)) <= $HammingMax),
+      |sampled AS (
+      |  SELECT d.source, d.nt FROM dedup d
+      |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+      |    AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      |        < CASE WHEN CAST(substr(d.source, 4) AS INT) % 2 = 0 THEN 50 ELSE 20 END)
+      |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      |FROM sampled GROUP BY source""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qp01_pipeline_e2e", qp01, Some(qp01Sql)))
+}

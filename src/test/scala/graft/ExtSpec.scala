@@ -362,6 +362,42 @@ class TextSpec extends SparkSpec {
   }
 }
 
+class PipelineSpec extends SparkSpec {
+
+  test("e2e pipeline invariants: dedup'd, near-dup-free, rate-bounded, deterministic") {
+    val corpus = graft.ext.Pipeline.sampledCorpus(spark, sf).cache()
+    // quality gate
+    assert(corpus.filter(col("nt") < 10).count() === 0)
+    // exact dedup: no two survivors share text
+    assert(corpus.select(md5(col("text"))).distinct().count() === corpus.count())
+    // near-dup-free: no surviving pair shares a simhash chunk within Hamming 12
+    val sim = corpus.select(col("doc_id"),
+      graft.functions.TokenSimHash.simhash(
+        expr("split(trim(text), '\\\\s+')"), 48).as("simhash"))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+          .cast("long") * 4 + c): _*)).as("ck"))
+    val nearPairs = chunks.alias("x").join(chunks.alias("y"),
+      col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
+        expr("bit_count(x.simhash ^ y.simhash) <= 12"))
+    assert(nearPairs.count() === 0, "near-dup pair survived the pipeline")
+    // sampling rule holds
+    assert(corpus.filter(
+      (expr("cast(substring(source, 4) as int) % 2 = 0") && col("bucket") >= 50) ||
+        (expr("cast(substring(source, 4) as int) % 2 = 1") && col("bucket") >= 20))
+      .count() === 0)
+    // deterministic end to end
+    val again = graft.ext.Pipeline.sampledCorpus(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet === again)
+    // the report aggregates exactly the sampled corpus
+    val report = Registry.byName("qp01_pipeline_e2e").run(spark, sf).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum === corpus.count())
+    corpus.unpersist()
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("stubbed decode features match JVM reference") {
