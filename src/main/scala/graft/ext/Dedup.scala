@@ -541,14 +541,20 @@ object Dedup {
     val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
+    // Degree is loop-invariant: attach it to the edge list ONCE (eagerly
+    // checkpointed) instead of re-joining outdeg inside every iteration —
+    // each PageRank round is then a single join with the current ranks.
     val nodes = edges.select(col("src").as("id")).distinct().cache()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val degEdges = edges
+      .join(outdeg.withColumnRenamed("src", "d_id"), col("src") === col("d_id"))
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint(true)
     var ranks = nodes.select(col("id"), lit(RankScale).as("r"))
     for (_ <- 1 to RankIters) {
-      val contrib = edges
+      val contrib = degEdges
         .join(ranks.withColumnRenamed("id", "r_id"), col("src") === col("r_id"))
-        .join(outdeg.withColumnRenamed("src", "d_id"), col("src") === col("d_id"))
         .select(col("dst").as("id"), expr("r div deg").as("contrib"))
         .groupBy(col("id")).agg(sum(col("contrib")).as("s"))
       ranks = nodes.join(contrib, Seq("id"), "left")
@@ -562,7 +568,7 @@ object Dedup {
     // qd03's sigs; same executor-loss caveat (see qd03 comment).
     val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
       .localCheckpoint(true)
-    pairs.unpersist(); edges.unpersist(); nodes.unpersist()
+    pairs.unpersist(); nodes.unpersist()
     out
   }
 

@@ -151,4 +151,34 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, tests = 10)
   }
+
+  test("property: pointer-doubling components match union-find on random graphs") {
+    val edgeGen = SGen.listOfN(40,
+      SGen.zip(SGen.chooseNum(0L, 29L), SGen.chooseNum(0L, 29L)))
+    val prop = Prop.forAll(edgeGen) { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      edges.isEmpty || {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        // min-id canonicalization: union-find with min-root merging yields
+        // the component minimum as root for every member
+        val got = graft.ext.Dedup.components(
+          edges.toDF("doc_a", "doc_b"), maxRounds = 15)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }
+    check(prop, tests = 10)
+  }
 }
