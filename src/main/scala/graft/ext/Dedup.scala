@@ -176,9 +176,16 @@ object Dedup {
       .select(explode(pairExplode).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+    // merge hints: sigs (per-doc) and cand (candidate pairs) BOTH grow with
+    // the corpus, so neither side is ever broadcast-safe — and the static
+    // planner's size estimate after explode+aggregate chains is unreliable
+    // (it guessed "small" for a 150k-doc corpus and chose a broadcast that
+    // OOM'd the 30× soak in qd04's identical shape). The hint pins the
+    // shuffle join the 100 TB plan needs; PlanLintSpec asserts no
+    // BroadcastExchange anywhere in qd03/qd04.
     cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("merge"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr(s"cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / $NumHashes")
           .as("est_jaccard"))
@@ -269,9 +276,12 @@ object Dedup {
       .select(explode(pairExplode).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    // merge hints: common (pairs) and counts (per-doc) both grow with the
+    // corpus — see qd03's comment; the unhinted static plan broadcast one
+    // of these from a bogus estimate and OOM'd at the 30× soak scale.
     common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")).hint("merge"), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")).hint("merge"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
           .as("jaccard"))

@@ -52,11 +52,14 @@ object Pipeline {
       explode(array((0 until 4).map(c =>
         expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
           .cast("long") * 4 + c): _*)).as("ck"))
-    val dropped = chunks.alias("x").join(chunks.alias("y"),
+    // merge hints: the chunk self-join and the anti-join's dropped set are
+    // corpus-sized on both sides — never broadcast-safe, and the static
+    // planner misestimates post-explode/distinct sizes (see Dedup qd03/qd04).
+    val dropped = chunks.alias("x").join(chunks.alias("y").hint("merge"),
         col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
           expr(s"bit_count(x.simhash ^ y.simhash) <= $HammingMax"))
       .select(col("y.doc_id").as("doc_id")).distinct()
-    val kept = dedup.join(dropped, Seq("doc_id"), "left_anti")
+    val kept = dedup.join(dropped.hint("merge"), Seq("doc_id"), "left_anti")
     // deterministic stratified sample (qx03 rates)
     kept
       .withColumn("bucket", expr(

@@ -325,9 +325,12 @@ object TextAnalysis {
       .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n2"))
     val a3 = gramCounts(3).groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+    // merge hints: a2/a3 are per-doc aggregates — corpus-sized, never
+    // broadcast-safe; the static planner's post-explode estimates are
+    // unreliable (see Dedup qd03/qd04). PlanLint asserts no broadcast here.
     toks.select(col("doc_id"), size(col("tk")).as("n_words"))
-      .join(a2, Seq("doc_id"))
-      .join(a3, Seq("doc_id"))
+      .join(a2.hint("merge"), Seq("doc_id"))
+      .join(a3.hint("merge"), Seq("doc_id"))
       .select(col("doc_id"), col("n_words"),
         (col("top2_n").cast("double") / col("n2")).as("top2gram_frac"),
         ((col("n3") - col("d3")).cast("double") / col("n3")).as("dup3gram_frac"))

@@ -213,6 +213,40 @@ class SimilaritySpec extends SparkSpec {
       s"recall@3 at K=16, nprobe=4 is ${grid((16, 4))} < 0.9 (grid: $grid)")
   }
 
+  test("LSH ANN recall@3 >= 0.9 at nprobe=4 on the planted-cluster corpus") {
+    // Same planted corpus as the IVF gate (written by the test above —
+    // regenerate here so test order doesn't matter). Cluster members are
+    // near-identical vectors, so they fall in the same hyperplane sign
+    // bucket; multi-probe covers the boundary cases.
+    import spark.implicits._
+    def lcg(i: Long): Double = (((1103515245L * i + 12345L) % 65536L + 65536L) % 65536L) / 65536.0 - 0.5
+    val rows = (0L until 500L).map { id =>
+      val cl = (id % 16).toInt
+      (id, Array.tabulate(64) { j =>
+        (4.0 * lcg(cl * 64 + j) + 0.05 * lcg(100000L + id * 64 + j)).toFloat
+      })
+    }
+    val dir = "/tmp/graft-lsh-recall"
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    val exact = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("q_id", "n_id")
+    val denom = exact.count().toDouble
+    val hits = Similarity.lshAnn(spark, dir, numPlanes = 4, nprobe = 4, topK = 3)
+      .select("q_id", "n_id").join(exact, Seq("q_id", "n_id")).count()
+    assert(hits / denom >= 0.9, s"LSH recall@3 ${hits / denom} < 0.9")
+  }
+
   test("IVF recall grid on the driver corpus: monotone, beats fraction-scanned") {
     val grid = recallGrid(sf, Seq(16, 64), Seq(1, 2, 4))
     for (k <- Seq(16, 64)) {

@@ -112,6 +112,23 @@ class PlanLintSpec extends SparkSpec {
     assert(shuffleExchanges(graft.ext.Dedup.simhashBucketStage(spark, sf)) == 1)
   }
 
+  // ----- corpus-sized joins must never broadcast --------------------------
+  // Joins whose BOTH sides grow with the corpus (per-doc aggregates,
+  // candidate-pair sets) are never broadcast-safe, and the static planner's
+  // size estimates after explode/aggregate chains are unreliable: at the
+  // 30× soak scale it estimated a 150k-doc counts frame "small", chose a
+  // broadcast, and OOM'd qd04. The shuffle join is pinned with merge hints
+  // in the queries; this asserts the resulting plan carries no broadcast.
+  for (name <- Seq("qd03_minhash_lsh_pairs", "qd04_ngram_jaccard",
+      "qt09_gopher_repetition", "qp01_pipeline_e2e")) {
+    test(s"$name: no broadcast of corpus-sized frames") {
+      val plan = Registry.byName(name).run(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"corpus-sized frame broadcast in $name")
+    }
+  }
+
   // ----- dictionary joins must stay unhinted (AQE decides) ----------------
   // qt06/qt07 join an UNBOUNDED token dictionary (vocabulary grows with
   // corpus — Heaps' law): a static broadcast() hint there is a 100 TB
