@@ -485,13 +485,17 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      // (1) neighbor-min: label ← min(label, min of neighbors' labels)
-      val propagated = labels.join(
-        edges.join(labels, col("src") === col("id"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nbr")),
-        col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // (1) neighbor-min: label ← min(label, min of neighbors' labels).
+      // The incoming label rides along as `old` so the convergence check
+      // is a flag aggregate over the materialized round frame instead of
+      // an extra join+pass against the previous labels.
+      val propagated = labels.select(col("id"), col("label").as("old"))
+        .join(
+          edges.join(labels, col("src") === col("id"))
+            .groupBy(col("dst")).agg(min(col("label")).as("nbr")),
+          col("id") === col("dst"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
       // (2) pointer doubling: label ← label(label). Every label value is
       // itself a node id (it started as one), so the self-join always
       // resolves; coalesce covers the already-minimal fixed points.
@@ -499,12 +503,13 @@ object Dedup {
         propagated.select(col("id").as("l_id"), col("label").as("l_label")),
         col("label") === col("l_id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"),
+          col("old"))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("old")).cast("long").as("chg"))
         .localCheckpoint(true)
-      changed = next.alias("n")
-        .join(labels.select(col("id"), col("label").as("old")).alias("o"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
+      labels = next.select(col("id"), col("label"))
       round += 1
     }
     // Non-convergence must be loud: a silently truncated propagation would
