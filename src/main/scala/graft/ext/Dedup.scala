@@ -269,6 +269,11 @@ object Dedup {
     // pair explosion both derive from them — the shingle explode runs
     // once and there is no inverted-index self-join at all (same values
     // as the self-join formulation, which the oracle retains).
+    // NOT checkpointed (measured): the posting subtree appears three times
+    // in the plan (common + two counts joins), but AQE's stage cache
+    // already reuses the identical shingle-explode Exchange at runtime —
+    // an eager localCheckpoint here measured 45% SLOWER at sf0.1 (adds a
+    // materialization barrier and breaks consumer pipelining).
     val posting = postingStage(s, d)
     val counts = posting.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
