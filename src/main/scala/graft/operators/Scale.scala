@@ -168,9 +168,53 @@ object Scale {
       |    AS keep_rate_pct
       |FROM per_source, ws""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx05: sequence packing — assign documents to fixed-capacity training
+  // contexts (4096 tokens) by contiguous cumulative offset within each
+  // source shard: bin = floor(starting_offset / 4096) over a doc_id-ordered
+  // running sum. Deterministic (no bin-packing heuristics with tie-break
+  // ambiguity), and the per-shard window is exactly how packing runs in
+  // practice: sequential within a shard, parallel across shards — one
+  // shuffle on source, then a sorted window pass. Output: per (source, bin)
+  // doc count, token count, and fill rate (exact-integer counts, single
+  // IEEE division).
+  // ---------------------------------------------------------------------
+  private val SeqLen = 4096L
+
+  private def qx05(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("bin", expr(s"(cum - nt) div $SeqLen"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("fill_rate",
+        expr(s"cast(least(n_tokens, $SeqLen) as double) / $SeqLen"))
+  }
+
+  private val qx05Sql =
+    s"""WITH docs AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+      |  FROM documents),
+      |binned AS (
+      |  SELECT source, doc_id, nt,
+      |    (sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+      |                   ROWS UNBOUNDED PRECEDING) - nt) // $SeqLen AS bin
+      |  FROM docs)
+      |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(least(CAST(sum(nt) AS BIGINT), $SeqLen) AS DOUBLE) / $SeqLen AS fill_rate
+      |FROM binned GROUP BY source, bin""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
     Q("qx03_stratified_sample", qx03, Some(qx03Sql)),
-    Q("qx04_domain_mix", qx04, Some(qx04Sql)))
+    Q("qx04_domain_mix", qx04, Some(qx04Sql)),
+    Q("qx05_sequence_packing", qx05, Some(qx05Sql)))
 }

@@ -115,4 +115,19 @@ class ScaleSpec extends SparkSpec {
     // total allocation never exceeds the budget (floor division only loses)
     assert(out.map(_.getAs[Long]("alloc_tokens")).sum <= budget)
   }
+
+  test("sequence packing: bins contiguous per source, tokens conserved") {
+    val out = Registry.byName("qx05_sequence_packing").run(spark, sf).collect()
+    val total = Tables.documents(spark, sf)
+      .select(size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+      .agg(sum("nt")).collect()(0).getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === total, "tokens not conserved")
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      // docs are << 4096 tokens at test SF, so occupied bins are contiguous
+      val bins = rows.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins === bins.indices.map(_.toLong), s"$src bins not contiguous: $bins")
+    }
+    assert(out.forall(r => r.getAs[Double]("fill_rate") > 0
+      && r.getAs[Double]("fill_rate") <= 1.0))
+  }
 }
