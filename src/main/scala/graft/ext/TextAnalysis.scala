@@ -398,7 +398,7 @@ object TextAnalysis {
         when(col("n_contaminated") > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
-  private val qt10Sql =
+  private[graft] val qt10Sql =
     s"""WITH g AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
       |    i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g

@@ -399,6 +399,49 @@ object StreamingQueries {
        |FROM simhashed s
        |WHERE s.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst11: streaming contamination gate — the ingest-time face of the
+  // batch decontamination pass (qt10, whose oracle this query reuses
+  // VERBATIM): documents stream in, their distinct 5-gram md5s explode
+  // map-side, a stream-static broadcast join flags grams against the
+  // (bounded by construction) eval set, and an update-mode per-doc
+  // aggregation emits overlap counts. The eval set is derived batch-side
+  // from the same table (doc_id % 97 = 0 — stand-in benchmark suite).
+  // ---------------------------------------------------------------------
+  private def qst11(s: SparkSession, d: String): DataFrame = {
+    val evalMod = 97
+    def gramsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), expr(
+        "transform(split(trim(text), '\\\\s+'), t -> lower(t))").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
+        .as("g"))
+    val evalGrams = gramsOf( // static side, batch read
+      s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % evalMod === 0))
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    val schema: StructType = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .filter(col("doc_id") % evalMod =!= 0)
+    val name = s"graft_contam_${counter.incrementAndGet()}"
+    val q = gramsOf(stream)
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        max(col("n_contaminated")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_grams")).as("contamination_frac"),
+        when(col("n_contaminated") > 0, 1L).otherwise(0L).as("is_contaminated"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -409,5 +452,8 @@ object StreamingQueries {
     Q("qst07_stream_interval_join", qst07, Some(qst07Sql)),
     Q("qst08_stream_running_counters", qst08, Some(qst08Sql)),
     Q("qst09_stream_outer_join", qst09, Some(qst09Sql)),
-    Q("qst10_stream_neardup", qst10, Some(qst10Sql)))
+    Q("qst10_stream_neardup", qst10, Some(qst10Sql)),
+    // same semantics, same oracle as batch qt10 — the streaming/batch
+    // consistency contract, stated by construction
+    Q("qst11_stream_contamination", qst11, Some(graft.ext.TextAnalysis.qt10Sql)))
 }

@@ -30,7 +30,8 @@ class PlanLintSpec extends SparkSpec {
     "qst03_stream_dedup", "qst04_stream_watermark_append",
     "qst05_replay_source_ysb", "qst06_stream_session",
     "qst07_stream_interval_join", "qst08_stream_running_counters",
-    "qst09_stream_outer_join", "qst10_stream_neardup", "qx02_bucketed_join")
+    "qst09_stream_outer_join", "qst10_stream_neardup",
+    "qst11_stream_contamination", "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {

@@ -237,6 +237,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming contamination gate equals batch qt10 (qst11)") {
+    val streamed = StreamingQueries.queries
+      .find(_.name == "qst11_stream_contamination").get.run(spark, sf)
+    val batch = Registry.byName("qt10_contamination").run(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions at watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Sessionize.Click]
