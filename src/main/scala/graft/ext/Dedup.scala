@@ -617,6 +617,77 @@ object Dedup {
        |SELECT id AS doc_id, r AS rank_fp FROM r$RankIters""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qd10: content-defined chunking — sub-document dedup analysis (the
+  // paragraph-level pass of a RefinedWeb-style pipeline): token boundaries
+  // where md5(token) % 16 == 0 split each document into content-defined
+  // chunks (boundaries move with the CONTENT, so an insertion only
+  // reshapes neighboring chunks — the CDC property fixed-size chunking
+  // lacks); chunk hashes are compared corpus-wide and each doc reports
+  // how many of its chunks also appear in other documents.
+  //
+  // Scale shape: one explode + per-doc window (partitioned by doc_id —
+  // parallel across docs), one groupBy(doc, chunk), one groupBy(chunk
+  // hash), one merge-hinted join (chunk table is corpus-sized on both
+  // sides — see the broadcast-estimate note on qd03). Everything shuffled
+  // is fixed-width hashes or (doc, pos) pairs.
+  // ---------------------------------------------------------------------
+  private val CdcBoundaryMod = 16
+
+  private def qd10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(expr("split(trim(text), '\\\\s+')")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("boundary", expr(
+        s"case when cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % $CdcBoundaryMod = 0 then 1 else 0 end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = tok.withColumn("chunk_id", sum(col("boundary")).over(w))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+        .as("ch"))
+    val spread = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(spread.hint("merge"), Seq("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") / col("n_chunks")).as("shared_frac"))
+  }
+
+  private val qd10Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok
+       |  FROM toks),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $CdcBoundaryMod = 0
+       |         THEN 1 ELSE 0 END AS boundary
+       |  FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, pos, tok,
+       |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS UNBOUNDED PRECEDING) AS chunk_id
+       |  FROM flagged),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+       |  FROM chunked GROUP BY doc_id, chunk_id),
+       |spread AS (SELECT ch, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY ch)
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       |  CAST(CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS shared_frac
+       |FROM chunks c JOIN spread s ON s.ch = c.ch
+       |GROUP BY c.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
@@ -628,5 +699,6 @@ object Dedup {
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
     Q("qd08_dedup_components", qd08, Some(qd08Sql)),
-    Q("qd09_graph_rank", qd09, Some(qd09Sql)))
+    Q("qd09_graph_rank", qd09, Some(qd09Sql)),
+    Q("qd10_cdc_chunks", qd10, Some(qd10Sql)))
 }

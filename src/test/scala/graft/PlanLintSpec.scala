@@ -121,7 +121,7 @@ class PlanLintSpec extends SparkSpec {
   // broadcast, and OOM'd qd04. The shuffle join is pinned with merge hints
   // in the queries; this asserts the resulting plan carries no broadcast.
   for (name <- Seq("qd03_minhash_lsh_pairs", "qd04_ngram_jaccard",
-      "qt09_gopher_repetition", "qp01_pipeline_e2e")) {
+      "qt09_gopher_repetition", "qp01_pipeline_e2e", "qd10_cdc_chunks")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
