@@ -27,38 +27,72 @@ import graft.sources.Tables
   * Scale shape: stage shuffles are the stages' own (text-hash window, one
   * chunk groupBy for near-dup candidates, final per-source rollup); no
   * stage introduces a join or shuffle beyond what its standalone query
-  * (qd01/qd07/qx03) already pays, and the final report is |sources| rows.
+  * (qd01/qd07/qx03) already pays — INCLUDING qd07's bucket cap: the
+  * near-dup candidate stage is the same capped groupBy(chunk) shape
+  * ([[Dedup.BucketCap]] bounds the worst bucket's pair fan-out), so one
+  * hot 12-bit chunk cannot make the pipeline quadratic where the
+  * standalone query would have skipped it. Skipped buckets are observable
+  * via [[oversizedBuckets]], mirroring Dedup.oversizedLshBuckets.
   */
 object Pipeline {
 
   private val MinTokens = 10
   private val HammingMax = 12
 
-  /** Survivors of quality gate + exact dedup + near-dup drop + sampling,
-    * with (doc_id, text, source, nt). Package-private for the spec. */
-  private[graft] def sampledCorpus(s: SparkSession, d: String): DataFrame = {
+  /** Quality-gate + exact-dedup survivors with (doc_id, text, source, nt). */
+  private def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
     val qual = Tables.documents(s, d)
       .withColumn("nt", size(expr("split(trim(text), '\\\\s+')")).cast("long"))
       .filter(col("nt") >= MinTokens)
     // exact dedup: min doc_id per content hash (one shuffle on md5)
-    val dedup = qual
+    qual
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
-    // near-dup drop among survivors: SimHash chunks → capped-free exact
-    // rule (chunk equi-join; both ends must be survivors)
-    val sim = Dedup.withSimhash(dedup.select(col("doc_id"), col("text")))
-    val chunks = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
-          .cast("long") * 4 + c): _*)).as("ck"))
-    // merge hints: the chunk self-join and the anti-join's dropped set are
-    // corpus-sized on both sides — never broadcast-safe, and the static
-    // planner misestimates post-explode/distinct sizes (see Dedup qd03/qd04).
-    val dropped = chunks.alias("x").join(chunks.alias("y").hint("merge"),
-        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
-          expr(s"bit_count(x.simhash ^ y.simhash) <= $HammingMax"))
-      .select(col("y.doc_id").as("doc_id")).distinct()
+  }
+
+  /** Near-dup candidate buckets over the dedup survivors, BEFORE the cap
+    * filter: one groupBy(chunk-key) shuffle carrying sorted (doc_id,
+    * simhash) structs — identical shape to Dedup.simhashBucketStage. */
+  private def nearDupBuckets(dedup: DataFrame): DataFrame =
+    Dedup.withSimhash(dedup.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+            .cast("long") * 4 + c): _*)).as("ck"))
+      .select(col("ck"), struct(col("doc_id"), col("simhash")).as("ds"))
+      .groupBy(col("ck"))
+      .agg(sort_array(collect_list(col("ds"))).as("ids")) // sorts by doc_id
+
+  /** Buckets the pipeline's near-dup stage skips (> BucketCap members) —
+    * the observable-drops channel, symmetric to Dedup.oversizedLshBuckets;
+    * asserted empty in the soak's linearity preconditions. */
+  def oversizedBuckets(s: SparkSession, d: String): DataFrame =
+    nearDupBuckets(dedupSurvivors(s, d))
+      .filter(size(col("ids")) > Dedup.BucketCap)
+      .select(col("ck"), size(col("ids")).as("n"))
+
+  /** Survivors of quality gate + exact dedup + near-dup drop + sampling,
+    * with (doc_id, text, source, nt). Package-private for the spec. */
+  private[graft] def sampledCorpus(s: SparkSession, d: String): DataFrame = {
+    val dedup = dedupSurvivors(s, d)
+    // near-dup drop among survivors: the qd07 capped-bucket shape — pair
+    // explosion is map-side after the one groupBy(chunk) shuffle, bounded
+    // by BucketCap² per bucket; oversized buckets are skipped (observable
+    // above), exactly as the standalone query does.
+    val dropped = nearDupBuckets(dedup)
+      .filter(size(col("ids")).between(2, Dedup.BucketCap))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    b -> struct(b.doc_id AS doc_id,
+          |      bit_count(element_at(ids, i).simhash ^ b.simhash) AS hamming))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .filter(col("p.hamming") <= HammingMax)
+      .select(col("p.doc_id").as("doc_id")).distinct()
+    // merge hint: the dropped set is corpus-sized — never broadcast-safe,
+    // and the static planner misestimates post-explode/distinct sizes
+    // (see Dedup qd03/qd04).
     val kept = dedup.join(dropped.hint("merge"), Seq("doc_id"), "left_anti")
     // deterministic stratified sample (qx03 rates)
     kept
@@ -90,11 +124,15 @@ object Pipeline {
       |  SELECT doc_id, simhash,
       |    ((simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096) * 4 + c AS ck
       |  FROM simhashed, range(0, 4) t(c)),
+      |kept_buckets AS (
+      |  SELECT ck FROM chunks GROUP BY ck
+      |  HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
       |dup AS (
       |  SELECT DISTINCT y.doc_id
       |  FROM chunks x JOIN chunks y
       |    ON x.ck = y.ck AND x.doc_id < y.doc_id
-      |   AND bit_count(xor(x.simhash, y.simhash)) <= $HammingMax),
+      |   AND bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+      |  JOIN kept_buckets k ON k.ck = x.ck),
       |sampled AS (
       |  SELECT d.source, d.nt FROM dedup d
       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)

@@ -367,17 +367,26 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   // qt10: benchmark-contamination screening — the GPT-3-style n-gram
   // decontamination pass: a document is contaminated if it shares a word
-  // 5-gram with the eval set (stand-in here: docs with doc_id % 97 = 0;
-  // in production the benchmark suite). Per corpus doc: distinct 5-grams,
-  // how many hit the eval set, the fraction, and the binary flag.
+  // 5-gram with the eval set (stand-in here: the FIXED doc-id range
+  // doc_id < EvalDocCount; in production the benchmark suite). Per corpus
+  // doc: distinct 5-grams, how many hit the eval set, the fraction, and
+  // the binary flag.
   //
   // Scale shape: unlike qt06/qt07's unbounded dictionaries, the broadcast
-  // here is justified BY CONSTRUCTION (qt08's argument): the eval side is
-  // a fixed benchmark suite, orders of magnitude smaller than the corpus
-  // and independent of corpus size. Corpus work is one gram explode + one
-  // per-doc rollup — linear, no self-join.
+  // here is justified BY CONSTRUCTION (qt08's argument) — and the
+  // construction must actually deliver it: the eval side is a fixed
+  // NUMBER OF DOCUMENTS (doc_id < 32), so its gram set is independent of
+  // corpus size, exactly like a real benchmark suite. (A proportional
+  // stand-in such as doc_id % k = 0 grows linearly with the corpus and
+  // turns the static broadcast into a guaranteed driver OOM at 100 TB —
+  // the same bug class the 30× soak caught in qd04.) The doc_id bound is
+  // pushed to the eval-side parquet scan, and PlanLintSpec pins both the
+  // pushdown and the single-BroadcastExchange shape. Corpus work is one
+  // gram explode + one per-doc rollup — linear, no self-join.
   // ---------------------------------------------------------------------
-  private val EvalIdMod = 97
+  /** Fixed size of the stand-in eval set, shared with the streaming gate
+    * (qst11) so both faces screen against the identical benchmark suite. */
+  private[graft] val EvalDocCount = 32
 
   private def qt10(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d)
@@ -386,9 +395,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
         .as("g"))
-    val evalGrams = grams.filter(col("doc_id") % EvalIdMod === 0)
+    val evalGrams = grams.filter(col("doc_id") < EvalDocCount)
       .select(col("g")).distinct().withColumn("hit", lit(1L))
-    grams.filter(col("doc_id") % EvalIdMod =!= 0)
+    grams.filter(col("doc_id") >= EvalDocCount)
       .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -406,11 +415,11 @@ object TextAnalysis {
       |          list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)) AS tk
       |        FROM documents)
       |  WHERE len(tk) >= 5),
-      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $EvalIdMod = 0),
+      |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < $EvalDocCount),
       |corp AS (
       |  SELECT g.doc_id, CASE WHEN ev.g IS NULL THEN 0 ELSE 1 END AS hit
       |  FROM g LEFT JOIN ev ON g.g = ev.g
-      |  WHERE g.doc_id % $EvalIdMod <> 0)
+      |  WHERE g.doc_id >= $EvalDocCount)
       |SELECT doc_id, count(*) AS n_grams,
       |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
       |  CAST(CAST(sum(hit) AS BIGINT) AS DOUBLE) / count(*) AS contamination_frac,

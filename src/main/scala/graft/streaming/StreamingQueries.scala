@@ -404,12 +404,14 @@ object StreamingQueries {
   // batch decontamination pass (qt10, whose oracle this query reuses
   // VERBATIM): documents stream in, their distinct 5-gram md5s explode
   // map-side, a stream-static broadcast join flags grams against the
-  // (bounded by construction) eval set, and an update-mode per-doc
-  // aggregation emits overlap counts. The eval set is derived batch-side
-  // from the same table (doc_id % 97 = 0 — stand-in benchmark suite).
+  // eval set, and an update-mode per-doc aggregation emits overlap
+  // counts. The eval set is derived batch-side from the same table and is
+  // bounded BY CONSTRUCTION — the fixed doc-id range doc_id <
+  // TextAnalysis.EvalDocCount (shared with qt10), whose size does not
+  // grow with the corpus, so the static broadcast stays safe at 100 TB.
   // ---------------------------------------------------------------------
   private def qst11(s: SparkSession, d: String): DataFrame = {
-    val evalMod = 97
+    val evalN = graft.ext.TextAnalysis.EvalDocCount
     def gramsOf(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), expr(
         "transform(split(trim(text), '\\\\s+'), t -> lower(t))").as("tk"))
@@ -417,13 +419,13 @@ object StreamingQueries {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
         .as("g"))
-    val evalGrams = gramsOf( // static side, batch read
-      s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") % evalMod === 0))
+    val evalGrams = gramsOf( // static side, batch read; doc_id bound pushed to scan
+      s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < evalN))
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     val schema: StructType = s.read.parquet(s"$d/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
-      .filter(col("doc_id") % evalMod =!= 0)
+      .filter(col("doc_id") >= evalN)
     val name = s"graft_contam_${counter.incrementAndGet()}"
     val q = gramsOf(stream)
       .join(broadcast(evalGrams), Seq("g"), "left")

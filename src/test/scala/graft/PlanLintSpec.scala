@@ -147,6 +147,25 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  // ----- eval-set broadcast must be bounded by construction ---------------
+  // qt10's contamination gate broadcasts the eval-gram set. That is only
+  // safe because the eval side is a FIXED doc-id range (doc_id < 32) whose
+  // size is independent of corpus size; a corpus-proportional eval stand-in
+  // (e.g. doc_id % k = 0) silently re-creates the qd04 static-broadcast OOM.
+  // Pinned two ways: the doc-id bound must reach the eval-side parquet scan
+  // as a pushed LessThan filter, and the plan must carry exactly ONE
+  // BroadcastExchange (the eval set — nothing corpus-sized joins broadcast).
+  // qst11 shares the same EvalDocCount constant and oracle by construction.
+  test("qt10 contamination: eval side is a pushed fixed doc-id range, single broadcast") {
+    val plan = Registry.byName("qt10_contamination").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,"),
+      "eval-side doc_id bound not pushed to the parquet scan")
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts == 1,
+      s"expected exactly 1 BroadcastExchange (the bounded eval set), found $broadcasts")
+  }
+
   test("YSB dimension join broadcasts (qysb02)") {
     val plan = Registry.byName("qysb02_events").run(spark, sf)
       .queryExecution.executedPlan.toString
