@@ -112,7 +112,12 @@ object Soak {
     }
 
     val names = Registry.all.filter(_.headline).map(_.name) ++
-      Seq("qd04_ngram_jaccard", "qd07_simhash_pairs")
+      Seq("qd04_ngram_jaccard", "qd07_simhash_pairs",
+        // round-5 additions: the queries whose scale shape changed this
+        // round (bounded eval broadcast, capped pipeline near-dup stage,
+        // sub-sharded packing window) get the same empirical check that
+        // caught the qd04 broadcast OOM at 30×
+        "qt10_contamination", "qp01_pipeline_e2e", "qx05_sequence_packing")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>
@@ -126,8 +131,13 @@ object Soak {
     val baseTimes = run(base)
     val soakTimes = run(out)
 
+    // Locale.ROOT: f"$v%.3f" uses the default JVM locale, and a
+    // comma-decimal locale (de_DE) would make these lines invalid JSON
     def js(ts: Seq[(String, Double)]): String =
-      ts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      ts.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"soak_base","sf":"$base","queries":${js(baseTimes)}}""")
     println(s"""{"metric":"soak_x$mult","sf":"$out","queries":${js(soakTimes)}}""")
     val ratios = baseTimes.zip(soakTimes).map { case ((n, b), (_, x)) =>
@@ -137,7 +147,8 @@ object Soak {
     // linearity preconditions: the skew caps must not be binding at 10×
     val oversized = graft.ext.Dedup.oversizedLshBuckets(spark, out).count()
     val dfDrops = graft.ext.Dedup.shingleDfDrops(spark, out).count()
-    println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops}""")
+    val pipeDrops = graft.ext.Pipeline.oversizedBuckets(spark, out).count()
+    println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops}""")
     spark.stop()
   }
 }

@@ -7,6 +7,31 @@ import graft.Q
 import graft.functions.Vectors
 import graft.sources.Tables
 
+/** Lineage-truncation strategy for the iterative operators (connected
+  * components, PageRank): each round's frame MUST be checkpointed or the
+  * logical plan grows exponentially (see [[Dedup.components]]).
+  *
+  *  - [[CheckpointStrategy.Local]] — `localCheckpoint(eager)`: RDD blocks
+  *    on executors, no filesystem round-trip. The single-JVM default;
+  *    an executor loss at cluster scale kills the lineage-less blocks.
+  *  - [[CheckpointStrategy.Reliable]] — `checkpoint(eager)`: rounds are
+  *    written to the SparkContext checkpoint dir (HDFS/object store at
+  *    cluster scale — survives executor loss). Requires
+  *    `sparkContext.setCheckpointDir` first; this is the 100 TB story,
+  *    selectable as a parameter rather than a comment.
+  */
+sealed trait CheckpointStrategy {
+  def apply(df: DataFrame): DataFrame
+}
+object CheckpointStrategy {
+  case object Local extends CheckpointStrategy {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+  case object Reliable extends CheckpointStrategy {
+    def apply(df: DataFrame): DataFrame = df.checkpoint(true)
+  }
+}
+
 /** Document deduplication operators for training-data pipelines:
   *
   *  - exact (hash groupBy),
@@ -473,20 +498,21 @@ object Dedup {
     * minimum. Exposed (package-private) so DedupSpec can pin the O(log d)
     * round bound on adversarial (path-graph) inputs qd03 never produces. */
   private[graft] def components(pairFrame: DataFrame,
-      maxRounds: Int = MaxPropagationRounds): DataFrame = {
-    // Eager localCheckpoint on every per-round frame: the doubling step
+      maxRounds: Int = MaxPropagationRounds,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // Eager checkpoint on every per-round frame: the doubling step
     // references the propagated frame twice and the propagated frame
     // references labels twice, so WITHOUT lineage truncation the logical
     // plan triples per round — exponential analyze/plan cost that OOMs the
     // driver near round 10. Checkpointing pins each round to a constant-size
-    // LogicalRDD (block lifetime is GC/ContextCleaner-owned; executor-loss
-    // caveat as in qd03 — at cluster scale use reliable checkpoint()).
-    val pairs = pairFrame.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = pairs
+    // LogicalRDD; Local vs Reliable is the caller's single-JVM vs cluster
+    // trade (see [[CheckpointStrategy]]).
+    val pairs = ckpt(pairFrame.select(col("doc_a"), col("doc_b")))
+    val edges = ckpt(pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+      .toDF("src", "dst"))
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -504,7 +530,7 @@ object Dedup {
       // (2) pointer doubling: label ← label(label). Every label value is
       // itself a node id (it started as one), so the self-join always
       // resolves; coalesce covers the already-minimal fixed points.
-      val next = propagated.join(
+      val next0 = propagated.join(
         propagated.select(col("id").as("l_id"), col("label").as("l_label")),
         col("label") === col("l_id"), "left")
         .select(col("id"),
@@ -512,7 +538,7 @@ object Dedup {
           col("old"))
         .select(col("id"), col("label"),
           (col("label") =!= col("old")).cast("long").as("chg"))
-        .localCheckpoint(true)
+      val next = ckpt(next0)
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
       labels = next.select(col("id"), col("label"))
       round += 1
@@ -557,8 +583,12 @@ object Dedup {
   private val RankTeleport = RankScale * 15 / 100
   private val RankIters = 3
 
-  private def qd09(s: SparkSession, d: String): DataFrame = {
-    val pairs = qd03(s, d).select(col("doc_a"), col("doc_b")).cache()
+  /** Fixed-point PageRank over undirected pair edges (columns doc_a,
+    * doc_b) — package-private so the spec can run both checkpoint
+    * strategies on the same graph. */
+  private[graft] def pageRank(pairFrame: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val pairs = pairFrame.select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -567,10 +597,9 @@ object Dedup {
     // each PageRank round is then a single join with the current ranks.
     val nodes = edges.select(col("src").as("id")).distinct().cache()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val degEdges = edges
+    val degEdges = ckpt(edges
       .join(outdeg.withColumnRenamed("src", "d_id"), col("src") === col("d_id"))
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true)
+      .select(col("src"), col("dst"), col("deg")))
     var ranks = nodes.select(col("id"), lit(RankScale).as("r"))
     for (_ <- 1 to RankIters) {
       val contrib = degEdges
@@ -582,15 +611,17 @@ object Dedup {
           (lit(RankTeleport) +
             expr("cast(coalesce(s, 0L) * 85 div 100 as bigint)")).as("r"))
     }
-    // Eager localCheckpoint materializes the ranks in the same single pass
+    // Eager checkpoint materializes the ranks in the same single pass
     // that pins them before the inputs are unpersisted (vs the old
     // cache()+count(), which spent a full extra job) — same pattern as
-    // qd03's sigs; same executor-loss caveat (see qd03 comment).
-    val out = ranks.select(col("id").as("doc_id"), col("r").as("rank_fp"))
-      .localCheckpoint(true)
+    // qd03's sigs; executor-loss caveat only under Local (see qd03).
+    val out = ckpt(ranks.select(col("id").as("doc_id"), col("r").as("rank_fp")))
     pairs.unpersist(); nodes.unpersist()
     out
   }
+
+  private def qd09(s: SparkSession, d: String): DataFrame =
+    pageRank(qd03(s, d))
 
   private val qd09Sql = {
     def gen(prev: String, cur: String) =

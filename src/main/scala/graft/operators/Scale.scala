@@ -171,30 +171,63 @@ object Scale {
   // ---------------------------------------------------------------------
   // qx05: sequence packing — assign documents to fixed-capacity training
   // contexts (4096 tokens) by contiguous cumulative offset within each
-  // source shard: bin = floor(starting_offset / 4096) over a doc_id-ordered
+  // source: bin = floor(starting_offset / 4096) over a doc_id-ordered
   // running sum. Deterministic (no bin-packing heuristics with tie-break
-  // ambiguity), and the per-shard window is exactly how packing runs in
-  // practice: sequential within a shard, parallel across shards — one
-  // shuffle on source, then a sorted window pass. Output: per (source, bin)
-  // doc count, token count, and fill rate (exact-integer counts, single
-  // IEEE division).
+  // ambiguity).
+  //
+  // Scale shape: a window partitioned by `source` alone is a skew trap —
+  // a realistic 90%-one-source mix makes the cumsum ONE sequential task at
+  // 100 TB. So the running sum is computed shard-wise: docs are sub-
+  // sharded by (source, doc_id div ShardSize), each shard's cumsum runs as
+  // its own bounded window partition (≤ ShardSize docs), and the global
+  // per-source offset of each shard is composed in via a second, tiny
+  // cumsum over per-shard totals (|corpus| / ShardSize rows — three orders
+  // of magnitude smaller, and itself windowed per source over shard totals
+  // only). The composed offset is mathematically IDENTICAL to the single
+  // global window (associativity of +), so the oracle states the simple
+  // global formulation and hash-matches. The shard-totals join is
+  // merge-pinned: both sides grow with the corpus (the static-planner
+  // broadcast trap, see qd04). ScaleSpec pins the bounded-partition claim
+  // on a 90%-skew corpus and the shard/global equivalence.
   // ---------------------------------------------------------------------
   private val SeqLen = 4096L
 
-  private def qx05(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, d)
+  /** Max docs per packing window partition; sf-test value keeps multiple
+    * shards live at 500 docs while production would size it ~1e5. */
+  private[graft] val ShardSize = 128L
+
+  /** (doc_id, source, nt, bin) with bin from the doc_id-ordered per-source
+    * token cumsum, computed shard-wise. Package-private for ScaleSpec. */
+  private[graft] def packedDocs(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val shardW = W.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, 0)
+    // per-source running total of PRIOR shards: cumsum over shard totals
+    // shifted by one shard (current shard's docs excluded)
+    val offW = W.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val sharded = docs
       .select(col("doc_id"), col("source"),
         size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
-      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("shard", expr(s"doc_id div $ShardSize"))
+    val shardOffsets = sharded
+      .groupBy(col("source"), col("shard"))
+      .agg(sum(col("nt")).as("shard_nt"))
+      .withColumn("offset", coalesce(sum(col("shard_nt")).over(offW), lit(0L)))
+      .drop("shard_nt")
+    sharded
+      .join(shardOffsets.hint("merge"), Seq("source", "shard"))
+      .withColumn("cum", col("offset") + sum(col("nt")).over(shardW))
       .withColumn("bin", expr(s"(cum - nt) div $SeqLen"))
+      .select(col("doc_id"), col("source"), col("nt"), col("bin"))
+  }
+
+  private def qx05(s: SparkSession, d: String): DataFrame =
+    packedDocs(Tables.documents(s, d))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .withColumn("fill_rate",
         expr(s"cast(least(n_tokens, $SeqLen) as double) / $SeqLen"))
-  }
 
   private val qx05Sql =
     s"""WITH docs AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CheckpointStrategy, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.Vectors
 import graft.sources.Tables
 
@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size === 100)
     assert(comp.values.forall(_ == 0L), "path graph must collapse to min id 0")
+  }
+
+  test("reliable checkpoint strategy matches localCheckpoint (components + pagerank)") {
+    // The 100 TB story for the iterative ops is checkpoint() to a reliable
+    // store (survives executor loss) — selectable as a parameter, exercised
+    // here end-to-end against the Local default on the same graph.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // two components: a path and a triangle
+    val pairs = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("doc_a", "doc_b")
+    val local = Dedup.components(pairs, ckpt = CheckpointStrategy.Local)
+    val reliable = Dedup.components(pairs, ckpt = CheckpointStrategy.Reliable)
+    assert(local.exceptAll(reliable).count() === 0)
+    assert(reliable.exceptAll(local).count() === 0)
+    val rLocal = Dedup.pageRank(pairs, CheckpointStrategy.Local)
+    val rReliable = Dedup.pageRank(pairs, CheckpointStrategy.Reliable)
+    assert(rLocal.exceptAll(rReliable).count() === 0)
+    assert(rReliable.exceptAll(rLocal).count() === 0)
   }
 
   test("identical docs get identical simhash; different docs differ") {
@@ -360,7 +380,7 @@ class TextSpec extends SparkSpec {
 
   test("contamination: eval docs excluded, flags consistent, self-overlap detected") {
     val out = Registry.byName("qt10_contamination").run(spark, sf)
-    assert(out.filter(col("doc_id") % 97 === 0).count() === 0)
+    assert(out.filter(col("doc_id") < TextAnalysis.EvalDocCount).count() === 0)
     assert(out.filter(col("n_contaminated") > col("n_grams")).count() === 0)
     assert(out.filter((col("is_contaminated") === 1) =!=
       (col("n_contaminated") > 0)).count() === 0)

@@ -116,6 +116,36 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("alloc_tokens")).sum <= budget)
   }
 
+  test("sequence packing sub-shards a 90%-skewed source yet matches the global window") {
+    // A realistic mix: one source holds 90% of the corpus. A window
+    // partitioned by source alone would run that source's cumsum as ONE
+    // sequential task; the shard-wise formulation must (a) split it across
+    // many bounded (source, shard) partitions and (b) stay row-identical
+    // to the single global window (associativity of the running sum).
+    val docs = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 9, lit("src_hot"))
+        .otherwise(concat(lit("src_"), (col("id") % 10).cast("string"))).as("source"),
+      concat_ws(" ", array_repeat(lit("w"), (col("id") % 50 + 1).cast("int"))).as("text"))
+    val packed = Scale.packedDocs(docs)
+    val W = org.apache.spark.sql.expressions.Window
+    val globalW = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val reference = docs
+      .select(col("doc_id"), col("source"),
+        size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+      .withColumn("bin", expr(s"(sum(nt) over (partition by source order by doc_id " +
+        s"rows unbounded preceding) - nt) div 4096"))
+      .select(col("doc_id"), col("source"), col("nt"), col("bin"))
+    assert(packed.exceptAll(reference).count() === 0)
+    assert(reference.exceptAll(packed).count() === 0)
+    // the hot source's cumsum really is split: >= 10 live shard partitions,
+    // each bounded by ShardSize docs by construction of doc_id div ShardSize
+    val hotShards = packed.filter(col("source") === "src_hot")
+      .select(expr(s"doc_id div ${Scale.ShardSize}")).distinct().count()
+    assert(hotShards >= 10, s"hot source in only $hotShards shard partitions")
+  }
+
   test("sequence packing: bins contiguous per source, tokens conserved") {
     val out = Registry.byName("qx05_sequence_packing").run(spark, sf).collect()
     val total = Tables.documents(spark, sf)
