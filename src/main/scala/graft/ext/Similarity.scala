@@ -111,6 +111,15 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Per-bucket corpus population of the LSH index at `numPlanes` — the
+    * occupancy evidence behind the "pick 20+ planes at 100 TB" sizing rule:
+    * expected population is N / 2^planes, so doubling planes halves the
+    * per-bucket (= per-probe) work. Consumed by [[graft.AnnProbe]]. */
+  def lshBucketStats(s: SparkSession, d: String, numPlanes: Int): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .withColumn("bucket", bucketExpr(numPlanes))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
   private def qs02(s: SparkSession, d: String): DataFrame = lshAnn(s, d)
 
   private val qs02Sql = {
