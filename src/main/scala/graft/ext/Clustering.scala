@@ -159,7 +159,71 @@ object Clustering {
        |FROM assign2 GROUP BY c_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qd11: semantic deduplication (SemDeDup-style, published recipe:
+  // k-means-cluster the embeddings, then compare pairs only WITHIN each
+  // cluster and drop all but the lowest id of any pair above the cosine
+  // threshold). This is the scale path for embedding dedup: qd05's exact
+  // all-pairs is O(N²); clustering first cuts it to O(N²/K) and the
+  // cluster count K is the knob that bounds per-cluster work (at 100 TB
+  // pick K ≈ N/10⁴ so a cluster's pair block fits a task — same sizing
+  // rule as qs02's planes, measured by AnnProbe). Cross-cluster near-dups
+  // are the recall trade, exactly as published.
+  //
+  // Composition: reuses qc01's refined centroids (one k-means step) and
+  // the cascade-free keep-min drop rule of qd07/qst10. Assignment is a
+  // broadcast of K centroid mean-vectors (bounded by construction);
+  // the within-cluster pair join and the dup anti-side are corpus-sized
+  // on both sides → merge-pinned (static-planner broadcast trap, qd04).
+  // ---------------------------------------------------------------------
+  private val SemDupThreshold = 0.4 // same cosine bar as qd05's exact pass
+
+  private def qd11(s: SparkSession, d: String): DataFrame = {
+    val cents1 = refinedCentroids(s, d).select(col("c_id"), col("ms"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val members = Tables.embeddings(s, d)
+      .crossJoin(broadcast(cents1))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        Vectors.cosine(col("embedding"), col("ms")).as("sim"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    val dup = members.alias("a")
+      .join(members.alias("b").hint("merge"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Vectors.fastCosine(col("a.embedding"), col("b.embedding"))
+        >= SemDupThreshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("d", lit(1L))
+    members.join(dup.hint("merge"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        coalesce(col("d"), lit(0L)).as("is_dup"))
+  }
+
+  private val qd11Sql = {
+    val rcos = Vectors.cosineSql("e.embedding", "p.ms")
+    val pcos = Vectors.cosineSql("a.embedding", "b.embedding")
+    s"""WITH $refinedSqlCte,
+       |members AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT e.vec_id, e.embedding, p.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $rcos DESC, p.c_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN packed p)
+       |  WHERE r = 1),
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM members a JOIN members b
+       |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+       |  WHERE $pcos >= $SemDupThreshold)
+       |SELECT m.vec_id, m.c_id,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM members m LEFT JOIN dup d ON d.vec_id = m.vec_id""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
-    Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)))
+    Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)),
+    Q("qd11_semdedup", qd11, Some(qd11Sql)))
 }

@@ -438,8 +438,10 @@ object TextAnalysis {
   private val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   private val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
-  private def qt11(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** The qt11 redaction projection over an arbitrary (doc_id, text) frame —
+    * stateless and codegen'd, so it applies unchanged to a stream (qst12). */
+  private[graft] def piiRedact(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
           .as("n_emails"),
@@ -449,7 +451,10 @@ object TextAnalysis {
           regexp_replace(col("text"), emailPattern, "<EMAIL>"),
           phonePattern, "<PHONE>")).as("redacted_hash"))
 
-  private val qt11Sql =
+  private def qt11(s: SparkSession, d: String): DataFrame =
+    piiRedact(Tables.documents(s, d))
+
+  private[graft] val qt11Sql =
     s"""SELECT doc_id,
       |  len(regexp_extract_all(text, '$emailPattern')) AS n_emails,
       |  len(regexp_extract_all(text, '$phonePattern')) AS n_phones,

@@ -110,8 +110,10 @@ object Scale {
   // filter, no shuffle at all. Rate table: a literal CASE here (even
   // sources 50%, odd 20%); a broadcast dim in production.
   // ---------------------------------------------------------------------
-  private def qx03(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** The qx03 sampling predicate over an arbitrary (doc_id, source) frame —
+    * a pure map-side filter, so it applies unchanged to a stream (qst13). */
+  private[graft] def stratifiedSample(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket", expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
       .withColumn("rate", expr(
@@ -119,7 +121,10 @@ object Scale {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("source"), col("bucket"))
 
-  private val qx03Sql =
+  private def qx03(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d))
+
+  private[graft] val qx03Sql =
     """SELECT doc_id, source,
       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
       |FROM documents

@@ -73,7 +73,29 @@ object FileSources {
       |  min(value) AS min_value, max(user_id) AS max_user
       |FROM events GROUP BY event_type""".stripMargin
 
+  private def orcDir(d: String): String = scratchDir("orc-events", d)
+
+  /** qf03: ORC roundtrip of the events table — Spark's other built-in
+    * columnar format (native timestamp/double encodings, no text transit at
+    * all), aggregated after re-read and hash-matched against the parquet
+    * oracle. At scale ORC behaves like parquet (splittable, predicate
+    * pushdown, column pruning), so the engine is layout-agnostic between
+    * the two columnar formats; the same oracle as qf02 pins that the two
+    * codecs carry identical values. */
+  private def qf03(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val path = orcDir(d)
+    events.coalesce(1).write.mode("overwrite").orc(path)
+    s.read.schema(events.schema).orc(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).as("max_ts"),
+        min(col("value")).as("min_value"),
+        max(col("user_id")).as("max_user"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
-    Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)))
+    Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
+    Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)))
 }

@@ -444,6 +444,40 @@ object StreamingQueries {
         when(col("n_contaminated") > 0, 1L).otherwise(0L).as("is_contaminated"))
   }
 
+  /** Documents as a bounded file stream (schema from the batch read). */
+  private def docStream(s: SparkSession, d: String): DataFrame = {
+    val schema: StructType = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+  }
+
+  /** Run a STATELESS per-row transform of the document stream to a memory
+    * sink (append mode — no state, no watermark) and return the sink table:
+    * the ingest-time face of a batch projection, sharing its oracle
+    * verbatim. Stateless streams are the trivially-scalable case (map-only
+    * over arriving files, no state store), which is exactly why the
+    * batch/stream consistency is worth pinning with the same hash gate. */
+  private def statelessStreamed(s: SparkSession, d: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_${tag}_${counter.incrementAndGet()}"
+    val q = transform(docStream(s, d))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  // qst12: streaming PII redaction — qt11's projection applied at ingest
+  // time (batch oracle reused verbatim). qst13: streaming stratified
+  // sampling — qx03's deterministic md5-bucket predicate at ingest time
+  // (the reproducibility property is what makes the sample IDENTICAL
+  // whether it runs over the stream or the batch — gate-checked here).
+  private def qst12(s: SparkSession, d: String): DataFrame =
+    statelessStreamed(s, d, "pii")(graft.ext.TextAnalysis.piiRedact)
+
+  private def qst13(s: SparkSession, d: String): DataFrame =
+    statelessStreamed(s, d, "sample")(graft.operators.Scale.stratifiedSample)
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -457,5 +491,8 @@ object StreamingQueries {
     Q("qst10_stream_neardup", qst10, Some(qst10Sql)),
     // same semantics, same oracle as batch qt10 — the streaming/batch
     // consistency contract, stated by construction
-    Q("qst11_stream_contamination", qst11, Some(graft.ext.TextAnalysis.qt10Sql)))
+    Q("qst11_stream_contamination", qst11, Some(graft.ext.TextAnalysis.qt10Sql)),
+    // stateless ingest faces of qt11/qx03 — batch oracles reused verbatim
+    Q("qst12_stream_pii", qst12, Some(graft.ext.TextAnalysis.qt11Sql)),
+    Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)))
 }

@@ -159,6 +159,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.select("c_id").distinct().count() === Similarity.IvfK)
   }
 
+  test("semdedup drops are a subset of the exact all-pairs drops (qd11 vs qd05)") {
+    // SemDeDup is qd05's exact rule restricted to within-cluster pairs:
+    // every doc it drops must therefore be droppable under the exact
+    // all-pairs pass (the converse is the documented recall trade), and
+    // every vector gets exactly one (vec_id, c_id, is_dup) row.
+    val sem = Registry.byName("qd11_semdedup").run(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(sem.count() === n)
+    assert(sem.select("vec_id").distinct().count() === n)
+    val semDropped = sem.filter(col("is_dup") === 1).select(col("vec_id"))
+    val exactDroppable = Registry.byName("qd05_embedding_dup").run(spark, sf)
+      .select(col("id_b").as("vec_id")).distinct()
+    assert(semDropped.exceptAll(semDropped.join(exactDroppable, Seq("vec_id")))
+      .count() === 0, "qd11 dropped a vector qd05's exact pass would keep")
+    // the within-cluster pair join must be a shuffle join, not a broadcast
+    // of a corpus-sized side (the only broadcast is the K-centroid set)
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "pair join not merge-pinned")
+  }
+
   test("IVF multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")

@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
+    "qd11_semdedup",      // same broadcast-K assignment; pair join merge-pinned
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
@@ -31,7 +32,8 @@ class PlanLintSpec extends SparkSpec {
     "qst05_replay_source_ysb", "qst06_stream_session",
     "qst07_stream_interval_join", "qst08_stream_running_counters",
     "qst09_stream_outer_join", "qst10_stream_neardup",
-    "qst11_stream_contamination", "qx02_bucketed_join")
+    "qst11_stream_contamination", "qst12_stream_pii",
+    "qst13_stream_sample", "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {
