@@ -31,6 +31,7 @@ object Registry {
       graft.ysb.Ysb.queries ++
       graft.streaming.StreamingQueries.queries ++
       graft.ext.Dedup.queries ++
+      graft.ext.SpanDedup.queries ++
       graft.ext.Similarity.queries ++
       graft.ext.Clustering.queries ++
       graft.ext.TextAnalysis.queries ++

@@ -1,0 +1,216 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Substring-level and incremental deduplication over `documents` — the two
+  * dedup faces qd01–qd11 don't cover:
+  *
+  *  - qd12: duplicated-SPAN detection. Document-level dedup (exact, MinHash,
+  *    SimHash) misses the common contamination mode where only a passage is
+  *    shared (boilerplate headers, licence blocks, quoted paragraphs). The
+  *    published remedy is exact substring dedup over a corpus-wide suffix
+  *    array; the scalable re-expression here is its standard positional
+  *    k-gram form: a token k-gram occurring in ≥ 2 documents marks its k
+  *    token positions as duplicated, and per-document coverage is the size
+  *    of the union of those [pos, pos+k) intervals. A span of length
+  *    L ≥ k duplicated across documents is covered exactly (every window
+  *    inside it is shared), so `dup_frac` is the per-doc duplicated-token
+  *    fraction with minimum match length k.
+  *
+  *  - qd13: incremental (new-batch vs seen-corpus) dedup — the steady-state
+  *    ingest shape: classify each incoming document against the already-
+  *    accepted corpus as exact_dup (byte-identical text), near_dup (SimHash
+  *    Hamming ≤ 12 against any seen doc, qd07's bound), or new. Unlike
+  *    qd07's symmetric all-pairs, the join is asymmetric: only seen-side
+  *    buckets are scanned, and only for the incoming batch.
+  *
+  * 100 TB shape:
+  *  - qd12 has NO pair explosion anywhere — unlike qd03/qd04/qd07 it never
+  *    joins documents to documents. Work is linear in total tokens: one
+  *    distinct + one groupBy on 16-byte gram hashes (map-side partial aggs
+  *    carry both), one gram-keyed semi join back (both sides corpus-sized →
+  *    merge-pinned, the qd04 static-broadcast trap), and one window
+  *    partitioned by doc_id whose partition size is bounded by the longest
+  *    document. Hot grams (corpus-wide boilerplate) just mean long posting
+  *    lists — linear rows, never quadratic pairs, so no BucketCap is needed.
+  *  - qd13 caps the seen side per (band, chunk) bucket at qd07's
+  *    [[Dedup.BucketCap]] (mirrored in the oracle): per incoming chunk the
+  *    compare fan-out is ≤ BucketCap, so batch work is O(|incoming| ×
+  *    4 × BucketCap) however large the seen corpus grows. The incoming
+  *    batch is NOT broadcast: at 100 TB an ingest batch is itself huge, so
+  *    both bucket joins are merge-pinned.
+  *
+  * Reference scope: the reference engine has no substring or incremental
+  * dedup; these extend the dedup family for training-data pipelines
+  * (published recipes: suffix-array substring dedup, SimHash ingest dedup).
+  */
+object SpanDedup {
+
+  /** Minimum duplicated-span length in tokens (the k of the k-gram). */
+  val SpanK = 5
+
+  // ---------------------------------------------------------------------
+  // qd12: per-document duplicated-span coverage.
+  // ---------------------------------------------------------------------
+  /** (doc_id, pos, gram): every positional k-gram occurrence. `pos` is the
+    * 0-based token index the gram starts at. */
+  private def gramOccurrences(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(1, size(toks) - ${SpanK - 1}),
+         |  i -> md5(concat_ws(' ', slice(toks, i, $SpanK))))"""
+        .stripMargin.replace("\n", " "))).as(Seq("pos", "gram")))
+
+  /** The qd12 coverage computation over an arbitrary (doc_id, text) frame —
+    * package-private so the spec can run it on planted-span corpora. */
+  private[graft] def dupSpans(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= SpanK)
+    val grams = gramOccurrences(tok)
+    // grams shared by >= 2 distinct docs; corpus-sized → merge-pin the
+    // semi join back (static-broadcast trap, see qd04)
+    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // union-of-intervals size via the sorted-gap identity: each occurrence
+    // adds min(k, pos − prev_pos) new covered tokens (k for the first)
+    val coverage = grams.join(dupGrams.hint("merge"), Seq("gram"), "left_semi")
+      .withColumn("contrib",
+        when(lag(col("pos"), 1).over(w).isNull, lit(SpanK))
+          .otherwise(least(lit(SpanK), col("pos") - lag(col("pos"), 1).over(w))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("dup_tokens"))
+    tok.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(coverage.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
+  private def qd12(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d))
+
+  private val qd12Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $SpanK),
+       |occ AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${SpanK - 2})) AS i, toks
+       |  FROM tok),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(toks[i:i+${SpanK - 1}], ' ')) AS gram
+       |  FROM occ),
+       |dup AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lag(pos) OVER w IS NULL THEN $SpanK
+       |         ELSE least($SpanK, pos - lag(pos) OVER w) END AS contrib
+       |  FROM (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram))
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+       |  CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(toks) AS dup_frac
+       |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qd13: incremental dedup — incoming batch (doc_id % NewMod = 0, a 20%
+  // stand-in; in production the batch is "files newer than the last
+  // watermark") classified against the seen corpus (the rest).
+  // ---------------------------------------------------------------------
+  private val NewMod = 5
+
+  private def simhashChunks(docs: DataFrame): DataFrame =
+    Dedup.withSimhash(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"),
+            expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+              .as("chunk"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.c").as("c"), col("ck.chunk").as("chunk"))
+
+  /** The qd13 classification over an arbitrary (doc_id, text) frame, split
+    * seen/incoming by doc_id % NewMod — package-private for the spec. */
+  private[graft] def classifyIncremental(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val seenH = hashed.filter(col("doc_id") % NewMod =!= 0)
+      .select(col("h")).distinct()
+    val incoming = hashed.filter(col("doc_id") % NewMod === 0)
+    val exact = incoming.join(seenH.hint("merge"), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+
+    val chunks = simhashChunks(docs)
+    val seenC = chunks.filter(col("doc_id") % NewMod =!= 0)
+    val inC = chunks.filter(col("doc_id") % NewMod === 0)
+    // seen-side bucket cap: per incoming chunk at most BucketCap compares,
+    // whatever the seen-corpus size (cap mirrored in the oracle)
+    val kept = seenC.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= Dedup.BucketCap)
+      .select(col("c"), col("chunk"))
+    val near = inC.join(
+        seenC.join(kept.hint("merge"), Seq("c", "chunk"), "left_semi")
+          .select(col("c"), col("chunk"), col("simhash").as("seen_sim"))
+          .hint("merge"),
+        Seq("c", "chunk"))
+      .filter(expr("bit_count(simhash ^ seen_sim) <= 12"))
+      .select(col("doc_id")).distinct().withColumn("is_near", lit(1L))
+
+    incoming.select(col("doc_id"))
+      .join(exact.hint("merge"), Seq("doc_id"), "left")
+      .join(near.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
+  private def qd13(s: SparkSession, d: String): DataFrame =
+    classifyIncremental(Tables.documents(s, d))
+
+  private val qd13Sql =
+    s"""WITH ${Dedup.simhashSqlCte},
+       |hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |seen_h AS (SELECT DISTINCT h FROM hashes WHERE doc_id % $NewMod <> 0),
+       |incoming AS (SELECT doc_id, h FROM hashes WHERE doc_id % $NewMod = 0),
+       |exact AS (SELECT DISTINCT i.doc_id FROM incoming i JOIN seen_h USING (h)),
+       |chunks AS (
+       |  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, c,
+       |    (CAST(simhash AS BIGINT) // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
+       |  FROM simhashed, range(0, 4) t(c)),
+       |seen_c AS (SELECT * FROM chunks WHERE doc_id % $NewMod <> 0),
+       |in_c AS (SELECT * FROM chunks WHERE doc_id % $NewMod = 0),
+       |kept AS (
+       |  SELECT c, chunk FROM seen_c GROUP BY c, chunk
+       |  HAVING count(*) <= ${Dedup.BucketCap}),
+       |near AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM in_c i
+       |  JOIN kept k ON k.c = i.c AND k.chunk = i.chunk
+       |  JOIN seen_c s ON s.c = i.c AND s.chunk = i.chunk
+       |  WHERE bit_count(xor(i.simhash, s.simhash)) <= 12)
+       |SELECT i.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM incoming i
+       |LEFT JOIN exact e ON e.doc_id = i.doc_id
+       |LEFT JOIN near n ON n.doc_id = i.doc_id""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qd12_dup_spans", qd12, Some(qd12Sql)),
+    Q("qd13_incremental_dedup", qd13, Some(qd13Sql)))
+}

@@ -463,6 +463,68 @@ object TextAnalysis {
       |    '$phonePattern', '<PHONE>', 'g')) AS redacted_hash
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt12: hashed linear quality classifier — the fastText-style shape real
+  // pipelines use for learned quality filtering: hash each lowercased
+  // token into D feature buckets, score = Σ w[bucket] over the token bag,
+  // keep iff score ≥ 0. The weight table is deterministic here (pseudo-
+  // weights derived from md5 of the bucket index, integers in
+  // [−1000, 1000]) so the oracle regenerates it exactly; a trained model
+  // swaps in a broadcast D-row weight dim without changing the shape.
+  //
+  // Determinism: the score is an EXACT integer sum (the float-sum
+  // order-dependence trap, see qc01) folded per document with
+  // higher-order `aggregate` — a pure projection, NO shuffle at all; the
+  // final normalized score is one IEEE division of exact integers.
+  // 100 TB shape: embarrassingly parallel map pass, nothing else.
+  // ---------------------------------------------------------------------
+  private val FeatDim = 4096
+
+  /** Integer pseudo-weight of one token: w(h(lower(t))) ∈ [−1000, 1000]. */
+  private def tokWeightExpr(t: String): String =
+    s"""(cast(conv(substring(md5(concat('w',
+       |  cast(cast(conv(substring(md5(lower($t)), 1, 15), 16, 10) as bigint)
+       |    % $FeatDim as string))), 1, 15), 16, 10) as bigint) % 2001) - 1000"""
+      .stripMargin.replace("\n", " ")
+
+  /** The qt12 scoring projection over an arbitrary (doc_id, text) frame —
+    * stateless, so it applies unchanged to a stream; package-private for
+    * the spec's planted-frame checks. */
+  private[graft] def classifierScore(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr(s"aggregate(transform(toks, t -> ${tokWeightExpr("t")}), 0L, (a, x) -> a + x)")
+          .as("score_int"))
+      .withColumn("score",
+        col("score_int").cast("double") / (lit(1000L) * col("n_toks")))
+      .withColumn("keep", (col("score_int") >= 0L).cast("int"))
+
+  private def qt12(s: SparkSession, d: String): DataFrame =
+    classifierScore(Tables.documents(s, d))
+
+  private val qt12TokWeightSql =
+    s"""(CAST('0x' || substr(md5('w' ||
+       |  CAST(CAST('0x' || substr(md5(lower(t)), 1, 15) AS BIGINT)
+       |    % $FeatDim AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"""
+      .stripMargin.replace("\n", " ")
+
+  private val qt12Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |scored AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(list_sum(list_transform(toks, t -> $qt12TokWeightSql))
+       |      AS BIGINT) AS score_int
+       |  FROM tok)
+       |SELECT doc_id, n_toks, score_int,
+       |  CAST(score_int AS DOUBLE) / (1000 * n_toks) AS score,
+       |  CAST(score_int >= 0 AS INT) AS keep
+       |FROM scored""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -474,5 +536,6 @@ object TextAnalysis {
     Q("qt08_unigram_capped", qt08, Some(qt08Sql)),
     Q("qt09_gopher_repetition", qt09, Some(qt09Sql)),
     Q("qt10_contamination", qt10, Some(qt10Sql)),
-    Q("qt11_pii_redaction", qt11, Some(qt11Sql)))
+    Q("qt11_pii_redaction", qt11, Some(qt11Sql)),
+    Q("qt12_quality_classifier", qt12, Some(qt12Sql)))
 }

@@ -249,10 +249,68 @@ object Scale {
       |  CAST(least(CAST(sum(nt) AS BIGINT), $SeqLen) AS DOUBLE) / $SeqLen AS fill_rate
       |FROM binned GROUP BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx06: deterministic training-order shuffle + sharding — the last step
+  // of a data pipeline: give every document a reproducible (shard, ord)
+  // address so a training job can stream shard files in order and resume
+  // from any global step. shard = md5-hash of doc_id (NumShards is the
+  // 100 TB knob: pick shards ≈ corpus / target-shard-size); within-shard
+  // order is an independent md5 sort key, so the order is a fixed uniform
+  // permutation — re-runnable, partition-independent, no RNG state (what
+  // df.orderBy(rand()) cannot promise across retries).
+  //
+  // Scale shape: a dense per-shard ordinal needs a row_number window, and
+  // a window partitioned by shard alone is qx05's skew trap (shard size
+  // N / NumShards is unbounded in N). Same remedy, composed offsets: the
+  // window runs per (shard, sub) where sub = first 2 hex chars of the
+  // sort key — a prefix coarsening, so sub-order refines key-order and
+  // ordinals compose by adding the count of earlier subs. Oracle states
+  // the plain global row_number; the composition is arithmetic-identical.
+  // Sub-window partitions hold ~N/(NumShards·256) rows; deeper prefixes
+  // extend the trick at larger N. Offsets join is merge-pinned (corpus-
+  // sized both sides, the qd04 static-broadcast trap).
+  // ---------------------------------------------------------------------
+  private val NumShards = 32L
+
+  private[graft] def shardShuffle(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        expr(s"""cast(conv(substring(md5(concat('s', cast(doc_id as string))),
+                 1, 15), 16, 10) as bigint) % $NumShards""".replace("\n", " "))
+          .as("shard"))
+      .withColumn("sub", substring(col("skey"), 1, 2))
+    val subW = W.partitionBy(col("shard"), col("sub"))
+      .orderBy(col("skey"), col("doc_id"))
+    val offW = W.partitionBy(col("shard")).orderBy(col("sub"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard"), col("sub"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .drop("n")
+    keyed.join(offsets.hint("merge"), Seq("shard", "sub"))
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + row_number().over(subW)).as("ord"))
+  }
+
+  private def qx06(s: SparkSession, d: String): DataFrame =
+    shardShuffle(Tables.documents(s, d))
+
+  private val qx06Sql =
+    s"""SELECT doc_id,
+      |  CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |    % $NumShards AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY CAST('0x' || substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $NumShards
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+      |FROM documents""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
     Q("qx03_stratified_sample", qx03, Some(qx03Sql)),
     Q("qx04_domain_mix", qx04, Some(qx04Sql)),
-    Q("qx05_sequence_packing", qx05, Some(qx05Sql)))
+    Q("qx05_sequence_packing", qx05, Some(qx05Sql)),
+    Q("qx06_shard_shuffle", qx06, Some(qx06Sql)))
 }

@@ -494,3 +494,109 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 }
+
+class SpanDedupSpec extends SparkSpec {
+  import graft.ext.SpanDedup
+
+  test("dup spans: planted 7-token shared span covered exactly; unique docs zero") {
+    import spark.implicits._
+    // docs 0/1 share exactly "a b c d e f g" (7 tokens, 3 overlapping
+    // 5-grams -> coverage 5+1+1 = 7); docs 2/3 share no 5-gram with anyone
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x1 y1 a b c d e f g z1 w1"),
+      (2L, "p q r s t u v w aa bb"),
+      (3L, "m n o pp qq")).toDF("doc_id", "text")
+    val out = SpanDedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) === ((10L, 7L, 0.7)))
+    assert(out(1L)._2 === 7L)
+    assert(out(2L)._2 === 0L && out(3L)._2 === 0L)
+  }
+
+  test("dup spans: byte-identical docs are fully covered (dup_frac = 1.0)") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    SpanDedup.dupSpans(docs).collect().foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"doc ${r.getLong(0)} not fully covered")
+    }
+  }
+
+  test("dup spans: within-doc repetition alone does not mark coverage") {
+    import spark.implicits._
+    // the repeated phrase lives in ONE doc only (df = 1 distinct doc), so
+    // cross-document coverage must be zero — self-repetition is qt09's job
+    val docs = Seq(
+      (0L, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"),
+      (1L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val out = SpanDedup.dupSpans(docs).collect()
+    out.foreach(r => assert(r.getLong(2) === 0L))
+  }
+
+  test("incremental dedup classifies exact_dup, near_dup, and new") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), // seen
+      (2L, "seen filler " + (1 to 30).map(i => s"s$i").mkString(" ")), // seen
+      (5L, base), // incoming, byte-identical to seen doc 1
+      (10L, near), // incoming, 1 of 40 tokens changed vs seen doc 1
+      (15L, (1 to 40).map(i => s"zz$i").mkString(" ")) // incoming, unrelated
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.classifyIncremental(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(5L -> "exact_dup", 10L -> "near_dup", 15L -> "new"))
+  }
+
+  test("incremental dedup: duplicates WITHIN the incoming batch stay 'new'") {
+    import spark.implicits._
+    // both copies are incoming (ids 5 and 10): nothing in the SEEN corpus
+    // matches them, so both classify as new — the batch-internal dedup is
+    // qd01/qd07's job, run on the accepted batch afterwards
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "seen " + (1 to 30).map(i => s"x$i").mkString(" ")),
+      (5L, text), (10L, text)).toDF("doc_id", "text")
+    val out = SpanDedup.classifyIncremental(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(5L -> "new", 10L -> "new"))
+  }
+}
+
+class QualityClassifierSpec extends SparkSpec {
+
+  test("qt12 score matches an independent JVM reimplementation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(tok: String): Long = {
+      val bucket = java.lang.Long.parseLong(
+        md5hex(tok.toLowerCase(java.util.Locale.ROOT)).substring(0, 15), 16) % 4096
+      (java.lang.Long.parseLong(md5hex("w" + bucket).substring(0, 15), 16) % 2001) - 1000
+    }
+    val got = Registry.byName("qt12_quality_classifier").run(spark, sf)
+      .filter(col("doc_id") < 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("score_int")))).toMap
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      assert(got(id) === ((toks.length.toLong, toks.map(weight).sum)),
+        s"doc $id classifier mismatch")
+    }
+  }
+
+  test("qt12 score is token-order invariant (exact integer sum)") {
+    import spark.implicits._
+    val toks = (1 to 30).map(i => s"q$i")
+    val docs = Seq((0L, toks.mkString(" ")), (1L, toks.reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.classifierScore(docs)
+      .select("score_int").collect().map(_.getLong(0))
+    assert(scores(0) === scores(1), "reversed token order changed the score")
+  }
+}

@@ -123,7 +123,10 @@ class PlanLintSpec extends SparkSpec {
   // broadcast, and OOM'd qd04. The shuffle join is pinned with merge hints
   // in the queries; this asserts the resulting plan carries no broadcast.
   for (name <- Seq("qd03_minhash_lsh_pairs", "qd04_ngram_jaccard",
-      "qt09_gopher_repetition", "qp01_pipeline_e2e", "qd10_cdc_chunks")) {
+      "qt09_gopher_repetition", "qp01_pipeline_e2e", "qd10_cdc_chunks",
+      // round-5 additions: qd12's gram semi-join + coverage join, qd13's
+      // seen-bucket joins, and qx06's offsets join are all corpus×corpus
+      "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString

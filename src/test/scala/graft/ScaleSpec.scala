@@ -161,3 +161,48 @@ class ScaleSpec extends SparkSpec {
       && r.getAs[Double]("fill_rate") <= 1.0))
   }
 }
+
+class ShardShuffleSpec extends SparkSpec {
+  import org.apache.spark.sql.expressions.Window
+  import graft.operators.Scale
+  import graft.sources.Tables
+
+  test("shard shuffle ord equals the single global-window formulation") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Scale.shardShuffle(docs)
+    // independent mirror: the plain (skew-prone) global row_number the
+    // oracle states — the composed-offset plan must be arithmetic-identical
+    val ref = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"),
+        expr("cast(conv(substring(md5(concat('s', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 32")
+          .as("shard"))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("ord"))
+    assert(out.count() === ref.count())
+    assert(out.join(ref, Seq("doc_id", "shard", "ord"), "left_anti").count() === 0)
+  }
+
+  test("shard shuffle: ords are a dense 1..n permutation within every shard") {
+    val out = graft.operators.Scale.shardShuffle(Tables.documents(spark, sf))
+    val bad = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("ord")).as("mn"),
+        max(col("ord")).as("mx"), countDistinct(col("ord")).as("nd"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.count() === 0, "some shard's ordinals are not dense 1..n")
+  }
+
+  test("shard shuffle window partitions are prefix-bounded under the sub key") {
+    // the composed plan's row_number partitions carry (shard, sub): with
+    // 2-hex-char subs the largest partition must be well under a whole
+    // shard — the boundedness that makes the window safe at scale
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val maxPart = docs
+      .select(expr("cast(conv(substring(md5(concat('s', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 32").as("shard"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("sub"))
+      .groupBy(col("shard"), col("sub")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPart < n / 32, s"largest (shard, sub) partition $maxPart not sub-shard bounded")
+  }
+}
