@@ -117,7 +117,10 @@ object Soak {
         // round (bounded eval broadcast, capped pipeline near-dup stage,
         // sub-sharded packing window) get the same empirical check that
         // caught the qd04 broadcast OOM at 30×
-        "qt10_contamination", "qp01_pipeline_e2e", "qx05_sequence_packing")
+        "qt10_contamination", "qp01_pipeline_e2e", "qx05_sequence_packing",
+        // round-5 new operators: qd12's gram-coverage joins, qd13's capped
+        // asymmetric seen-bucket join, qx06's composed-offset windows
+        "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -719,6 +719,43 @@ object Dedup {
        |FROM chunks c JOIN spread s ON s.ch = c.ch
        |GROUP BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd14: telemetry event dedup — suppress an event when the previous
+  // event of the same (user_id, event_type) lies within the gap horizon
+  // (4 h): keeps exactly the first event of each gap-session, the standard
+  // repeated-beacon/retry suppression rule. One lag window per key; the
+  // partition is one user's events of one type — bounded however large
+  // the corpus, so the window is skew-safe without sub-sharding.
+  // ---------------------------------------------------------------------
+  private val EventGapUs = 14400000000L // 4 h in µs
+
+  /** The qd14 keep rule over an arbitrary (event_id, user_id, event_type,
+    * ts) frame — package-private for the spec's planted-timeline checks. */
+  private[graft] def gapSessionKeep(events: DataFrame,
+      gapUs: Long = EventGapUs): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("kept",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs,
+          lit(1)).otherwise(lit(0)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("kept"))
+  }
+
+  private def qd14(s: SparkSession, d: String): DataFrame =
+    gapSessionKeep(Tables.events(s, d))
+
+  private val qd14Sql =
+    s"""SELECT event_id, user_id, event_type,
+       |  CAST(CASE WHEN lag(ts) OVER w IS NULL
+       |       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $EventGapUs
+       |       THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
@@ -731,5 +768,6 @@ object Dedup {
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
     Q("qd08_dedup_components", qd08, Some(qd08Sql)),
     Q("qd09_graph_rank", qd09, Some(qd09Sql)),
-    Q("qd10_cdc_chunks", qd10, Some(qd10Sql)))
+    Q("qd10_cdc_chunks", qd10, Some(qd10Sql)),
+    Q("qd14_event_dedup", qd14, Some(qd14Sql)))
 }

@@ -511,7 +511,7 @@ object TextAnalysis {
        |    % $FeatDim AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"""
       .stripMargin.replace("\n", " ")
 
-  private val qt12Sql =
+  private[graft] val qt12Sql =
     s"""WITH tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents WHERE len(trim(text)) > 0),
@@ -525,6 +525,54 @@ object TextAnalysis {
        |  CAST(score_int >= 0 AS INT) AS keep
        |FROM scored""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt13: overlapping context chunking — split each document into
+  // fixed-length token windows (64 tokens, stride 48 → 16-token overlap),
+  // the standard retrieval/embedding preprocessing step. Emits
+  // (doc_id, chunk_idx, start_tok, n_tok, chunk_hash); the hash stands in
+  // for the chunk text so the gate compares exact content without
+  // shipping strings. One explode projection per doc — no shuffle, and at
+  // 100 TB the ~1.33× row amplification is the only cost.
+  // ---------------------------------------------------------------------
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  /** The qt13 chunking projection over an arbitrary (doc_id, text) frame —
+    * package-private for the spec's planted-document checks. */
+  private[graft] def ragChunks(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast((size(toks) - 1) div $ChunkStride as int)),
+           |  i -> named_struct(
+           |    'chunk_idx', cast(i as bigint),
+           |    'start_tok', cast(i * $ChunkStride as bigint),
+           |    'n_tok', cast(least($ChunkLen, size(toks) - i * $ChunkStride) as bigint),
+           |    'chunk_hash', md5(concat_ws(' ', slice(toks, i * $ChunkStride + 1, $ChunkLen)))))"""
+          .stripMargin.replace("\n", " "))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"), col("c.n_tok").as("n_tok"),
+        col("c.chunk_hash").as("chunk_hash"))
+
+  private def qt13(s: SparkSession, d: String): DataFrame =
+    ragChunks(Tables.documents(s, d))
+
+  private val qt13Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |idx AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(0, (len(toks) - 1) // $ChunkStride + 1)) AS i
+       |  FROM tok)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkLen, len(toks) - i * $ChunkStride) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(
+       |    toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkLen], ' ')) AS chunk_hash
+       |FROM idx""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -537,5 +585,6 @@ object TextAnalysis {
     Q("qt09_gopher_repetition", qt09, Some(qt09Sql)),
     Q("qt10_contamination", qt10, Some(qt10Sql)),
     Q("qt11_pii_redaction", qt11, Some(qt11Sql)),
-    Q("qt12_quality_classifier", qt12, Some(qt12Sql)))
+    Q("qt12_quality_classifier", qt12, Some(qt12Sql)),
+    Q("qt13_rag_chunks", qt13, Some(qt13Sql)))
 }

@@ -306,11 +306,70 @@ object Scale {
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx07: temperature-flattened mixture — the published multilingual/
+  // multi-domain rebalancing rule (temperature sampling, τ = 2): sampling
+  // mass ∝ (source token share)^(1/τ) = sqrt(share), so rare sources are
+  // upweighted relative to their natural share and dominant ones damped.
+  // qx04 allocates by FIXED per-source weights; this derives the weights
+  // from the data itself.
+  //
+  // Determinism (same discipline as qx04): share is an exact integer
+  // ratio scaled to ppm BEFORE the sqrt, sqrt is the one correctly-
+  // rounded IEEE op (bit-identical in any engine), floor back to integer,
+  // then all allocation math is integer floor-division. No float sums
+  // anywhere. Shape: one groupBy(source) with map-side partials + two
+  // 1-row broadcast crosses — same as qx04.
+  // ---------------------------------------------------------------------
+  private val TempBudget = 20000L // target tokens in the flattened mix
+
+  /** Temperature-flattened allocation over an arbitrary (source, text)
+    * frame — package-private for the skew spec. */
+  private[graft] def temperatureMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("t_total"))
+    val weighted = per.crossJoin(broadcast(tot))
+      .withColumn("w", expr(
+        "cast(floor(sqrt(cast((n_tokens * 1000000L) div t_total as double))) as bigint)"))
+    val ws = weighted.agg(sum(col("w")).as("wsum"))
+    weighted.crossJoin(broadcast(ws))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        expr(s"($TempBudget * w) div wsum").as("alloc_tokens"),
+        least(lit(100L),
+          expr(s"(($TempBudget * w) div wsum) * 100 div n_tokens"))
+          .as("keep_rate_pct"))
+  }
+
+  private def qx07(s: SparkSession, d: String): DataFrame =
+    temperatureMix(Tables.documents(s, d))
+
+  private val qx07Sql =
+    s"""WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM per),
+      |weighted AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST((n_tokens * 1000000) // t_total AS DOUBLE))) AS BIGINT) AS w
+      |  FROM per, tot),
+      |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM weighted)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, w,
+      |  CAST(($TempBudget * w) // wsum AS BIGINT) AS alloc_tokens,
+      |  least(100, CAST((($TempBudget * w) // wsum) * 100 // n_tokens AS BIGINT))
+      |    AS keep_rate_pct
+      |FROM weighted, ws""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
     Q("qx03_stratified_sample", qx03, Some(qx03Sql)),
     Q("qx04_domain_mix", qx04, Some(qx04Sql)),
     Q("qx05_sequence_packing", qx05, Some(qx05Sql)),
-    Q("qx06_shard_shuffle", qx06, Some(qx06Sql)))
+    Q("qx06_shard_shuffle", qx06, Some(qx06Sql)),
+    Q("qx07_temperature_mix", qx07, Some(qx07Sql)))
 }

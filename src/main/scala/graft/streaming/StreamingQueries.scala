@@ -478,6 +478,12 @@ object StreamingQueries {
   private def qst13(s: SparkSession, d: String): DataFrame =
     statelessStreamed(s, d, "sample")(graft.operators.Scale.stratifiedSample)
 
+  // qst14: streaming quality filter — qt12's hashed-linear classifier
+  // scored at ingest time (the shape real pipelines gate incoming docs
+  // with); a pure projection, so the stream face IS the batch face.
+  private def qst14(s: SparkSession, d: String): DataFrame =
+    statelessStreamed(s, d, "quality")(graft.ext.TextAnalysis.classifierScore)
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -494,5 +500,6 @@ object StreamingQueries {
     Q("qst11_stream_contamination", qst11, Some(graft.ext.TextAnalysis.qt10Sql)),
     // stateless ingest faces of qt11/qx03 — batch oracles reused verbatim
     Q("qst12_stream_pii", qst12, Some(graft.ext.TextAnalysis.qt11Sql)),
-    Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)))
+    Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)),
+    Q("qst14_stream_quality", qst14, Some(graft.ext.TextAnalysis.qt12Sql)))
 }

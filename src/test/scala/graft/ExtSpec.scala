@@ -600,3 +600,70 @@ class QualityClassifierSpec extends SparkSpec {
     assert(scores(0) === scores(1), "reversed token order changed the score")
   }
 }
+
+class EventDedupSpec extends SparkSpec {
+
+  test("gap-session keep rule on a planted timeline") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(hours: Double) =
+      new java.sql.Timestamp(t0.getTime + (hours * 3600 * 1000).toLong)
+    // user 1 click: 0h, +1h (suppressed), +5h (kept: 4h gap exceeded);
+    // user 1 view at +1h: independent key, kept; user 2 click at +1h: kept
+    val events = Seq(
+      (100L, 1L, "click", at(0)),
+      (101L, 1L, "click", at(1)),
+      (102L, 1L, "click", at(5.5)),
+      (103L, 1L, "view", at(1)),
+      (104L, 2L, "click", at(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ext.Dedup.gapSessionKeep(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out === Map(100L -> 1, 101L -> 0, 102L -> 1, 103L -> 1, 104L -> 1))
+  }
+
+  test("gap-session: exact-boundary gap is suppressed (strict > semantics)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val events = Seq(
+      (1L, 1L, "click", t0),
+      (2L, 1L, "click", new java.sql.Timestamp(t0.getTime + 4L * 3600 * 1000))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ext.Dedup.gapSessionKeep(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out === Map(1L -> 1, 2L -> 0), "gap == horizon must NOT reset the session")
+  }
+}
+
+class RagChunksSpec extends SparkSpec {
+
+  test("planted 100-token doc chunks at stride 48 with exact tail") {
+    import spark.implicits._
+    val toks = (1 to 100).map(i => s"c$i")
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.ragChunks(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out.map(c => (c._1, c._2, c._3)).toSeq ===
+      Seq((0L, 0L, 64L), (1L, 48L, 52L), (2L, 96L, 4L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 === md5hex(toks.slice(0, 64).mkString(" ")))
+    assert(out(1)._4 === md5hex(toks.slice(48, 100).mkString(" ")))
+    assert(out(2)._4 === md5hex(toks.slice(96, 100).mkString(" ")))
+  }
+
+  test("chunk extents tile every document: last chunk ends at n_tokens") {
+    val out = Registry.byName("qt13_rag_chunks").run(spark, sf)
+    val stats = Registry.byName("qt01_token_stats").run(spark, sf)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val bad = out.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("n_tok")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(stats, "doc_id")
+      .filter(col("covered") =!= col("n_tokens") ||
+        col("n_chunks") =!= expr("(n_tokens - 1) div 48 + 1"))
+    assert(bad.count() === 0)
+  }
+}

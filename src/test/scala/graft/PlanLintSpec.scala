@@ -20,6 +20,7 @@ class PlanLintSpec extends SparkSpec {
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
+    "qx07_temperature_mix", // two 1-row broadcast crosses (total + wsum), by design
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qd11_semdedup",      // same broadcast-K assignment; pair join merge-pinned
@@ -33,7 +34,7 @@ class PlanLintSpec extends SparkSpec {
     "qst07_stream_interval_join", "qst08_stream_running_counters",
     "qst09_stream_outer_join", "qst10_stream_neardup",
     "qst11_stream_contamination", "qst12_stream_pii",
-    "qst13_stream_sample", "qx02_bucketed_join")
+    "qst13_stream_sample", "qst14_stream_quality", "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {

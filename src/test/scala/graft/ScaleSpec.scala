@@ -206,3 +206,33 @@ class ShardShuffleSpec extends SparkSpec {
     assert(maxPart < n / 32, s"largest (shard, sub) partition $maxPart not sub-shard bounded")
   }
 }
+
+class TemperatureMixSpec extends SparkSpec {
+
+  test("temperature flattening upweights the rare source by ~sqrt of share ratio") {
+    import spark.implicits._
+    // big: 90 docs x 1000 tokens (90% share); rare: 10 x 1000 (10%).
+    // Proportional (tau=1) sampling would keep both at the same rate;
+    // tau=2 keeps rare at ~sqrt(9) = 3x the big source's rate.
+    val tokens = (1 to 1000).map(i => s"t$i").mkString(" ")
+    val docs = ((1 to 90).map(i => (i.toLong, "big", tokens)) ++
+      (1 to 10).map(i => (100L + i, "rare", tokens)))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Scale.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(out("rare") > out("big"), s"rare not upweighted: $out")
+    val ratio = out("rare").toDouble / out("big")
+    assert(ratio > 2.5 && ratio < 3.5, s"flattening ratio $ratio not ~sqrt(9)")
+  }
+
+  test("temperature mix weights follow integer sqrt of ppm share exactly") {
+    import spark.implicits._
+    val tokens = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = ((1 to 9).map(i => (i.toLong, "a", tokens)) ++
+      Seq((10L, "b", tokens))).toDF("doc_id", "source", "text")
+    val out = graft.operators.Scale.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("a") === math.floor(math.sqrt(900000.0)).toLong)
+    assert(out("b") === math.floor(math.sqrt(100000.0)).toLong)
+  }
+}
