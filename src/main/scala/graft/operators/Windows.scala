@@ -164,11 +164,49 @@ object Windows {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qw07: per-session event SEQUENCES — the behavioral-training-data
+  // composition step: each (user, 30-min-gap session) becomes one example
+  // whose content is the event types in (ts, event_id) order. The
+  // sequence is gated by md5 so the driver compares exact content without
+  // array columns (hash-canonical rules, README). Shape: qw03's session
+  // aggregation with an order-deterministic collect — the collect_list is
+  // per session (bounded by session length), sorted map-side after the
+  // one groupBy shuffle.
+  // ---------------------------------------------------------------------
+  private def qw07(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+          " ")).as("seq_hash"))
+      .select(col("session_window.start").as("s_start"), col("user_id"),
+        col("n_events"), col("seq_hash"))
+
+  private val qw07Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged)
+      |SELECT min(ts) AS s_start, user_id, count(*) AS n_events,
+      |  md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_hash
+      |FROM islands GROUP BY user_id, sess""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
     Q("qw03_session_window", qw03, Some(qw03Sql), headline = true),
     Q("qw04_running_agg", qw04, Some(qw04Sql)),
     Q("qw05_lag_lead", qw05, Some(qw05Sql)),
-    Q("qw06_windowed_collect", qw06, Some(qw06Sql)))
+    Q("qw06_windowed_collect", qw06, Some(qw06Sql)),
+    Q("qw07_session_sequences", qw07, Some(qw07Sql)))
 }

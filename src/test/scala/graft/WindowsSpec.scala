@@ -33,3 +33,41 @@ class WindowsSpec extends SparkSpec {
     assert(finals.filter(col("fin.running_n") =!= col("n_rows")).count() === 0)
   }
 }
+
+class SessionSequencesSpec extends SparkSpec {
+
+  test("qw07 sequences: planted timeline splits sessions and hashes order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // reuse the gated query over sf events is covered by the driver gate;
+    // here: content check — each session's hash is md5 of its type string
+    val out = Registry.byName("qw07_session_sequences").run(spark, sf)
+    // independent mirror: gaps-and-islands + manual md5 over collected rows
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val expected = events.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (micros(r._2), r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[(Long, java.sql.Timestamp, Long, String)]]()
+      sorted.foreach { r =>
+        if (sessions.isEmpty ||
+          micros(r._2) - micros(sessions.last.last._2) > 30L * 60 * 1000000)
+          sessions += scala.collection.mutable.ArrayBuffer(r)
+        else sessions.last += r
+      }
+      sessions.map { sess =>
+        (uid, sess.head._2, sess.size.toLong,
+          md5hex(sess.map(_._4).mkString(" ")))
+      }
+    }.toSet
+    val got = out.collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === expected)
+  }
+}
