@@ -484,6 +484,48 @@ object StreamingQueries {
   private def qst14(s: SparkSession, d: String): DataFrame =
     statelessStreamed(s, d, "quality")(graft.ext.TextAnalysis.classifierScore)
 
+  // ---------------------------------------------------------------------
+  // qst15: streaming session SEQUENCES — qw07's behavioral-example
+  // construction as an append-mode session aggregation: merging session
+  // state accumulates (ts, event_id, event_type) structs; the sequence is
+  // sorted AFTER the final merge (array_sort on the struct), so the hash
+  // is independent of both micro-batch split and merge order — what makes
+  // the streaming face oracle-gatable at all. Watermark eviction is
+  // qst06's (µs window end vs ms-truncated watermark), mirrored in the
+  // HAVING clause.
+  // ---------------------------------------------------------------------
+  private def qst15(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "append") { ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+            " ")).as("seq_hash"))
+        .select(col("session_window.start").as("s_start"), col("user_id"),
+          col("n_events"), col("seq_hash"))
+    }
+
+  private val qst15Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged),
+      |wm AS (SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS w FROM events)
+      |SELECT min(ts) AS s_start, user_id, count(*) AS n_events,
+      |  md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_hash
+      |FROM islands, wm
+      |GROUP BY user_id, sess, wm.w
+      |HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE) <= wm.w""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -501,5 +543,6 @@ object StreamingQueries {
     // stateless ingest faces of qt11/qx03 — batch oracles reused verbatim
     Q("qst12_stream_pii", qst12, Some(graft.ext.TextAnalysis.qt11Sql)),
     Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)),
-    Q("qst14_stream_quality", qst14, Some(graft.ext.TextAnalysis.qt12Sql)))
+    Q("qst14_stream_quality", qst14, Some(graft.ext.TextAnalysis.qt12Sql)),
+    Q("qst15_stream_sessions", qst15, Some(qst15Sql)))
 }

@@ -34,7 +34,8 @@ class PlanLintSpec extends SparkSpec {
     "qst07_stream_interval_join", "qst08_stream_running_counters",
     "qst09_stream_outer_join", "qst10_stream_neardup",
     "qst11_stream_contamination", "qst12_stream_pii",
-    "qst13_stream_sample", "qst14_stream_quality", "qx02_bucketed_join")
+    "qst13_stream_sample", "qst14_stream_quality", "qst15_stream_sessions",
+    "qx02_bucketed_join")
 
   Registry.all.filterNot(q => skip(q.name)).foreach { q =>
     test(s"${q.name}: no accidental nested-loop join") {

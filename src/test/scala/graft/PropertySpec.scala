@@ -182,3 +182,74 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 10)
   }
 }
+
+/** Property checks for the round-5 pipeline operators: span coverage,
+  * shard-shuffle permutations, temperature allocation bounds — each against
+  * a brute-force in-JVM reference on arbitrary small inputs. */
+class PipelinePropertySpec extends SparkSpec {
+
+  private def check(prop: org.scalacheck.Prop, tests: Int = 10): Unit = {
+    val res = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(tests).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import spark.implicits._
+  import org.scalacheck.{Gen => SGen, Prop}
+
+  // random docs over a tiny vocabulary, so 5-gram collisions are common
+  private val docGen = SGen.listOfN(12, SGen.chooseNum(0, 5))
+    .map(_.map(i => s"v$i").mkString(" "))
+  private val corpusGen = SGen.listOfN(8, docGen)
+
+  test("property: span coverage is bounded by n_tokens; full dup covers fully") {
+    val prop = Prop.forAll(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.ext.SpanDedup.dupSpans(docs).collect()
+      val bounded = rows.forall { r =>
+        r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)
+      }
+      // duplicating the whole corpus makes every doc fully covered
+      val doubled = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        texts.zipWithIndex.map { case (t, i) => (100L + i, t) })
+        .toDF("doc_id", "text")
+      val full = graft.ext.SpanDedup.dupSpans(doubled).collect()
+        .forall(r => r.getLong(2) == r.getLong(1))
+      bounded && full
+    }
+    check(prop)
+  }
+
+  test("property: shard shuffle is a per-shard dense permutation of all docs") {
+    val idsGen = SGen.listOfN(80, SGen.chooseNum(0L, 5000L)).map(_.distinct)
+    val prop = Prop.forAll(idsGen) { ids =>
+      ids.isEmpty || {
+        val docs = ids.map(i => Tuple1(i)).toDF("doc_id")
+        val out = graft.operators.Scale.shardShuffle(docs).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.length == ids.length &&
+          out.groupBy(_._2).forall { case (_, rows) =>
+            rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq
+          }
+      }
+    }
+    check(prop)
+  }
+
+  test("property: temperature allocation never exceeds budget + rounding slack") {
+    val srcGen = SGen.listOfN(4, SGen.chooseNum(1, 40))
+    val prop = Prop.forAll(srcGen) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map(i => ((s * 1000 + i).toLong, s"src$s",
+          (1 to 50).map(j => s"t$j").mkString(" ")))
+      }.toDF("doc_id", "source", "text")
+      val out = graft.operators.Scale.temperatureMix(docs).collect()
+      val allocSum = out.map(_.getLong(4)).sum
+      // floor-division rounding can only lose tokens, never exceed budget
+      allocSum <= 20000L &&
+        out.forall(r => r.getLong(5) >= 0 && r.getLong(5) <= 100)
+    }
+    check(prop)
+  }
+}
