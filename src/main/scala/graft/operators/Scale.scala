@@ -364,6 +364,53 @@ object Scale {
       |    AS keep_rate_pct
       |FROM weighted, ws""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx08: per-source document cap — bound any one domain's contribution to
+  // the corpus by keeping a deterministic K-doc sample per source (md5
+  // order, so the "sample" is a fixed uniform choice, re-runnable and
+  // partition-independent — the per-domain cap step of a crawl pipeline).
+  //
+  // Scale shape: a naive row_number over (source) is the qx05/qx06 skew
+  // trap. Remedy here is the classic two-phase distributed top-K: phase 1
+  // takes the top K of each (source, 2-hex-prefix sub-shard) — bounded
+  // window partitions, and ≤ 256·K survivors per source; phase 2 ranks
+  // those survivors per source — a window over ≤ 256·K rows per source
+  // however large the corpus. Correct because the global top-K is always
+  // contained in the union of per-shard top-Ks. The oracle states the
+  // naive single-window form; results are identical.
+  // ---------------------------------------------------------------------
+  private val CapK = 20
+
+  /** Per-source K-doc cap over an arbitrary (doc_id, source) frame —
+    * package-private for the equivalence spec. */
+  private[graft] def perSourceCap(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("source"))
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("sub", substring(col("skey"), 1, 2))
+    val subW = W.partitionBy(col("source"), col("sub"))
+      .orderBy(col("skey"), col("doc_id"))
+    val candidates = keyed
+      .withColumn("r", row_number().over(subW))
+      .filter(col("r") <= CapK).drop("r")
+    val finW = W.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+    candidates
+      .withColumn("rank", row_number().over(finW).cast("long"))
+      .filter(col("rank") <= CapK)
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
+
+  private def qx08(s: SparkSession, d: String): DataFrame =
+    perSourceCap(Tables.documents(s, d))
+
+  private val qx08Sql =
+    s"""SELECT doc_id, source, CAST(rank AS BIGINT) AS rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= $CapK""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -371,5 +418,6 @@ object Scale {
     Q("qx04_domain_mix", qx04, Some(qx04Sql)),
     Q("qx05_sequence_packing", qx05, Some(qx05Sql)),
     Q("qx06_shard_shuffle", qx06, Some(qx06Sql)),
-    Q("qx07_temperature_mix", qx07, Some(qx07Sql)))
+    Q("qx07_temperature_mix", qx07, Some(qx07Sql)),
+    Q("qx08_per_source_cap", qx08, Some(qx08Sql)))
 }

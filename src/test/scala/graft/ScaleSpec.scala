@@ -236,3 +236,34 @@ class TemperatureMixSpec extends SparkSpec {
     assert(out("b") === math.floor(math.sqrt(100000.0)).toLong)
   }
 }
+
+class PerSourceCapSpec extends SparkSpec {
+  import org.apache.spark.sql.expressions.Window
+  import graft.sources.Tables
+
+  test("two-phase per-source cap equals the naive single-window top-K") {
+    import spark.implicits._
+    // skewed corpus: one source holds 90% of docs — the shape where the
+    // naive window serializes and the two-phase form must not
+    val docs = ((1 to 900).map(i => (i.toLong, "hot")) ++
+      (1 to 100).map(i => (1000L + i, "cold"))).toDF("doc_id", "source")
+    val out = graft.operators.Scale.perSourceCap(docs)
+    val naive = docs
+      .withColumn("skey", md5(col("doc_id").cast("string")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("source"), col("rank"))
+    assert(out.count() === 40)
+    assert(out.join(naive, Seq("doc_id", "source", "rank"), "left_anti").count() === 0)
+    assert(naive.join(out, Seq("doc_id", "source", "rank"), "left_anti").count() === 0)
+  }
+
+  test("per-source cap on the sf corpus: exactly K per source, ranks dense") {
+    val out = Registry.byName("qx08_per_source_cap").run(spark, sf)
+    val bad = out.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"))
+      .filter(col("n") =!= 20 || col("mx") =!= 20)
+    assert(bad.count() === 0) // sf0.001 has 25 docs/source, all capped to 20
+  }
+}
