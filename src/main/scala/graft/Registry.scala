@@ -33,6 +33,7 @@ object Registry {
       graft.ext.Dedup.queries ++
       graft.ext.SpanDedup.queries ++
       graft.ext.Similarity.queries ++
+      graft.ext.Embeddings.queries ++
       graft.ext.Clustering.queries ++
       graft.ext.TextAnalysis.queries ++
       graft.ext.Multimodal.queries ++

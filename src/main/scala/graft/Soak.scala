@@ -120,7 +120,10 @@ object Soak {
         "qt10_contamination", "qp01_pipeline_e2e", "qx05_sequence_packing",
         // round-5 new operators: qd12's gram-coverage joins, qd13's capped
         // asymmetric seen-bucket join, qx06's composed-offset windows
-        "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle")
+        "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle",
+        // block-dedup rewrite: the keeper groupBy + merge-pinned join is
+        // the shape most exposed to corpus growth among the 2nd-wave ops
+        "qd15_block_dedup_rewrite")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -1,0 +1,137 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Embedding-column operators over `embeddings` — the vector-processing
+  * steps a training/retrieval pipeline runs between "embeddings computed"
+  * and "index built":
+  *
+  *  - qe01: symmetric int8 quantization. Per vector: scale = max |v_i|,
+  *    code_i = round(v_i / scale · 127) — the standard storage/serving
+  *    compression (4× smaller than float32, published as the default in
+  *    most ANN-index formats). Output is exact-integer codes + the double
+  *    scale, so the gate hash is bit-stable.
+  *
+  *  - qe02: sign-projection binary codes (16 LCG hyperplanes → a 16-bit
+  *    code per vector, the binary-hashing / "sketch the embedding" face of
+  *    qs02's LSH), plus per-code bucket occupancy — the index-build
+  *    statistic that decides whether a code table is balanced enough to
+  *    serve.
+  *
+  * 100 TB shape: qe01 is a pure per-row projection — zero shuffle, fully
+  * codegen'd, scales embarrassingly. qe02 is one groupBy on a keyspace
+  * bounded by construction at 2^16 rows (the code space, NOT the corpus),
+  * so the occupancy frame keeps a static broadcast legitimately — the
+  * bounded-frame side of the broadcast inverse rule (contrast qd04, where
+  * the broadcast side grew with the corpus).
+  *
+  * Float determinism: all arithmetic is element-wise double ops or the
+  * sequential-fold dot product ([[Vectors.dot]] / [[Vectors.dotSql]]),
+  * both bit-identical across Spark and DuckDB — the qs01/qs02 precedent.
+  *
+  * Reference scope: the reference engine has no vector columns; these
+  * extend the similarity family (qs01–qs03) for training-data pipelines.
+  */
+object Embeddings {
+
+  private val Dim = 64
+  private val CodeBits = 16
+
+  // ---------------------------------------------------------------------
+  // qe01: symmetric int8 quantization.
+  // ---------------------------------------------------------------------
+
+  /** The qe01 projection over an arbitrary (vec_id, embedding) frame —
+    * package-private so the spec can check round-trip error bounds. */
+  private[graft] def int8Quantize(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> greatest(acc, abs(cast(x as double))))")
+          .as("qscale"))
+      .select(col("vec_id"), col("qscale"),
+        when(col("qscale") === 0.0d,
+            expr(s"transform(sequence(1, $Dim), i -> 0)"))
+          .otherwise(expr(
+            "transform(embedding, x -> cast(floor((cast(x as double) / qscale) * 127.0 + 0.5) as int))"))
+          .as("qarr"))
+      // codes ship as one comma-joined string: the driver's hash
+      // canonicalization mismatches list-typed parquet columns (the qd02
+      // per-band-string precedent)
+      .select(col("vec_id"), col("qscale"),
+        expr("array_join(qarr, ',')").as("q_codes"),
+        expr("array_max(qarr)").as("q_max"),
+        expr("array_min(qarr)").as("q_min"))
+
+  private def qe01(s: SparkSession, d: String): DataFrame =
+    int8Quantize(Tables.embeddings(s, d))
+
+  private val qe01Sql =
+    s"""WITH scaled AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id, qscale,
+       |    CASE WHEN qscale = 0
+       |      THEN list_transform(range(1, ${Dim + 1}), i -> 0)
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(floor((CAST(x AS DOUBLE) / qscale) * 127.0 + 0.5) AS INT))
+       |    END AS qarr
+       |  FROM scaled)
+       |SELECT vec_id, qscale, array_to_string(qarr, ',') AS q_codes,
+       |  list_max(qarr) AS q_max, list_min(qarr) AS q_min
+       |FROM quant""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qe02: 16-bit sign-projection codes + bucket occupancy.
+  // ---------------------------------------------------------------------
+
+  // LCG hyperplanes like qs02's, flat index offset by 7777 so the plane
+  // set is independent of the ANN query's.
+  private def planeExpr(j: Int): String =
+    s"transform(sequence(0, ${Dim - 1}), i -> ((1103515245L * (7777 + $j * $Dim + i) + 12345L) % 65536L) / 65536.0 - 0.5)"
+
+  private def planeSqlList(j: Int): String =
+    s"list_transform(range(0, $Dim), i -> ((1103515245 * (7777 + $j * $Dim + i) + 12345) % 65536) / 65536.0 - 0.5)"
+
+  private def codeExpr: Column =
+    (0 until CodeBits).map { j =>
+      when(Vectors.dot(col("embedding"), expr(planeExpr(j))) > 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def codeSql(emb: String): String =
+    (0 until CodeBits).map { j =>
+      s"(CASE WHEN ${Vectors.dotSql(emb, planeSqlList(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The qe02 computation over an arbitrary (vec_id, embedding) frame —
+    * package-private for the spec. */
+  private[graft] def binaryCodes(e: DataFrame): DataFrame = {
+    val codes = e.select(col("vec_id"), codeExpr.as("code"))
+    // occupancy keyspace is <= 2^CodeBits rows whatever the corpus size —
+    // bounded by construction, so the broadcast is legitimate
+    val occ = codes.groupBy(col("code")).agg(count(lit(1)).as("bucket_n"))
+    codes.join(broadcast(occ), Seq("code"))
+      .select(col("vec_id"), col("code"), col("bucket_n"))
+  }
+
+  private def qe02(s: SparkSession, d: String): DataFrame =
+    binaryCodes(Tables.embeddings(s, d))
+
+  private val qe02Sql =
+    s"""WITH codes AS (
+       |  SELECT vec_id, ${codeSql("embedding")} AS code FROM embeddings),
+       |occ AS (
+       |  SELECT code, count(*) AS bucket_n FROM codes GROUP BY code)
+       |SELECT c.vec_id, c.code, o.bucket_n
+       |FROM codes c JOIN occ o USING (code)""".stripMargin
+
+  def queries: Seq[Q] = Seq(
+    Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
+    Q("qe02_embedding_binary", qe02, Some(qe02Sql)))
+}

@@ -210,7 +210,96 @@ object SpanDedup {
        |LEFT JOIN exact e ON e.doc_id = i.doc_id
        |LEFT JOIN near n ON n.doc_id = i.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd15: block-level dedup WITH REWRITE — the published paragraph-dedup
+  // recipe (drop paragraphs duplicated across the corpus, keep the first
+  // occurrence, reassemble each document from its surviving paragraphs).
+  // This corpus has no newlines, so "paragraph" is re-expressed as the
+  // fixed-size token block (BlockTokens words); the pipeline shape is
+  // identical. Unlike qd01–qd13, the OUTPUT is a transformed corpus (the
+  // cleaned text), not flags — the rewrite face of dedup.
+  //
+  // 100 TB shape: linear everywhere. One groupBy on 16-byte block hashes
+  // (map-side partial min) picks the global keeper per hash; the join back
+  // is corpus×corpus → merge-pinned (the qd04 static-broadcast trap); the
+  // per-doc reassembly is a collect_list bounded by the longest document.
+  // No pair explosion exists anywhere, so no BucketCap is needed: a block
+  // duplicated a billion times is one groupBy key with a billion-row
+  // posting list reduced map-side to a single min.
+  //
+  // Documents whose every block is a duplicate drop out of the output
+  // (nothing survives to reassemble) — mirrored in the oracle.
+  // ---------------------------------------------------------------------
+
+  /** Tokens per block ("paragraph" stand-in on a newline-free corpus). */
+  val BlockTokens = 20
+
+  /** Keeper ordering: min(doc_id * BlkKeyMul + blk). Valid while every doc
+    * has fewer than BlkKeyMul blocks — 1M blocks × 20 tokens ≈ a 20M-token
+    * document, far past any real corpus document. */
+  private val BlkKeyMul = 1000000L
+
+  /** The qd15 rewrite over an arbitrary (doc_id, text) frame —
+    * package-private so the spec can run it on planted-duplicate corpora. */
+  private[graft] def blockDedupRewrite(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / ${BlockTokens}.0) as int) - 1),
+           |  b -> named_struct(
+           |    'blk', cast(b as bigint),
+           |    'btext', array_join(slice(toks, b * $BlockTokens + 1, $BlockTokens), ' ')))"""
+          .stripMargin.replace("\n", " ")).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b.blk").as("blk"), col("b.btext").as("btext"),
+        md5(col("b.btext")).as("bhash"))
+    val keeper = blocks
+      .groupBy(col("bhash"))
+      .agg(min(col("doc_id") * BlkKeyMul + col("blk")).as("keep_key"))
+    val kept = blocks.join(keeper.hint("merge"), Seq("bhash"))
+      .filter(col("doc_id") * BlkKeyMul + col("blk") === col("keep_key"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("kept_blocks"),
+        expr("array_join(transform(sort_array(collect_list(struct(blk, btext))), x -> x.btext), ' ')")
+          .as("clean_text"))
+  }
+
+  private def qd15(s: SparkSession, d: String): DataFrame =
+    blockDedupRewrite(Tables.documents(s, d))
+
+  /** The qd15 CTE chain (tokenize → block → keeper election → kept set) —
+    * package-visible so the streaming face qst16 reuses it verbatim. */
+  private[graft] val blockKeeperSqlCte =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |blk AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(toks) / ${BlockTokens}.0) AS INT))) AS blk,
+       |    toks
+       |  FROM tok),
+       |blocks AS (
+       |  SELECT doc_id, blk,
+       |    array_to_string(toks[blk*$BlockTokens+1 : blk*$BlockTokens+$BlockTokens], ' ') AS btext,
+       |    md5(array_to_string(toks[blk*$BlockTokens+1 : blk*$BlockTokens+$BlockTokens], ' ')) AS bhash
+       |  FROM blk),
+       |keeper AS (
+       |  SELECT bhash, min(doc_id * $BlkKeyMul + blk) AS keep_key
+       |  FROM blocks GROUP BY bhash),
+       |kept AS (
+       |  SELECT b.doc_id, b.blk, b.btext
+       |  FROM blocks b JOIN keeper k
+       |    ON b.bhash = k.bhash AND b.doc_id * $BlkKeyMul + b.blk = k.keep_key)""".stripMargin
+
+  private val qd15Sql =
+    s"""WITH $blockKeeperSqlCte
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_blocks,
+       |  string_agg(btext, ' ' ORDER BY blk) AS clean_text
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd12_dup_spans", qd12, Some(qd12Sql)),
-    Q("qd13_incremental_dedup", qd13, Some(qd13Sql)))
+    Q("qd13_incremental_dedup", qd13, Some(qd13Sql)),
+    Q("qd15_block_dedup_rewrite", qd15, Some(qd15Sql)))
 }

@@ -573,6 +573,54 @@ object TextAnalysis {
        |    toks[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkLen], ' ')) AS chunk_hash
        |FROM idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt14: text normalization — the C4/CCNet-style cleaning pass every
+  // ingest pipeline runs first: strip control characters, lowercase,
+  // collapse whitespace runs, trim. The test corpus is already clean, so
+  // the query first synthesizes a deterministically-dirty variant from its
+  // own columns (title-cased prefix, embedded tab, trailing CR, run-on
+  // spaces) IN BOTH ENGINES, then normalizes it — the gate exercises the
+  // real cleaning path on genuinely dirty input while staying exact.
+  // Pure per-row projection: zero shuffle, fully codegen'd, scales
+  // embarrassingly at 100 TB. (Unicode NFC is out of scope here: the
+  // corpus is ASCII and Spark/DuckDB normalize via different libs, so an
+  // NFC gate could not be hash-exact; the chain is where NFC would slot.)
+  // ---------------------------------------------------------------------
+
+  /** The qt14 cleaning chain over any frame with a `dirty` column —
+    * package-private so the spec can feed planted dirty strings. */
+  private[graft] def normalizeText(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        length(col("dirty")).cast("long").as("n_raw"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("dirty")), "[\\t\\r]", " "),
+          " +", " ")).as("clean_text"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("clean_text")).cast("long").as("n_clean"), col("clean_text"))
+
+  private def qt14(s: SparkSession, d: String): DataFrame =
+    normalizeText(Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(
+          upper(substring(col("text"), 1, 30)), lit("\t"),
+          substring(col("text"), 31, 1000000), lit("   "),
+          col("source"), lit("\r")).as("dirty")))
+
+  private val qt14Sql =
+    """WITH dirtied AS (
+      |  SELECT doc_id,
+      |    upper(substr(text, 1, 30)) || chr(9) || substr(text, 31) ||
+      |      '   ' || source || chr(13) AS dirty
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, CAST(len(dirty) AS BIGINT) AS n_raw,
+      |    trim(regexp_replace(
+      |      regexp_replace(lower(dirty), '[\t\r]', ' ', 'g'),
+      |      ' +', ' ', 'g')) AS clean_text
+      |  FROM dirtied)
+      |SELECT doc_id, n_raw, CAST(len(clean_text) AS BIGINT) AS n_clean, clean_text
+      |FROM cleaned""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -586,5 +634,6 @@ object TextAnalysis {
     Q("qt10_contamination", qt10, Some(qt10Sql)),
     Q("qt11_pii_redaction", qt11, Some(qt11Sql)),
     Q("qt12_quality_classifier", qt12, Some(qt12Sql)),
-    Q("qt13_rag_chunks", qt13, Some(qt13Sql)))
+    Q("qt13_rag_chunks", qt13, Some(qt13Sql)),
+    Q("qt14_text_normalize", qt14, Some(qt14Sql)))
 }

@@ -526,6 +526,48 @@ object StreamingQueries {
       |GROUP BY user_id, sess, wm.w
       |HAVING epoch_us(max(ts) + INTERVAL 30 MINUTE) <= wm.w""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst16: streaming block-level dedup — qd15's keeper election as an
+  // ingest stream (see BlockDedup). Documents explode into token blocks;
+  // keyed ValueState elects the min-(doc_id, blk) keeper per block hash
+  // with retroactive demotion re-emission, so the kept set equals the
+  // batch rule under ANY micro-batch split. The sink-side min(kept)
+  // reduction and per-doc count happen batch-side (qst10 pattern). The
+  // oracle is qd15's keeper CTE verbatim minus the text reassembly — the
+  // streaming/batch consistency contract, stated by construction.
+  // ---------------------------------------------------------------------
+  private def qst16(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val path = s"$d/documents.parquet"
+      val schema: StructType = s.read.parquet(path).schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val name = s"graft_blockdedup_${counter.incrementAndGet()}"
+      val q = BlockDedup.flagBlocks(docs)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+        .groupBy(col("docId"), col("blk"))
+        .agg(min(col("kept")).as("kept"))
+        .filter(col("kept") === 1)
+        .groupBy(col("docId"))
+        .agg(count(lit(1)).as("kept_blocks"))
+        .select(col("docId").as("doc_id"), col("kept_blocks"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val qst16Sql =
+    s"""WITH ${graft.ext.SpanDedup.blockKeeperSqlCte}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_blocks
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -544,5 +586,6 @@ object StreamingQueries {
     Q("qst12_stream_pii", qst12, Some(graft.ext.TextAnalysis.qt11Sql)),
     Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)),
     Q("qst14_stream_quality", qst14, Some(graft.ext.TextAnalysis.qt12Sql)),
-    Q("qst15_stream_sessions", qst15, Some(qst15Sql)))
+    Q("qst15_stream_sessions", qst15, Some(qst15Sql)),
+    Q("qst16_stream_block_dedup", qst16, Some(qst16Sql)))
 }

@@ -667,3 +667,146 @@ class RagChunksSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 }
+
+class BlockDedupSpec extends SparkSpec {
+  import graft.ext.SpanDedup
+
+  private def blockText(tag: String): String =
+    (1 to SpanDedup.BlockTokens).map(i => s"$tag$i").mkString(" ")
+
+  test("block dedup rewrite: later copy of a shared block is dropped, order kept") {
+    import spark.implicits._
+    val (a, b, c) = (blockText("a"), blockText("b"), blockText("c"))
+    val docs = Seq(
+      (0L, s"$a $b"),  // keeps both (first occurrence of A and B)
+      (1L, s"$a $c")   // loses A (doc 0 owns it), keeps C
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.blockDedupRewrite(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) === ((2L, s"$a $b")))
+    assert(out(1L) === ((1L, c)))
+  }
+
+  test("block dedup rewrite: fully-duplicated doc vanishes from the output") {
+    import spark.implicits._
+    val (a, b) = (blockText("a"), blockText("b"))
+    val docs = Seq((0L, s"$a $b"), (2L, s"$a $b")).toDF("doc_id", "text")
+    val out = SpanDedup.blockDedupRewrite(docs)
+    assert(out.count() === 1)
+    assert(out.collect()(0).getLong(0) === 0L)
+  }
+
+  test("block dedup rewrite: within-doc duplicate block collapses to first slot") {
+    import spark.implicits._
+    val a = blockText("a")
+    val docs = Seq((0L, s"$a $a")).toDF("doc_id", "text")
+    val r = SpanDedup.blockDedupRewrite(docs).collect()(0)
+    assert(r.getLong(1) === 1L && r.getString(2) === a)
+  }
+
+  test("block dedup rewrite: short docs dedup as single partial blocks") {
+    import spark.implicits._
+    val docs = Seq((0L, "tiny doc"), (1L, "tiny doc"), (2L, "other short")).toDF("doc_id", "text")
+    val out = SpanDedup.blockDedupRewrite(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(0L -> "tiny doc", 2L -> "other short"))
+  }
+
+  test("qd15 conserves blocks: kept + dropped = total, drops are exact dup count") {
+    val docs = Tables.documents(spark, sf)
+    val totalBlocks = docs
+      .select(expr(s"cast(ceil(size(split(trim(text), '\\\\s+')) / ${SpanDedup.BlockTokens}.0) as long)").as("nb"))
+      .agg(sum(col("nb"))).collect()(0).getLong(0)
+    val kept = Registry.byName("qd15_block_dedup_rewrite").run(spark, sf)
+      .agg(sum(col("kept_blocks"))).collect()(0).getLong(0)
+    assert(kept <= totalBlocks)
+    // every kept block's hash is unique corpus-wide after the rewrite
+    val out = Registry.byName("qd15_block_dedup_rewrite").run(spark, sf)
+    val rehashed = out
+      .select(explode(expr(
+        s"""transform(sequence(0, cast(ceil(size(split(clean_text, ' ')) / ${SpanDedup.BlockTokens}.0) as int) - 1),
+           |  b -> md5(array_join(slice(split(clean_text, ' '), b * ${SpanDedup.BlockTokens} + 1, ${SpanDedup.BlockTokens}), ' ')))"""
+          .stripMargin.replace("\n", " "))).as("h"))
+    assert(rehashed.count() === rehashed.distinct().count(),
+      "rewritten corpus still contains a duplicated block")
+  }
+}
+
+class EmbeddingsSpec extends SparkSpec {
+  import graft.ext.Embeddings
+
+  test("int8 quantization round-trips within a half quantization step") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val out = Embeddings.int8Quantize(e)
+      .join(e, Seq("vec_id"))
+      .collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("qscale")
+      val codes = r.getAs[String]("q_codes").split(",").map(_.toInt)
+      val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(codes.length === orig.length)
+      assert(codes.max <= 127 && codes.min >= -127)
+      // the max-|v| element must quantize to exactly ±127
+      assert(codes.exists(c => math.abs(c) === 127))
+      val step = scale / 127.0
+      codes.zip(orig).foreach { case (c, v) =>
+        assert(math.abs(c * step - v) <= step / 2 + 1e-9,
+          s"dequant error beyond half step: code $c value $v scale $scale")
+      }
+    }
+  }
+
+  test("int8 quantization: zero vector yields zero scale and zero codes") {
+    import spark.implicits._
+    val e = Seq((0L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.int8Quantize(e).collect()(0)
+    assert(r.getAs[Double]("qscale") === 0.0)
+    assert(r.getAs[String]("q_codes").split(",").forall(_ == "0"))
+  }
+
+  test("binary codes: 16-bit range, occupancy counts are exact group sizes") {
+    val out = Registry.byName("qe02_embedding_binary").run(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() === n)
+    assert(out.filter(col("code") < 0 || col("code") > 65535).count() === 0)
+    // bucket_n re-derived from the output itself must agree row-for-row
+    val recount = out.groupBy(col("code")).agg(count(lit(1)).as("n2"))
+    assert(out.join(recount, Seq("code")).filter(col("bucket_n") =!= col("n2")).count() === 0)
+    // occupancy sums to the corpus across distinct buckets
+    val sumOcc = out.select(col("code"), col("bucket_n")).distinct()
+      .agg(sum(col("bucket_n"))).collect()(0).getLong(0)
+    assert(sumOcc === n)
+  }
+}
+
+class TextNormalizeSpec extends SparkSpec {
+  import graft.ext.TextAnalysis
+
+  test("normalization chain on planted dirty strings") {
+    import spark.implicits._
+    val dirty = Seq(
+      (0L, "  Hello\tWORLD  \r"),
+      (1L, "a\t\tb\r\rc"),
+      (2L, "already clean"),
+      (3L, "   ")).toDF("doc_id", "dirty")
+    val out = TextAnalysis.normalizeText(dirty).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(out(0L) === "hello world")
+    assert(out(1L) === "a b c")
+    assert(out(2L) === "already clean")
+    assert(out(3L) === "")
+  }
+
+  test("qt14 output is idempotent: re-normalizing changes nothing") {
+    val once = Registry.byName("qt14_text_normalize").run(spark, sf)
+      .select(col("doc_id"), col("clean_text").as("dirty"))
+    val twice = TextAnalysis.normalizeText(once)
+      .select(col("doc_id"), col("clean_text").as("clean2"))
+    val joined = Registry.byName("qt14_text_normalize").run(spark, sf)
+      .select(col("doc_id"), col("clean_text"))
+      .join(twice, Seq("doc_id"))
+    assert(joined.filter(col("clean_text") =!= col("clean2")).count() === 0)
+  }
+}

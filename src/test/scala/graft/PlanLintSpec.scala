@@ -128,7 +128,9 @@ class PlanLintSpec extends SparkSpec {
       "qt09_gopher_repetition", "qp01_pipeline_e2e", "qd10_cdc_chunks",
       // round-5 additions: qd12's gram semi-join + coverage join, qd13's
       // seen-bucket joins, and qx06's offsets join are all corpus×corpus
-      "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle")) {
+      "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle",
+      // qd15's keeper join is corpus×corpus (block hashes × occurrences)
+      "qd15_block_dedup_rewrite")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
@@ -177,5 +179,29 @@ class PlanLintSpec extends SparkSpec {
     val plan = Registry.byName("qysb02_events").run(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+  }
+
+  // ----- pure projections must not shuffle --------------------------------
+  // qe01 (int8 quantization) and qt14 (text normalization) are per-row
+  // maps; any Exchange appearing in their plans is a regression.
+  for (name <- Seq("qe01_embedding_quantize", "qt14_text_normalize")) {
+    test(s"$name: zero Exchange (pure per-row projection)") {
+      val plan = Registry.byName(name).run(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in $name")
+    }
+  }
+
+  // ----- bounded-keyspace broadcast is the legitimate kind ----------------
+  // qe02's occupancy frame is bounded at 2^16 rows BY CONSTRUCTION (the
+  // code space, not the corpus), so its static broadcast is safe at any
+  // corpus size — the inverse case of the qd04 rule. Exactly one
+  // BroadcastExchange: the occupancy frame and nothing corpus-sized.
+  test("qe02 binary codes: single broadcast, and it is the bounded occupancy frame") {
+    val plan = Registry.byName("qe02_embedding_binary").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts == 1,
+      s"expected exactly 1 BroadcastExchange (2^16-bounded occupancy), found $broadcasts")
   }
 }

@@ -373,4 +373,65 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains((2L, 5000L, 35000L, 1L)))
     } finally q.stop()
   }
+  test("streaming block dedup equals the batch qd15 keeper rule (qst16)") {
+    val streamed = StreamingQueries.queries.find(_.name == "qst16_stream_block_dedup").get
+      .run(spark, sf)
+    val batch = Registry.byName("qd15_block_dedup_rewrite").run(spark, sf)
+      .select(col("doc_id"), col("kept_blocks"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("block dedup out-of-order arrival still elects the min-(doc_id, blk) keeper") {
+    // doc 20's block arrives in trigger 1 and is emitted kept=1; doc 10
+    // with an IDENTICAL block arrives in trigger 2 — under the batch rule
+    // doc 10 owns the block. The processor must re-emit 20's flag with
+    // kept=0 (merged by the sink-side min), or the streaming kept set
+    // silently diverges from the qst16 oracle under out-of-order delivery.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val flags = graft.streaming.BlockDedup.flagBlocks(
+        ms.toDF().toDF("doc_id", "text"))
+      val q = flags.writeStream.outputMode("update")
+        .format("memory").queryName("bd_ooo").start()
+      try {
+        val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+        ms.addData((20L, shared))
+        q.processAllAvailable()
+        ms.addData((10L, shared))
+        q.processAllAvailable()
+        val kept = spark.table("bd_ooo")
+          .groupBy(col("docId"), col("blk")).agg(min(col("kept")).as("kept"))
+          .filter(col("kept") === 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(kept === Set((10L, 0L)))
+      } finally q.stop()
+    }
+  }
+
+  test("block dedup: within-doc and cross-doc duplicate blocks resolve per keeper rule") {
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val flags = graft.streaming.BlockDedup.flagBlocks(
+        ms.toDF().toDF("doc_id", "text"))
+      val q = flags.writeStream.outputMode("update")
+        .format("memory").queryName("bd_mix").start()
+      try {
+        val a = (1 to 20).map(i => s"a$i").mkString(" ")
+        val b = (1 to 20).map(i => s"b$i").mkString(" ")
+        // doc 1 = A A (within-doc dup), doc 2 = B A (cross-doc dup of A)
+        ms.addData((1L, s"$a $a"), (2L, s"$b $a"))
+        q.processAllAvailable()
+        val kept = spark.table("bd_mix")
+          .groupBy(col("docId"), col("blk")).agg(min(col("kept")).as("kept"))
+          .filter(col("kept") === 1)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // A kept only at (1, 0); (1, 1) and (2, 1) lose; B kept at (2, 0)
+        assert(kept === Set((1L, 0L), (2L, 0L)))
+      } finally q.stop()
+    }
+  }
 }
