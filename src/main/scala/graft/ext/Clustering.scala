@@ -178,6 +178,11 @@ object Clustering {
   // ---------------------------------------------------------------------
   private val SemDupThreshold = 0.4 // same cosine bar as qd05's exact pass
 
+  /** qd11's (vec_id, c_id, is_dup) flags — package-visible so the qp02
+    * curation pipeline composes the identical semantic-dedup stage. */
+  private[graft] def semDedupFlags(s: SparkSession, d: String): DataFrame =
+    qd11(s, d)
+
   private def qd11(s: SparkSession, d: String): DataFrame = {
     val cents1 = refinedCentroids(s, d).select(col("c_id"), col("ms"))
     val w = Window.partitionBy(col("vec_id"))
@@ -201,10 +206,12 @@ object Clustering {
         coalesce(col("d"), lit(0L)).as("is_dup"))
   }
 
-  private val qd11Sql = {
+  /** The qd11 CTE chain (refined centroids → members → dup set) —
+    * package-visible so qp02's oracle replays the identical stage. */
+  private[graft] val semDedupSqlCte: String = {
     val rcos = Vectors.cosineSql("e.embedding", "p.ms")
     val pcos = Vectors.cosineSql("a.embedding", "b.embedding")
-    s"""WITH $refinedSqlCte,
+    s"""$refinedSqlCte,
        |members AS (
        |  SELECT vec_id, embedding, c_id FROM (
        |    SELECT e.vec_id, e.embedding, p.c_id,
@@ -216,11 +223,14 @@ object Clustering {
        |  SELECT DISTINCT b.vec_id
        |  FROM members a JOIN members b
        |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
-       |  WHERE $pcos >= $SemDupThreshold)
+       |  WHERE $pcos >= $SemDupThreshold)""".stripMargin
+  }
+
+  private val qd11Sql =
+    s"""WITH $semDedupSqlCte
        |SELECT m.vec_id, m.c_id,
        |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
        |FROM members m LEFT JOIN dup d ON d.vec_id = m.vec_id""".stripMargin
-  }
 
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),

@@ -141,6 +141,70 @@ object Pipeline {
       |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
       |FROM sampled GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qp02: embedding-side curation pipeline — the cross-modal composition
+  // a semantic-curation pass actually runs, as one gated query:
+  //
+  //   1. quality gate: ≥ MinTokens whitespace tokens (qp01's stage 1);
+  //   2. cross-modal attach: join each surviving document to its
+  //      embedding row (vec_id = doc_id) — the canonical co-partitioned
+  //      1:1 join; at 100 TB both sides are corpus-sized, so the join is
+  //      merge-pinned here and bucketed-by-id in a real deployment
+  //      (qx02's layout) — never broadcast;
+  //   3. semantic dedup: qd11's SemDeDup flags VERBATIM
+  //      ([[Clustering.semDedupFlags]] — cluster-scoped cosine pairs,
+  //      keep-min) joined on doc_id; keep is_dup = 0;
+  //   4. report: per-source kept documents, token mass, and label
+  //      diversity (distinct embedding labels) — the curation dashboard
+  //      row a pipeline owner reads.
+  //
+  // Stage 3 is the SAME frame qd11 gates standalone, so the pipeline
+  // introduces no shape beyond its stages' own: one merge join per
+  // attach/flag, and qd11's documented O(N²/K) cluster pair work with K
+  // as the 100 TB sizing knob. All corpus×corpus joins merge-pinned
+  // (plan-lint guarded).
+  // ---------------------------------------------------------------------
+
+  /** Quality-gated docs joined 1:1 to their embedding rows, with qd11's
+    * dup flags — package-private for the spec. */
+  private[graft] def curatedCorpus(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.documents(s, d)
+      .withColumn("nt", size(expr("split(trim(text), '\\\\s+')")).cast("long"))
+      .filter(col("nt") >= MinTokens)
+      .select(col("doc_id"), col("source"), col("nt"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val flags = Clustering.semDedupFlags(s, d)
+      .select(col("vec_id").as("doc_id"), col("is_dup"))
+    qual
+      .join(emb.hint("merge"), Seq("doc_id"))
+      .join(flags.hint("merge"), Seq("doc_id"))
+      .filter(col("is_dup") === 0L)
+  }
+
+  private def qp02(s: SparkSession, d: String): DataFrame =
+    curatedCorpus(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        countDistinct(col("label")).as("n_labels"))
+
+  private val qp02Sql =
+    s"""WITH ${Clustering.semDedupSqlCte},
+       |qual AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS nt
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $MinTokens),
+       |curated AS (
+       |  SELECT q.doc_id, q.source, q.nt, e.label
+       |  FROM qual q
+       |  JOIN embeddings e ON e.vec_id = q.doc_id
+       |  WHERE q.doc_id NOT IN (SELECT vec_id FROM dup))
+       |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT label) AS n_labels
+       |FROM curated GROUP BY source""".stripMargin
+
   def queries: Seq[Q] = Seq(
-    Q("qp01_pipeline_e2e", qp01, Some(qp01Sql)))
+    Q("qp01_pipeline_e2e", qp01, Some(qp01Sql)),
+    Q("qp02_curation_pipeline", qp02, Some(qp02Sql)))
 }

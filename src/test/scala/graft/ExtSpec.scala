@@ -470,6 +470,29 @@ class PipelineSpec extends SparkSpec {
     assert(report.map(_.getAs[Long]("n_docs")).sum === corpus.count())
     corpus.unpersist()
   }
+
+  test("curation pipeline: stage composition equals its standalone stages (qp02)") {
+    val curated = graft.ext.Pipeline.curatedCorpus(spark, sf).cache()
+    // quality gate holds
+    assert(curated.filter(col("nt") < 10).count() === 0)
+    // semantic stage is qd11 verbatim: kept set = qd11's is_dup = 0 side,
+    // intersected with the quality gate
+    val qd11Keep = Registry.byName("qd11_semdedup").run(spark, sf)
+      .filter(col("is_dup") === 0).select(col("vec_id").as("doc_id"))
+    val qualIds = Tables.documents(spark, sf)
+      .filter(size(expr("split(trim(text), '\\\\s+')")) >= 10)
+      .select("doc_id")
+    val expected = qd11Keep.join(qualIds, Seq("doc_id"))
+    assert(curated.select("doc_id").exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(curated.select("doc_id")).count() === 0)
+    // report aggregates exactly the curated corpus
+    val report = Registry.byName("qp02_curation_pipeline").run(spark, sf).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum === curated.count())
+    // label diversity never exceeds kept docs per source
+    assert(report.forall(r =>
+      r.getAs[Long]("n_labels") <= r.getAs[Long]("n_docs")))
+    curated.unpersist()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

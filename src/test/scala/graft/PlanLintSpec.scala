@@ -24,6 +24,7 @@ class PlanLintSpec extends SparkSpec {
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qd11_semdedup",      // same broadcast-K assignment; pair join merge-pinned
+    "qp02_curation_pipeline", // composes qd11 verbatim (its broadcast-K crosses)
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
@@ -197,6 +198,23 @@ class PlanLintSpec extends SparkSpec {
   // code space, not the corpus), so its static broadcast is safe at any
   // corpus size — the inverse case of the qd04 rule. Exactly one
   // BroadcastExchange: the occupancy frame and nothing corpus-sized.
+  // qp02's legitimate broadcasts are exactly qd11's own (the bounded
+  // K-centroid frames of the k-means assignment); the cross-modal attach
+  // and the flag join it ADDS are corpus×corpus and merge-pinned, so the
+  // composition must introduce ZERO broadcasts beyond the standalone
+  // stage's count.
+  test("qp02 curation pipeline: no broadcasts beyond qd11's own centroid frames") {
+    def broadcasts(name: String): Int =
+      "BroadcastExchange".r.findAllIn(
+        Registry.byName(name).run(spark, sf)
+          .queryExecution.executedPlan.toString).size
+    val base = broadcasts("qd11_semdedup")
+    val composed = broadcasts("qp02_curation_pipeline")
+    assert(composed == base,
+      s"qp02 has $composed BroadcastExchanges vs qd11's $base — " +
+        "the attach/flag joins must stay merge-pinned")
+  }
+
   test("qe02 binary codes: single broadcast, and it is the bounded occupancy frame") {
     val plan = Registry.byName("qe02_embedding_binary").run(spark, sf)
       .queryExecution.executedPlan.toString
