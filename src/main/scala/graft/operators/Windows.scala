@@ -201,6 +201,40 @@ object Windows {
       |  md5(string_agg(event_type, ' ' ORDER BY ts, event_id)) AS seq_hash
       |FROM islands GROUP BY user_id, sess""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qw08: cohort retention — the canonical product-analytics rollup: each
+  // user is cohorted by first-seen date; activity is bucketed into weekly
+  // offsets from the cohort day; the grid counts distinct active users per
+  // (cohort, week). Two shuffles by design: one groupBy(user) for the
+  // cohort day (map-side partial min), one for the final grid; the
+  // events×cohorts join is corpus×corpus on both sides → merge-pinned
+  // (the qd04 static-broadcast trap — a cohort frame has one row per
+  // USER, which grows with the corpus).
+  // ---------------------------------------------------------------------
+  private def qw08(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts.hint("merge"), Seq("user_id"))
+      .select(col("user_id"),
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        expr("cast(datediff(day, cohort_day) div 7 as bigint)").as("week_idx"))
+      .groupBy(col("cohort"), col("week_idx"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  private val qw08Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort,
+      |  CAST(datediff('day', c.cohort_day, e.day) // 7 AS BIGINT) AS week_idx,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM ev e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
@@ -208,5 +242,6 @@ object Windows {
     Q("qw04_running_agg", qw04, Some(qw04Sql)),
     Q("qw05_lag_lead", qw05, Some(qw05Sql)),
     Q("qw06_windowed_collect", qw06, Some(qw06Sql)),
-    Q("qw07_session_sequences", qw07, Some(qw07Sql)))
+    Q("qw07_session_sequences", qw07, Some(qw07Sql)),
+    Q("qw08_cohort_retention", qw08, Some(qw08Sql)))
 }

@@ -94,8 +94,55 @@ object FileSources {
         max(col("user_id")).as("max_user"))
   }
 
+  private def dtDir(d: String): String = scratchDir("dtpart-events", d)
+
+  /** qf04: date-partitioned layout roundtrip + partition-pruned read — the
+    * layout that makes date-range queries cheap at 100 TB. Events are
+    * written hive-partitioned by event date ([[graft.sinks.Layout
+    * .writeDatePartitioned]], `dt=YYYY-MM-DD` directories), re-read with a
+    * one-week `dt` range predicate, and aggregated per day. The predicate
+    * is a PARTITION filter: planning-time pruning reads 7 of 30 day
+    * directories and zero data files from the rest (PlanLintSpec asserts
+    * the pruned scan). The oracle replays the same week over the raw
+    * parquet — pinning that the partitioned layout is lossless AND that
+    * partition-column derivation (date_format of ts) matches DuckDB's
+    * strftime. */
+  private def qf04(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val path = dtDir(d)
+    graft.sinks.Layout.writeDatePartitioned(events, path, "ts")
+    // dt is type-inferred DATE from the hive layout: filter on the native
+    // type (so pruning happens at planning time), then re-format to string
+    // for the gate (date32 parquet output is a driver hash-risk type)
+    graft.sinks.Layout.readDatePartitioned(s, path)
+      .filter(col("dt").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n"),
+        max(col("user_id")).as("max_user"),
+        min(col("value")).as("min_value"))
+  }
+
+  private val qf04Sql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+      |  max(user_id) AS max_user, min(value) AS min_value
+      |FROM events
+      |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
+      |GROUP BY 1""".stripMargin
+
+  /** The pruned scan qf04 exercises — package-private for PlanLintSpec. */
+  private[graft] def datePartitionedScan(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val path = dtDir(d)
+    graft.sinks.Layout.writeDatePartitioned(events, path, "ts")
+    graft.sinks.Layout.readDatePartitioned(s, path)
+      .filter(col("dt").between(
+        lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
     Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
-    Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)))
+    Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)),
+    Q("qf04_partitioned_roundtrip", qf04, Some(qf04Sql)))
 }

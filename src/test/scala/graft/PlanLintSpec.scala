@@ -131,7 +131,9 @@ class PlanLintSpec extends SparkSpec {
       // seen-bucket joins, and qx06's offsets join are all corpus×corpus
       "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle",
       // qd15's keeper join is corpus×corpus (block hashes × occurrences)
-      "qd15_block_dedup_rewrite")) {
+      "qd15_block_dedup_rewrite",
+      // qw08's cohort frame is one row per USER — grows with the corpus
+      "qw08_cohort_retention")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
@@ -174,6 +176,20 @@ class PlanLintSpec extends SparkSpec {
     val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
     assert(broadcasts == 1,
       s"expected exactly 1 BroadcastExchange (the bounded eval set), found $broadcasts")
+  }
+
+  // qf04's whole point: the dt range must prune at PLANNING time — the
+  // predicate appears as PartitionFilters on the scan (directories outside
+  // the week are never listed into tasks), and only the 7 selected days'
+  // files back the relation.
+  test("qf04 date-partitioned scan: dt range is a partition filter, 7 days read") {
+    val scan = graft.sources.FileSources.datePartitionedScan(spark, sf)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(plan).isDefined,
+      s"dt predicate not a partition filter:\n${plan.take(800)}")
+    val days = scan.select("dt").distinct().count()
+    assert(days === 7, s"expected 7 pruned day partitions, read $days")
   }
 
   test("YSB dimension join broadcasts (qysb02)") {

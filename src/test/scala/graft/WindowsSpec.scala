@@ -71,3 +71,26 @@ class SessionSequencesSpec extends SparkSpec {
     assert(got === expected)
   }
 }
+
+class CohortRetentionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("cohort grid invariants: week 0 is the cohort size and dominates every week") {
+    val grid = Registry.byName("qw08_cohort_retention").run(spark, sf).cache()
+    // every user's first event puts them in week 0 of their own cohort, so
+    // week 0 exists per cohort and no later week exceeds it
+    val w0 = grid.filter(col("week_idx") === 0)
+      .select(col("cohort"), col("n_active").as("w0"))
+    assert(w0.count() === grid.select("cohort").distinct().count())
+    assert(grid.join(w0, Seq("cohort"))
+      .filter(col("n_active") > col("w0")).count() === 0)
+    // week-0 totals partition the user base: every user is in exactly one cohort
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val w0Sum = w0.agg(sum(col("w0"))).collect()(0).getLong(0)
+    assert(w0Sum === users)
+    // no negative week offsets (activity can't precede the cohort day)
+    assert(grid.filter(col("week_idx") < 0).count() === 0)
+    grid.unpersist()
+  }
+}
