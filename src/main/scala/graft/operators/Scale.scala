@@ -411,6 +411,84 @@ object Scale {
       |  FROM documents)
       |WHERE rank <= $CapK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx09: epoch-mix upsampling — the multi-epoch face of data mixing:
+  // where qx07 derives per-source sampling WEIGHTS (downsampling only,
+  // keep_rate capped at 100%), this materializes the epoch-expanded
+  // corpus listing when the allocation exceeds a source's natural size —
+  // the published "rare sources are seen for multiple epochs" recipe.
+  // Per source: alloc_docs (sqrt-temperature weights, qx07's exact
+  // integer math) splits into full_epochs = alloc div n_docs repeats of
+  // every doc plus a FRACTIONAL epoch: membership by md5 doc bucket
+  // against rem/n_docs (qx03's deterministic-sample rule — a pure
+  // map-side predicate), so no per-source window or rank exists anywhere.
+  //
+  // 100 TB shape: one groupBy(source) with map-side partials, two 1-row
+  // broadcast crosses, a per-source plan frame (bounded by the domain
+  // vocabulary, qx04's precedent) broadcast to the corpus scan, then a
+  // map-side explode by repeat count. Zero corpus-sized shuffles beyond
+  // the final rollup.
+  // ---------------------------------------------------------------------
+  private val EpochDocBudget = 1000L
+
+  /** Epoch expansion over an arbitrary (doc_id, source) frame —
+    * package-private for the spec. Returns (source, epoch, n). */
+  private[graft] def epochMix(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"))
+    val per = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("d_total"))
+    val weighted = per.crossJoin(broadcast(tot))
+      .withColumn("w", expr(
+        "cast(floor(sqrt(cast((n_docs * 1000000L) div d_total as double))) as bigint)"))
+    val ws = weighted.agg(sum(col("w")).as("wsum"))
+    val plan = weighted.crossJoin(broadcast(ws))
+      .select(col("source"), col("n_docs"),
+        expr(s"($EpochDocBudget * w) div wsum").as("alloc_docs"))
+      .select(col("source"), col("n_docs"),
+        expr("alloc_docs div n_docs").as("full_epochs"),
+        expr("alloc_docs % n_docs").as("rem"))
+    base.join(broadcast(plan), Seq("source"))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000"))
+      .withColumn("repeats", expr(
+        "full_epochs + (case when bucket * n_docs < rem * 1000000L then 1 else 0 end)"))
+      .filter(col("repeats") > 0)
+      .select(col("source"),
+        explode(expr("sequence(cast(0 as bigint), repeats - 1)")).as("epoch"))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def qx09(s: SparkSession, d: String): DataFrame =
+    epochMix(Tables.documents(s, d))
+
+  private val qx09Sql =
+    s"""WITH base AS (SELECT doc_id, source FROM documents),
+       |per AS (SELECT source, count(*) AS n_docs FROM base GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d_total FROM per),
+       |weighted AS (
+       |  SELECT source, n_docs,
+       |    CAST(floor(sqrt(CAST((n_docs * 1000000) // d_total AS DOUBLE))) AS BIGINT) AS w
+       |  FROM per, tot),
+       |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM weighted),
+       |plan AS (
+       |  SELECT source, n_docs,
+       |    (($EpochDocBudget * w) // wsum) // n_docs AS full_epochs,
+       |    (($EpochDocBudget * w) // wsum) % n_docs AS rem
+       |  FROM weighted, ws),
+       |rep AS (
+       |  SELECT b.source,
+       |    p.full_epochs + (CASE WHEN
+       |      (CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |        % 1000000) * p.n_docs < p.rem * 1000000
+       |      THEN 1 ELSE 0 END) AS repeats
+       |  FROM base b JOIN plan p USING (source)),
+       |ex AS (
+       |  SELECT source, unnest(range(0, repeats)) AS epoch
+       |  FROM rep WHERE repeats > 0)
+       |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n
+       |FROM ex GROUP BY source, epoch""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -419,5 +497,6 @@ object Scale {
     Q("qx05_sequence_packing", qx05, Some(qx05Sql)),
     Q("qx06_shard_shuffle", qx06, Some(qx06Sql)),
     Q("qx07_temperature_mix", qx07, Some(qx07Sql)),
-    Q("qx08_per_source_cap", qx08, Some(qx08Sql)))
+    Q("qx08_per_source_cap", qx08, Some(qx08Sql)),
+    Q("qx09_epoch_mix", qx09, Some(qx09Sql)))
 }

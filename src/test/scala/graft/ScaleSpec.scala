@@ -267,3 +267,44 @@ class PerSourceCapSpec extends SparkSpec {
     assert(bad.count() === 0) // sf0.001 has 25 docs/source, all capped to 20
   }
 }
+
+class EpochMixSpec extends SparkSpec {
+
+  test("epoch mix: counts conserve the plan (full epochs x n_docs + fractional)") {
+    import spark.implicits._
+    // skewed corpus: s_big 90 docs, s_rare 10 docs — sqrt temperature
+    // pushes s_rare past 1 full epoch at a 1000-doc budget; the planted
+    // frame keeps the arithmetic hand-checkable
+    val docs = ((1 to 90).map(i => (i.toLong, "s_big")) ++
+      (101 to 110).map(i => (i.toLong, "s_rare"))).toDF("doc_id", "source")
+    val out = graft.operators.Scale.epochMix(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every full epoch carries exactly n_docs of its source
+    val bySrc = out.groupBy(_._1._1)
+    for ((src, m) <- bySrc) {
+      val n = if (src == "s_big") 90L else 10L
+      val epochs = m.keys.map(_._2).toSeq.sorted
+      // epochs are contiguous from 0
+      assert(epochs === (0L until epochs.size).toSeq, s"$src epochs not contiguous")
+      // all but possibly the last epoch are full
+      epochs.dropRight(1).foreach(e => assert(m((src, e)) === n, s"$src epoch $e not full"))
+      // last epoch never exceeds a full one
+      assert(m((src, epochs.last)) <= n)
+    }
+    // rare source is upweighted: more epochs than the dominant source
+    val rareEpochs = bySrc("s_rare").size
+    val bigEpochs = bySrc("s_big").size
+    assert(rareEpochs > bigEpochs,
+      s"temperature epoch mix failed to upweight: rare $rareEpochs vs big $bigEpochs")
+  }
+
+  test("epoch mix at SF: epoch-0 presence and deterministic rerun") {
+    val out = Registry.byName("qx09_epoch_mix").run(spark, sf)
+    // every source appears at epoch 0 with at least its fractional share
+    val sources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.filter(col("epoch") === 0).count() === sources)
+    val again = Registry.byName("qx09_epoch_mix").run(spark, sf)
+    assert(out.exceptAll(again).count() === 0)
+    assert(again.exceptAll(out).count() === 0)
+  }
+}
