@@ -552,11 +552,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("component"))
   }
 
-  private def qd08(s: SparkSession, d: String): DataFrame =
+  /** qd08's component assignment — package-visible so qd16 composes the
+    * identical stage. */
+  private[graft] def nearDupComponents(s: SparkSession, d: String): DataFrame =
     components(qd03(s, d))
 
-  private val qd08Sql =
-    s"""WITH RECURSIVE $lshPairsSqlCte,
+  private def qd08(s: SparkSession, d: String): DataFrame =
+    nearDupComponents(s, d)
+
+  /** The qd08 CTE chain (LSH pairs → undirected edges → reachability →
+    * `comp(doc_id, component)`) — package-visible for qd16's oracle.
+    * Callers must open with WITH RECURSIVE. */
+  private[graft] val componentsSqlCte =
+    s"""$lshPairsSqlCte,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
        |  UNION ALL
@@ -565,8 +573,54 @@ object Dedup {
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
-       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |comp AS (
+       |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val qd08Sql =
+    s"""WITH RECURSIVE $componentsSqlCte
+       |SELECT doc_id, component FROM comp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qd16: keep-BEST representative per near-dup component — the policy
+  // face of dedup: where qd08's min-label implies "keep the lowest id",
+  // quality-aware pipelines keep the highest-quality member of each
+  // duplicate cluster instead (score = qt12's hashed-linear classifier,
+  // exact integer; ties broken by min doc_id). Composes qd08's component
+  // assignment and qt12's scoring verbatim; the rank window partitions by
+  // COMPONENT, whose size is bounded by the duplicate-cluster caps
+  // upstream (BucketCap bounds pair fan-in per LSH bucket), not by the
+  // corpus. The component×score join is corpus×corpus → merge-pinned.
+  // ---------------------------------------------------------------------
+  private def qd16(s: SparkSession, d: String): DataFrame = {
+    val comp = nearDupComponents(s, d)
+    val scores = TextAnalysis.classifierScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("score_int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("score_int").desc, col("doc_id").asc)
+    comp.join(scores.hint("merge"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keeper_id"), col("score_int"))
+  }
+
+  private val qd16Sql =
+    s"""WITH RECURSIVE $componentsSqlCte,
+       |tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(toks, t -> ${TextAnalysis.qt12TokWeightSql}))
+       |      AS BIGINT) AS score_int
+       |  FROM tok)
+       |SELECT component, doc_id AS keeper_id, score_int FROM (
+       |  SELECT c.component, c.doc_id, s.score_int,
+       |    row_number() OVER (PARTITION BY c.component
+       |      ORDER BY s.score_int DESC, c.doc_id ASC) AS rn
+       |  FROM comp c JOIN scored s USING (doc_id))
+       |WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // qd09: fixed-point PageRank over the near-dup graph — ranks documents
@@ -769,5 +823,6 @@ object Dedup {
     Q("qd08_dedup_components", qd08, Some(qd08Sql)),
     Q("qd09_graph_rank", qd09, Some(qd09Sql)),
     Q("qd10_cdc_chunks", qd10, Some(qd10Sql)),
-    Q("qd14_event_dedup", qd14, Some(qd14Sql)))
+    Q("qd14_event_dedup", qd14, Some(qd14Sql)),
+    Q("qd16_component_keep_best", qd16, Some(qd16Sql)))
 }

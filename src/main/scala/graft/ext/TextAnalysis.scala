@@ -505,7 +505,7 @@ object TextAnalysis {
   private def qt12(s: SparkSession, d: String): DataFrame =
     classifierScore(Tables.documents(s, d))
 
-  private val qt12TokWeightSql =
+  private[graft] val qt12TokWeightSql =
     s"""(CAST('0x' || substr(md5('w' ||
        |  CAST(CAST('0x' || substr(md5(lower(t)), 1, 15) AS BIGINT)
        |    % $FeatDim AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"""

@@ -493,6 +493,26 @@ class PipelineSpec extends SparkSpec {
       r.getAs[Long]("n_labels") <= r.getAs[Long]("n_docs")))
     curated.unpersist()
   }
+
+  test("keep-best keeper is its component's max-score member (qd16)") {
+    val keepers = Registry.byName("qd16_component_keep_best").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val comp = Registry.byName("qd08_dedup_components").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val scores = Registry.byName("qt12_quality_classifier").run(spark, sf)
+      .select(col("doc_id"), col("score_int"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one keeper per component, and it attains the component's max score
+    // with the lowest doc_id among ties
+    val byComp = comp.groupBy(_._2)
+    assert(keepers.keySet === byComp.keySet)
+    for ((c, members) <- byComp) {
+      val best = members.map { case (id, _) => (scores(id), id) }
+        .reduce((a, b) => if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      assert(keepers(c) === ((best._2, best._1)),
+        s"component $c keeper ${keepers(c)} != expected $best")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

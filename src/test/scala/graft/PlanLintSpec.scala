@@ -134,7 +134,9 @@ class PlanLintSpec extends SparkSpec {
       // qd15's keeper join is corpus×corpus (block hashes × occurrences)
       "qd15_block_dedup_rewrite",
       // qw08's cohort frame is one row per USER — grows with the corpus
-      "qw08_cohort_retention")) {
+      "qw08_cohort_retention",
+      // qd16's component and score frames both grow with the corpus
+      "qd16_component_keep_best")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
