@@ -123,7 +123,10 @@ object Soak {
         "qd12_dup_spans", "qd13_incremental_dedup", "qx06_shard_shuffle",
         // block-dedup rewrite: the keeper groupBy + merge-pinned join is
         // the shape most exposed to corpus growth among the 2nd-wave ops
-        "qd15_block_dedup_rewrite")
+        "qd15_block_dedup_rewrite",
+        // third wave: qw08's per-user cohort join and qp02's cross-modal
+        // attach + cluster-scoped pair stage both grow with the corpus
+        "qw08_cohort_retention", "qp02_curation_pipeline")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -140,9 +140,42 @@ object FileSources {
         lit("2024-01-08").cast("date"), lit("2024-01-14").cast("date")))
   }
 
+  private def txtDir(d: String): String = scratchDir("txt-docs", d)
+
+  /** qf05: plain-text roundtrip — the rawest ingest format an LLM data
+    * pipeline starts from (one document per line). Documents are written
+    * as `doc_id<TAB>text` lines via the `text` source and re-parsed with a
+    * limit-2 split, so a tab inside the payload would stay in the text
+    * (this corpus has none — qt14 dirties its own). The re-read corpus is
+    * aggregated per doc_id decade bucket and hash-matched against the
+    * parquet oracle — the line codec is lossless for every row. At scale
+    * the text source is splittable like CSV: parallel scan, no pushdown —
+    * the ingest tier, not the storage tier. */
+  private def qf05(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = txtDir(d)
+    docs.select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("text"))
+      .groupBy((col("doc_id") % 10).as("decade"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars"),
+        md5(concat_ws("|", sort_array(collect_list(md5(col("text")))))).as("content_hash"))
+  }
+
+  private val qf05Sql =
+    """SELECT doc_id % 10 AS decade, count(*) AS n,
+      |  CAST(sum(len(text)) AS BIGINT) AS chars,
+      |  md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS content_hash
+      |FROM documents GROUP BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
     Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
     Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)),
-    Q("qf04_partitioned_roundtrip", qf04, Some(qf04Sql)))
+    Q("qf04_partitioned_roundtrip", qf04, Some(qf04Sql)),
+    Q("qf05_text_roundtrip", qf05, Some(qf05Sql)))
 }

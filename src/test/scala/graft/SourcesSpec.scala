@@ -47,4 +47,19 @@ class SourcesSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
     assert(ev.filter(col("ts").isNull).count() === 0)
   }
+
+  test("text-line codec: limit-2 split keeps tabs inside the payload") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    val rows = Seq((7L, "plain payload"), (8L, "payload\twith\ttabs"))
+    rows.toDF("doc_id", "text")
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+        element_at(col("p"), 2).as("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === rows.toMap)
+  }
 }
