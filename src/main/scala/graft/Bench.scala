@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is forced
-  * with .count() (full plan execution, no result serialization cost). A
+  * through the `noop` sink — FULL row production with no serialization cost.
+  * NOT `.count()`: under count, Catalyst legally eliminates work that
+  * doesn't change cardinality (a left join whose right key is unique, any
+  * pure projection), so count-timing silently measured only the scan for
+  * that query class — caught in round 5 when qd11's "2.4 s at 30×" pair
+  * join turned out to be an eliminated join (true cost ~38 s; the per-row
+  * projections qt11/qt14/qe01/qm02 were similarly under-measured). A
   * warmup action runs first so JIT/codegen setup isn't billed to the first
   * query.
   */
@@ -58,7 +64,7 @@ object Bench {
     val results = headline.map { q =>
       def timed(): Double = {
         val t0 = System.nanoTime()
-        q.run(spark, sfDir).count()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val passes = try Seq(timed(), timed())

@@ -130,7 +130,12 @@ object Soak {
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>
-      def pass(): Double = timed(q.run(spark, dir).count())
+      // noop sink, not count(): count lets Catalyst eliminate cardinality-
+      // preserving subtrees (unique-key left joins, pure projections) and
+      // silently time only the scan — see Bench's scaladoc
+      def pass(): Double = timed {
+        q.run(spark, dir).write.format("noop").mode("overwrite").save(); 0L
+      }
       q.name -> (try math.min(pass(), pass())
       catch { case e: Throwable =>
         System.err.println(s"[soak] ${q.name} @ $dir failed: ${e.getMessage}"); -1.0 })
@@ -158,6 +163,22 @@ object Soak {
     val dfDrops = graft.ext.Dedup.shingleDfDrops(spark, out).count()
     val pipeDrops = graft.ext.Pipeline.oversizedBuckets(spark, out).count()
     println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops}""")
+
+    // K-sizing demonstration for the SemDeDup family (qd11/qp02): at fixed
+    // K the within-cluster pair stage is O(N²/K) — quadratic under corpus
+    // growth (the honest noop-sink soak exposed exactly that, 14× at 30×).
+    // The documented rule is K ∝ N (K ≈ N/10⁴); this measures the flags
+    // stage on the scaled corpus at the gated K = 16 vs K scaled with the
+    // multiple, showing the knob restores ~linear scaling.
+    def flagsTime(k: Int): Double = timed {
+      graft.ext.Clustering.semDedupFlags(spark, out, k)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    val fixedK = math.min(flagsTime(16), flagsTime(16))
+    val scaledK = math.min(flagsTime(16 * mult), flagsTime(16 * mult))
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"semdedup_k_sizing","mult":%d,"flags_k16_s":%.3f,"flags_k_scaled_s":%.3f}""",
+      Integer.valueOf(mult), Double.box(fixedK), Double.box(scaledK)))
     spark.stop()
   }
 }

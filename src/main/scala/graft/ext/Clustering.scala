@@ -39,8 +39,9 @@ object Clustering {
 
   /** Assign every vector to its nearest seed centroid (cosine, tie-break on
     * centroid id). */
-  private def assigned(s: SparkSession, d: String): DataFrame = {
-    val cents = Similarity.ivfCentroids(s, d)
+  private def assigned(s: SparkSession, d: String,
+      k: Int = Similarity.IvfK): DataFrame = {
+    val cents = Similarity.ivfCentroids(s, d, k)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("c_id").asc)
     Tables.embeddings(s, d)
@@ -54,8 +55,9 @@ object Clustering {
 
   /** Refined centroids after one iteration: (c_id, n_members,
     * ms = array<double> mean vector in dim order). */
-  private def refinedCentroids(s: SparkSession, d: String): DataFrame = {
-    val dims = assigned(s, d)
+  private def refinedCentroids(s: SparkSession, d: String,
+      k: Int = Similarity.IvfK): DataFrame = {
+    val dims = assigned(s, d, k)
       .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("c_id"), col("dim"),
         expr(s"cast(round(cast(v as double) * $Scale) as bigint)").as("q"))
@@ -180,11 +182,13 @@ object Clustering {
 
   /** qd11's (vec_id, c_id, is_dup) flags — package-visible so the qp02
     * curation pipeline composes the identical semantic-dedup stage. */
-  private[graft] def semDedupFlags(s: SparkSession, d: String): DataFrame =
-    qd11(s, d)
+  private[graft] def semDedupFlags(s: SparkSession, d: String,
+      k: Int = Similarity.IvfK): DataFrame =
+    qd11(s, d, k)
 
-  private def qd11(s: SparkSession, d: String): DataFrame = {
-    val cents1 = refinedCentroids(s, d).select(col("c_id"), col("ms"))
+  private def qd11(s: SparkSession, d: String,
+      k: Int = Similarity.IvfK): DataFrame = {
+    val cents1 = refinedCentroids(s, d, k).select(col("c_id"), col("ms"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
     val members = Tables.embeddings(s, d)
@@ -235,5 +239,5 @@ object Clustering {
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
     Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)),
-    Q("qd11_semdedup", qd11, Some(qd11Sql)))
+    Q("qd11_semdedup", (s, d) => qd11(s, d), Some(qd11Sql)))
 }

@@ -91,16 +91,23 @@ object Embeddings {
   // ---------------------------------------------------------------------
 
   // LCG hyperplanes like qs02's, flat index offset by 7777 so the plane
-  // set is independent of the ANN query's.
-  private def planeExpr(j: Int): String =
-    s"transform(sequence(0, ${Dim - 1}), i -> ((1103515245L * (7777 + $j * $Dim + i) + 12345L) % 65536L) / 65536.0 - 0.5)"
+  // set is independent of the ANN query's. Spark side: the planes are
+  // HOISTED to float-array literals (every component is k/65536 − 0.5 with
+  // k < 2^16 — exactly float-representable, so the float literal equals
+  // the oracle's double arithmetic bit-for-bit) and the 16 per-row dots
+  // run through the codegen'd FloatDot — re-building 16 constant arrays
+  // per row via transform(sequence(...)) was the actual hot loop.
+  private def planeLit(j: Int): Column =
+    typedLit((0 until Dim).map(i =>
+      (((1103515245L * (7777 + j * Dim + i) + 12345L) % 65536L)
+        / 65536.0 - 0.5).toFloat).toArray)
 
   private def planeSqlList(j: Int): String =
     s"list_transform(range(0, $Dim), i -> ((1103515245 * (7777 + $j * $Dim + i) + 12345) % 65536) / 65536.0 - 0.5)"
 
   private def codeExpr: Column =
     (0 until CodeBits).map { j =>
-      when(Vectors.dot(col("embedding"), expr(planeExpr(j))) > 0, lit(1 << j))
+      when(Vectors.fastDot(col("embedding"), planeLit(j)) > 0, lit(1 << j))
         .otherwise(lit(0))
     }.reduce(_ + _)
 
