@@ -167,18 +167,24 @@ object Soak {
     // K-sizing demonstration for the SemDeDup family (qd11/qp02): at fixed
     // K the within-cluster pair stage is O(N²/K) — quadratic under corpus
     // growth (the honest noop-sink soak exposed exactly that, 14× at 30×).
-    // The documented rule is K ∝ N (K ≈ N/10⁴); this measures the flags
-    // stage on the scaled corpus at the gated K = 16 vs K scaled with the
-    // multiple, showing the knob restores ~linear scaling.
+    // Total cost = assignment O(N·K) + pairs O(N²/K), minimized at
+    // K* ≈ √N — so the sizing rule for this one-level scheme is K ∝ √N
+    // (K ∝ N only pays once assignment goes through an index instead of
+    // brute force). Measured as a three-point U-curve: the gated K = 16,
+    // K = 16·√mult (the √N rule), K = 16·mult (over-sized).
     def flagsTime(k: Int): Double = timed {
       graft.ext.Clustering.semDedupFlags(spark, out, k)
         .write.format("noop").mode("overwrite").save(); 0L
     }
-    val fixedK = math.min(flagsTime(16), flagsTime(16))
-    val scaledK = math.min(flagsTime(16 * mult), flagsTime(16 * mult))
-    println(String.format(java.util.Locale.ROOT,
-      """{"metric":"semdedup_k_sizing","mult":%d,"flags_k16_s":%.3f,"flags_k_scaled_s":%.3f}""",
-      Integer.valueOf(mult), Double.box(fixedK), Double.box(scaledK)))
+    val kSqrt = (16 * math.sqrt(mult)).toInt
+    val curve = Seq(16, kSqrt, 16 * mult).map { k =>
+      k -> math.min(flagsTime(k), flagsTime(k))
+    }
+    val curveJson = curve.map { case (k, t) =>
+      String.format(java.util.Locale.ROOT, """"k%d":%.3f""",
+        Integer.valueOf(k), Double.box(t))
+    }.mkString(",")
+    println(s"""{"metric":"semdedup_k_sizing","mult":$mult,$curveJson}""")
     spark.stop()
   }
 }

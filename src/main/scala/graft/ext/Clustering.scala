@@ -135,7 +135,9 @@ object Clustering {
     Tables.embeddings(s, d)
       .crossJoin(broadcast(cents1))
       .select(col("vec_id"), col("c_id"),
-        Vectors.cosine(col("embedding"), col("ms")).as("sim"))
+        // codegen'd float x double cosine — bit-identical to the
+        // interpreted Vectors.cosine on the same operands
+        Vectors.fastCosineFD(col("embedding"), col("ms")).as("sim"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .groupBy(col("c_id"))
@@ -194,7 +196,7 @@ object Clustering {
     val members = Tables.embeddings(s, d)
       .crossJoin(broadcast(cents1))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        Vectors.cosine(col("embedding"), col("ms")).as("sim"))
+        Vectors.fastCosineFD(col("embedding"), col("ms")).as("sim"))
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))

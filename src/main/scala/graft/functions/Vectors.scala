@@ -35,6 +35,14 @@ object Vectors {
   def fastCosine(a: Column, b: Column): Column =
     fastDot(a, b) / (fastNorm(a) * fastNorm(b))
 
+  /** Codegen'd cosine of an `array<float>` embedding against an
+    * `array<double>` vector (refined centroid means) — the k-means
+    * reassignment hot loop. Identical IEEE results to [[cosine]] on the
+    * same operands. */
+  def fastCosineFD(e: Column, m: Column): Column =
+    FloatVectorExpressions.floatDoubleDot(e, m) /
+      (fastNorm(e) * sqrt(FloatVectorExpressions.doubleDot(m, m)))
+
   /** The DuckDB mirror of [[dot]] for oracle SQL construction. */
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"

@@ -824,6 +824,34 @@ class EmbeddingsSpec extends SparkSpec {
   }
 }
 
+class VectorExprSpec extends SparkSpec {
+  import graft.functions.{FloatVectorExpressions => FV}
+
+  test("native FloatDoubleDot/DoubleDot equal the interpreted double folds") {
+    import spark.implicits._
+    // float embeddings x double means: the qd11/qc02 reassignment operands
+    val e = Tables.embeddings(spark, sf).limit(100)
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x as double) * 1.0000001)").as("m"))
+    val viaNative = e.select(col("vec_id"),
+      FV.floatDoubleDot(col("embedding"), col("m")).as("fd"),
+      FV.doubleDot(col("m"), col("m")).as("dd"),
+      Vectors.fastCosineFD(col("embedding"), col("m")).as("fc"))
+    val viaHof = e.select(col("vec_id"),
+      Vectors.dot(col("embedding"), col("m")).as("fd2"),
+      Vectors.dot(col("m"), col("m")).as("dd2"),
+      Vectors.cosine(col("embedding"), col("m")).as("fc2"))
+    val joined = viaNative.join(viaHof, "vec_id").collect()
+    assert(joined.length === 100)
+    joined.foreach { r =>
+      // bit-identical, not approximately equal — the oracle-parity contract
+      assert(r.getAs[Double]("fd") === r.getAs[Double]("fd2"))
+      assert(r.getAs[Double]("dd") === r.getAs[Double]("dd2"))
+      assert(r.getAs[Double]("fc") === r.getAs[Double]("fc2"))
+    }
+  }
+}
+
 class TextNormalizeSpec extends SparkSpec {
   import graft.ext.TextAnalysis
 
