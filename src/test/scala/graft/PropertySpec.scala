@@ -252,4 +252,49 @@ class PipelinePropertySpec extends SparkSpec {
     }
     check(prop)
   }
+  test("property: block-dedup rewrite yields a globally block-unique corpus, idempotently") {
+    val wordGen = SGen.chooseNum(0, 5).map(i => s"w$i") // tiny vocab -> heavy block collisions
+    val docGen = SGen.listOfN(45, wordGen).map(_.mkString(" "))
+    val corpusGen = SGen.listOfN(8, docGen)
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.SpanDedup.blockDedupRewrite(df).cache()
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // 1. every surviving block hash is unique corpus-wide
+      val blocks = rows.flatMap { case (_, _, clean) =>
+        clean.split(" ").grouped(graft.ext.SpanDedup.BlockTokens).map(_.mkString(" "))
+      }
+      val unique = blocks.distinct.length == blocks.length
+      // 2. idempotent: re-deduping the rewritten corpus drops nothing
+      val again = graft.ext.SpanDedup.blockDedupRewrite(
+          out.select(col("doc_id"), col("clean_text").as("text")))
+        .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+      out.unpersist()
+      val fixed = rows.forall { case (id, _, clean) => again.get(id).contains(clean) }
+      unique && fixed
+    }
+    check(prop, tests = 8)
+  }
+
+  test("property: epoch mix conserves allocation and epoch structure on random skews") {
+    val sizesGen = SGen.listOfN(4, SGen.chooseNum(1, 40))
+    val prop = Prop.forAll(sizesGen) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => ((s * 1000 + i).toLong, s"src$s"))
+      }.toDF("doc_id", "source")
+      val out = graft.operators.Scale.epochMix(docs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val bySrc = out.groupBy(_._1)
+      bySrc.forall { case (src, rows) =>
+        val n = sizes(src.drop(3).toInt).toLong
+        val epochs = rows.map(_._2).sorted.toList
+        // contiguous epochs from 0; all but the last full; last <= full
+        epochs == (0L until epochs.length).toList &&
+          rows.sortBy(_._2).dropRight(1).forall(_._3 == n) &&
+          rows.maxBy(_._2)._3 <= n
+      }
+    }
+    check(prop, tests = 10)
+  }
 }
