@@ -224,7 +224,7 @@ object Windows {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
-  private val qw08Sql =
+  private[graft] val qw08Sql =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
       |cohorts AS (

@@ -568,6 +568,40 @@ object StreamingQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_blocks
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst17: streaming cohort retention — qw08's grid as an ingest stream
+  // (see CohortRetention). A user's cohort day is a running MIN, so a
+  // late-arriving earlier event re-cohorts the user; the processor
+  // re-emits every seen day with corrected (cohort, week_idx), and both
+  // corrections are monotone (cohort only ↓, week_idx only ↑), so the
+  // sink-side (min, max) reduction per (user, day) is exact under any
+  // arrival order. Oracle: qw08's batch SQL verbatim — the streaming/
+  // batch consistency contract, stated by construction.
+  // ---------------------------------------------------------------------
+  private def qst17(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val flags = runBounded(s, d, "events", "update") { ev =>
+        CohortRetention.flagCohorts(
+          ev.select(col("user_id"), to_date(col("ts")).as("day"))).toDF()
+      }
+      flags
+        .groupBy(col("userId"), col("day"))
+        .agg(min(col("cohortDay")).as("cohortDay"), max(col("weekIdx")).as("week_idx"))
+        .groupBy(
+          date_format(
+            date_add(lit("1970-01-01").cast("date"), col("cohortDay")),
+            "yyyy-MM-dd").as("cohort"),
+          col("week_idx"))
+        .agg(countDistinct(col("userId")).as("n_active"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -587,5 +621,8 @@ object StreamingQueries {
     Q("qst13_stream_sample", qst13, Some(graft.operators.Scale.qx03Sql)),
     Q("qst14_stream_quality", qst14, Some(graft.ext.TextAnalysis.qt12Sql)),
     Q("qst15_stream_sessions", qst15, Some(qst15Sql)),
-    Q("qst16_stream_block_dedup", qst16, Some(qst16Sql)))
+    Q("qst16_stream_block_dedup", qst16, Some(qst16Sql)),
+    // same semantics, same oracle as batch qw08 — streaming/batch
+    // consistency by construction
+    Q("qst17_stream_cohorts", qst17, Some(graft.operators.Windows.qw08Sql)))
 }

@@ -434,4 +434,40 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+  test("streaming cohorts equal the batch qw08 grid (qst17)") {
+    val streamed = StreamingQueries.queries.find(_.name == "qst17_stream_cohorts").get
+      .run(spark, sf)
+    val batch = Registry.byName("qw08_cohort_retention").run(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("late earlier event re-cohorts the user and shifts every week index") {
+    // trigger 1: user 1 active on days 14 and 15 -> cohort day 14, weeks {0, 0}.
+    // trigger 2: a LATE event on day 0 arrives -> cohort must become day 0
+    // and days 14/15 must re-emit with week_idx 2; the sink-side
+    // (min cohort, max week) reduction absorbs the corrections.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Int)]
+      val flags = graft.streaming.CohortRetention.flagCohorts(
+        ms.toDF().toDF("user_id", "d")
+          .select(col("user_id"),
+            expr("date_add(cast('1970-01-01' as date), d)").as("day")))
+      val q = flags.toDF().writeStream.outputMode("update")
+        .format("memory").queryName("cr_ooo").start()
+      try {
+        ms.addData((1L, 14), (1L, 15))
+        q.processAllAvailable()
+        ms.addData((1L, 0))
+        q.processAllAvailable()
+        val got = spark.table("cr_ooo")
+          .groupBy(col("userId"), col("day"))
+          .agg(min(col("cohortDay")).as("c"), max(col("weekIdx")).as("w"))
+          .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+        assert(got === Set((14, 0, 2L), (15, 0, 2L), (0, 0, 0L)))
+      } finally q.stop()
+    }
+  }
 }
