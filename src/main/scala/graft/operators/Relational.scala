@@ -616,6 +616,53 @@ object Relational {
       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       |GROUP BY c_mktsegment, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q29: table profile — the ANALYZE/summary face: per-column non-null
+  // count, exact distinct count, min and max in ONE aggregation pass over
+  // lineitem (Spark plans multi-count-distinct via a single Expand — one
+  // scan, not one job per column), then a stack() unpivot to long form.
+  // Min/max are computed on the TYPED column (numeric/timestamp ordering)
+  // and cast to string only for the output row. At 100 TB the exact
+  // distinct is the oracle-exact variant; the production profile swaps in
+  // approx_count_distinct (q18's HLL path) with the same plan shape.
+  // ---------------------------------------------------------------------
+  private val profileCols = Seq(
+    "l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } ++ Seq(
+      count(col("l_shipdate")).as("n_l_shipdate"),
+      countDistinct(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("d_l_shipdate"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("mn_l_shipdate"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("mx_l_shipdate"))
+    val names = profileCols :+ "l_shipdate"
+    val stackArgs = names.map(c =>
+      s"'$c', n_$c, d_$c, mn_$c, mx_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${names.size}, $stackArgs) AS (column, n_nonnull, n_distinct, min_s, max_s)"))
+  }
+
+  private val q29Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    (profileCols.map(one) :+
+      s"""SELECT 'l_shipdate' AS "column", count(l_shipdate) AS n_nonnull,
+         |  count(DISTINCT strftime(l_shipdate, '%Y-%m-%d')) AS n_distinct,
+         |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_s,
+         |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_s
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -644,5 +691,6 @@ object Relational {
     Q("q25_date_arith", q25, Some(q25Sql)),
     Q("q26_grouping_sets", q26, Some(q26Sql)),
     Q("q27_scalar_subquery", q27, Some(q27Sql)),
-    Q("q28_sql_frontend", q28, Some(q28Sql)))
+    Q("q28_sql_frontend", q28, Some(q28Sql)),
+    Q("q29_table_profile", q29, Some(q29Sql)))
 }

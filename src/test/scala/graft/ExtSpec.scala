@@ -824,6 +824,26 @@ class EmbeddingsSpec extends SparkSpec {
   }
 }
 
+class TableProfileSpec extends SparkSpec {
+
+  test("profile rows agree with directly-computed column stats") {
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val prof = Registry.byName("q29_table_profile").run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(prof.size === 6)
+    // no nulls in the driver corpus: every non-null count is the row count
+    assert(prof.values.forall(_._1 == total))
+    // distinct never exceeds rows; spot-check the low-cardinality flag
+    assert(prof.values.forall(v => v._2 <= total))
+    val direct = li.select(countDistinct(col("l_returnflag")),
+      min(col("l_returnflag")), max(col("l_returnflag"))).collect()(0)
+    assert(prof("l_returnflag") ===
+      ((total, direct.getLong(0), direct.getString(1), direct.getString(2))))
+  }
+}
+
 class VectorExprSpec extends SparkSpec {
   import graft.functions.{FloatVectorExpressions => FV}
 
