@@ -162,7 +162,8 @@ object Soak {
     val oversized = graft.ext.Dedup.oversizedLshBuckets(spark, out).count()
     val dfDrops = graft.ext.Dedup.shingleDfDrops(spark, out).count()
     val pipeDrops = graft.ext.Pipeline.oversizedBuckets(spark, out).count()
-    println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops}""")
+    val qd13Drops = graft.ext.SpanDedup.incrementalDroppedBuckets(spark, out).count()
+    println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops,"qd13_seen_bucket_drops":$qd13Drops}""")
 
     // K-sizing demonstration for the SemDeDup family (qd11/qp02): at fixed
     // K the within-cluster pair stage is O(N²/K) — quadratic under corpus
@@ -177,7 +178,10 @@ object Soak {
         .write.format("noop").mode("overwrite").save(); 0L
     }
     val kSqrt = (16 * math.sqrt(mult)).toInt
-    val curve = Seq(16, kSqrt, 16 * mult).map { k =>
+    // distinct: at mult = 1 all three candidates collapse to 16, and any
+    // mult where kSqrt rounds to an endpoint would otherwise double-time
+    // the same K and emit duplicate JSON keys
+    val curve = Seq(16, kSqrt, 16 * mult).distinct.map { k =>
       k -> math.min(flagsTime(k), flagsTime(k))
     }
     val curveJson = curve.map { case (k, t) =>

@@ -588,9 +588,17 @@ object Dedup {
   // duplicate cluster instead (score = qt12's hashed-linear classifier,
   // exact integer; ties broken by min doc_id). Composes qd08's component
   // assignment and qt12's scoring verbatim; the rank window partitions by
-  // COMPONENT, whose size is bounded by the duplicate-cluster caps
-  // upstream (BucketCap bounds pair fan-in per LSH bucket), not by the
-  // corpus. The component×score join is corpus×corpus → merge-pinned.
+  // COMPONENT. NOTE on skew: BucketCap bounds pair fan-in per LSH bucket,
+  // but components chain TRANSITIVELY across buckets — a path of near-dups
+  // can in principle grow a component with the corpus, so the window
+  // partition is not structurally bounded by the cap. It is an observed
+  // bound: the 30×/100× soaks measured max component size flat (near-dup
+  // clusters are generator-local), and qd16 is in the soak set so a
+  // corpus whose chains explode shows up as a timing/skew signal there.
+  // If a real corpus produced mega-components, the remedy is the
+  // qx05/qx06 composed-offset sub-shard (rank within component via
+  // two-level windows). The component×score join is corpus×corpus →
+  // merge-pinned.
   // ---------------------------------------------------------------------
   private def qd16(s: SparkSession, d: String): DataFrame = {
     val comp = nearDupComponents(s, d)

@@ -143,6 +143,19 @@ object SpanDedup {
       .select(col("doc_id"), col("simhash"),
         col("ck.c").as("c"), col("ck.chunk").as("chunk"))
 
+  /** Seen-side (band, chunk) buckets qd13 skips entirely (> BucketCap
+    * members): an incoming near-dup whose ONLY match lives in one of these
+    * classifies as 'new' — a recall loss, capped by design. This is the
+    * observable-drops channel for that cap, symmetric to
+    * [[Dedup.oversizedLshBuckets]]; Soak prints its count so the loss is
+    * measured rather than silent as the seen corpus grows. */
+  def incrementalDroppedBuckets(s: SparkSession, d: String): DataFrame =
+    simhashChunks(Tables.documents(s, d))
+      .filter(col("doc_id") % NewMod =!= 0)
+      .groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > Dedup.BucketCap)
+
   /** The qd13 classification over an arbitrary (doc_id, text) frame, split
     * seen/incoming by doc_id % NewMod — package-private for the spec. */
   private[graft] def classifyIncremental(docs: DataFrame): DataFrame = {

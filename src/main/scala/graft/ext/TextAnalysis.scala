@@ -603,7 +603,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         concat(
           upper(substring(col("text"), 1, 30)), lit("\t"),
-          substring(col("text"), 31, 1000000), lit("   "),
+          // unbounded tail, exactly matching the oracle's substr(text, 31) —
+          // a fixed length cap would silently diverge on very long documents
+          expr("substring(text, 31)"), lit("   "),
           col("source"), lit("\r")).as("dirty")))
 
   private val qt14Sql =

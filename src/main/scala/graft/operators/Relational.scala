@@ -663,6 +663,39 @@ object Relational {
          |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
   }
 
+  // ---------------------------------------------------------------------
+  // q29b: the production table profile — q29's claim ("at 100 TB swap the
+  // exact distinct for approx_count_distinct with the same plan shape")
+  // gated instead of asserted. Same single-pass aggregation + stack unpivot
+  // as q29, with the HLL sketch alongside the exact distinct; since sketch
+  // values are engine-specific, the gate uses q18's property pattern: the
+  // output carries a boolean |approx − exact| ≤ 15% · exact (≥3σ at the
+  // default rsd = 0.05) that the oracle asserts TRUE. The exact distinct
+  // exists for the gate only — the 100 TB form drops it and keeps the
+  // sketch, which is exactly what makes the profile one cheap pass.
+  // ---------------------------------------------------------------------
+  private def q29b(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        approx_count_distinct(col(c)).as(s"a_$c"))
+    }
+    val stackArgs = profileCols.map(c => s"'$c', n_$c, d_$c, a_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${profileCols.size}, $stackArgs) AS (column, n_nonnull, n_distinct, approx_d)"))
+      .select(col("column"), col("n_nonnull"), col("n_distinct"),
+        (abs(col("approx_d") - col("n_distinct"))
+          <= col("n_distinct") * lit(0.15)).as("approx_within_bound"))
+  }
+
+  private val q29bSql = profileCols.map { c =>
+    s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+       |  count(DISTINCT $c) AS n_distinct, TRUE AS approx_within_bound
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -692,5 +725,6 @@ object Relational {
     Q("q26_grouping_sets", q26, Some(q26Sql)),
     Q("q27_scalar_subquery", q27, Some(q27Sql)),
     Q("q28_sql_frontend", q28, Some(q28Sql)),
-    Q("q29_table_profile", q29, Some(q29Sql)))
+    Q("q29_table_profile", q29, Some(q29Sql)),
+    Q("q29b_profile_hll", q29b, Some(q29bSql)))
 }
