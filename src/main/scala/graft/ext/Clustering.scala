@@ -86,13 +86,33 @@ object Clustering {
        |    AS centroid_norm
        |FROM packed""".stripMargin
 
-  /** Shared CTE chain ending in packed(c_id, n_members, ms) — the DuckDB
-    * mirror of [[refinedCentroids]]. */
-  private def refinedSqlCte = {
-    val acos = Vectors.cosineSql("e.embedding", "c.c_emb")
+  /** Fixed-K centroid sample CTE (qc01/qc02's gate config — the k-means
+    * step itself is K-agnostic, so its gate pins the small literal). */
+  private def centsFixedSql =
     s"""cents AS (
        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK}),
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK})"""
+      .stripMargin
+
+  /** Scale-derived centroid sample CTE — the DuckDB mirror of
+    * [[scaleAwareK]]: K = max(16, ⌈√N⌉) computed from the corpus itself
+    * (count(*) OVER ()), so the oracle derives the identical K for any
+    * input without a literal. */
+  private def centsScaledSql =
+    s"""cents AS (
+       |  SELECT c_id, c_emb FROM (
+       |    SELECT vec_id AS c_id, embedding AS c_emb,
+       |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+       |      count(*) OVER () AS n
+       |    FROM embeddings)
+       |  WHERE rn <= greatest(${Similarity.IvfK}, CAST(ceil(sqrt(n)) AS BIGINT)))"""
+      .stripMargin
+
+  /** Shared CTE chain ending in packed(c_id, n_members, ms) — the DuckDB
+    * mirror of [[refinedCentroids]], parameterized by the cents CTE. */
+  private def refinedSqlCteWith(cents: String) = {
+    val acos = Vectors.cosineSql("e.embedding", "c.c_emb")
+    s"""$cents,
        |assigned AS (
        |  SELECT vec_id, embedding, c_id FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id,
@@ -113,6 +133,9 @@ object Clustering {
        |  SELECT c_id, max(n) AS n_members, list(m ORDER BY dim) AS ms
        |  FROM means GROUP BY c_id)""".stripMargin
   }
+
+  private def refinedSqlCte = refinedSqlCteWith(centsFixedSql)
+  private def refinedSqlCteScaled = refinedSqlCteWith(centsScaledSql)
 
   // ---------------------------------------------------------------------
   // qc02: second k-means iteration — reassign every vector to its nearest
@@ -168,11 +191,13 @@ object Clustering {
   // k-means-cluster the embeddings, then compare pairs only WITHIN each
   // cluster and drop all but the lowest id of any pair above the cosine
   // threshold). This is the scale path for embedding dedup: qd05's exact
-  // all-pairs is O(N²); clustering first cuts it to O(N²/K) and the
-  // cluster count K is the knob that bounds per-cluster work (at 100 TB
-  // pick K ≈ N/10⁴ so a cluster's pair block fits a task — same sizing
-  // rule as qs02's planes, measured by AnnProbe). Cross-cluster near-dups
-  // are the recall trade, exactly as published.
+  // all-pairs is O(N²); clustering first cuts it to O(N²/K), and the
+  // DEFAULT K is scale-derived — K = max(16, ⌈√N⌉) ([[scaleAwareK]]), the
+  // measured U-curve minimum of assignment O(N·K) + pairs O(N²/K), so the
+  // default stays ~O(N^1.5) under corpus growth instead of quadratic (the
+  // round-5 soak measured fixed K = 16 at 14× cost under 30× data; the
+  // √N point was 8× faster). The oracle derives the same K in-query.
+  // Cross-cluster near-dups are the recall trade, exactly as published.
   //
   // Composition: reuses qc01's refined centroids (one k-means step) and
   // the cascade-free keep-min drop rule of qd07/qst10. Assignment is a
@@ -182,14 +207,32 @@ object Clustering {
   // ---------------------------------------------------------------------
   private val SemDupThreshold = 0.4 // same cosine bar as qd05's exact pass
 
-  /** qd11's (vec_id, c_id, is_dup) flags — package-visible so the qp02
+  /** Scale-aware cluster count for the SemDeDup family: K = max(16, ⌈√N⌉).
+    * Total cost = assignment O(N·K) + within-cluster pairs O(N²/K), a
+    * U-curve whose measured minimum is K ≈ √N (Soak's semdedup_k_sizing:
+    * 8× faster than the old fixed K = 16 at 30×, and ~linear under corpus
+    * growth where fixed K is quadratic). The corpus count is one
+    * driver-side long — the legitimate single-value read (qd08's
+    * convergence-check pattern); everything downstream stays distributed,
+    * and the oracle derives the identical K in-query (count(*) OVER (),
+    * [[centsScaledSql]]), so the gate needs no literal. K ∝ N would only
+    * pay once assignment went through an index instead of brute force. */
+  private[graft] def scaleAwareK(s: SparkSession, d: String): Int = {
+    val n = Tables.embeddings(s, d).count()
+    math.max(Similarity.IvfK, math.ceil(math.sqrt(n.toDouble)).toInt)
+  }
+
+  /** qd11's (vec_id, c_id, is_dup) flags at the scale-derived K — the
+    * default every caller (qp02, Soak) gets. Package-visible so the qp02
     * curation pipeline composes the identical semantic-dedup stage. */
-  private[graft] def semDedupFlags(s: SparkSession, d: String,
-      k: Int = Similarity.IvfK): DataFrame =
+  private[graft] def semDedupFlags(s: SparkSession, d: String): DataFrame =
+    qd11(s, d, scaleAwareK(s, d))
+
+  /** Explicit-K variant, for the Soak U-curve measurement only. */
+  private[graft] def semDedupFlags(s: SparkSession, d: String, k: Int): DataFrame =
     qd11(s, d, k)
 
-  private def qd11(s: SparkSession, d: String,
-      k: Int = Similarity.IvfK): DataFrame = {
+  private def qd11(s: SparkSession, d: String, k: Int): DataFrame = {
     val cents1 = refinedCentroids(s, d, k).select(col("c_id"), col("ms"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
@@ -217,7 +260,7 @@ object Clustering {
   private[graft] val semDedupSqlCte: String = {
     val rcos = Vectors.cosineSql("e.embedding", "p.ms")
     val pcos = Vectors.cosineSql("a.embedding", "b.embedding")
-    s"""$refinedSqlCte,
+    s"""$refinedSqlCteScaled,
        |members AS (
        |  SELECT vec_id, embedding, c_id FROM (
        |    SELECT e.vec_id, e.embedding, p.c_id,
@@ -241,5 +284,5 @@ object Clustering {
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
     Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)),
-    Q("qd11_semdedup", (s, d) => qd11(s, d), Some(qd11Sql)))
+    Q("qd11_semdedup", (s, d) => semDedupFlags(s, d), Some(qd11Sql)))
 }
