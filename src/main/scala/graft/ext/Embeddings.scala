@@ -90,24 +90,25 @@ object Embeddings {
   // qe02: 16-bit sign-projection codes + bucket occupancy.
   // ---------------------------------------------------------------------
 
-  // LCG hyperplanes like qs02's, flat index offset by 7777 so the plane
-  // set is independent of the ANN query's. Spark side: the planes are
-  // HOISTED to float-array literals (every component is k/65536 − 0.5 with
-  // k < 2^16 — exactly float-representable, so the float literal equals
-  // the oracle's double arithmetic bit-for-bit) and the 16 per-row dots
-  // run through the codegen'd FloatDot — re-building 16 constant arrays
-  // per row via transform(sequence(...)) was the actual hot loop.
+  // Orthogonalized splitmix64 hyperplanes with this site's own seed
+  // (independent of the ANN query's set — see Hyperplanes for the
+  // per-plane-seed + Gram–Schmidt design that replaced the
+  // sign-correlated LCG chain). Spark side: double-array literals through
+  // the codegen'd FloatDoubleDot; the oracle evaluates the exact-decimal
+  // prints of the same doubles. (Hoisting constants out of the per-row
+  // path — vs re-building them via transform(sequence(...)) — was round
+  // 5's actual hot-loop fix; literals keep that property.)
+  private val PlaneSeed = 2002L
+
   private def planeLit(j: Int): Column =
-    typedLit((0 until Dim).map(i =>
-      (((1103515245L * (7777 + j * Dim + i) + 12345L) % 65536L)
-        / 65536.0 - 0.5).toFloat).toArray)
+    typedLit(Hyperplanes.plane(PlaneSeed, j, CodeBits, Dim))
 
   private def planeSqlList(j: Int): String =
-    s"list_transform(range(0, $Dim), i -> ((1103515245 * (7777 + $j * $Dim + i) + 12345) % 65536) / 65536.0 - 0.5)"
+    Hyperplanes.sqlList(PlaneSeed, j, CodeBits, Dim)
 
   private def codeExpr: Column =
     (0 until CodeBits).map { j =>
-      when(Vectors.fastDot(col("embedding"), planeLit(j)) > 0, lit(1 << j))
+      when(Vectors.fastDotFD(col("embedding"), planeLit(j)) > 0, lit(1 << j))
         .otherwise(lit(0))
     }.reduce(_ + _)
 

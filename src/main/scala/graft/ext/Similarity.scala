@@ -18,33 +18,31 @@ import graft.sources.Tables
   *    a 4-bit key; alternatively pre-bucket + bucketed table layout so the
   *    probe is shuffle-free).
   *
-  * Hyperplanes are seeded integer arithmetic (LCG) so the oracle regenerates
-  * them exactly; all float math is double-precision index-order folds (see
-  * graft.functions.Vectors determinism contract).
+  * Hyperplanes are independently-seeded splitmix64 lattices hoisted to
+  * exact literals in BOTH engines (see [[Hyperplanes]]); all float math is
+  * double-precision index-order folds (see graft.functions.Vectors
+  * determinism contract).
   */
 object Similarity {
 
   private val Dim = 64
   private val NumPlanes = 4 // gated query: 2^4 = 16 buckets (oracle-stable)
+  private val PlaneSeed = 1001L // site seed; Embeddings uses its own
 
-  /** Hyperplane component (plane j, dim i): LCG over the flat index, scaled
-    * to [−0.5, 0.5). Pure integer → exact in any engine. */
-  private def planeSqlList(j: Int): String =
-    s"list_transform(range(0, $Dim), i -> ((1103515245 * ($j * $Dim + i) + 12345) % 65536) / 65536.0 - 0.5)"
-
-  private def planeExpr(j: Int): String =
-    s"transform(sequence(0, ${Dim - 1}), i -> ((1103515245L * ($j * $Dim + i) + 12345L) % 65536L) / 65536.0 - 0.5)"
-
-  /** bucket = Σ_j 2^j · [dot(emb, plane_j) > 0]. */
+  /** bucket = Σ_j 2^j · [dot(emb, plane_j) > 0]. Planes are double-array
+    * literals through the codegen'd FloatDoubleDot; the oracle evaluates
+    * the exact-decimal prints of the same doubles — identical constants,
+    * identical folds. */
   private def bucketExpr(numPlanes: Int): org.apache.spark.sql.Column =
     (0 until numPlanes).map { j =>
-      when(Vectors.dot(col("embedding"), expr(planeExpr(j))) > 0, lit(1 << j))
+      when(Vectors.fastDotFD(col("embedding"),
+          typedLit(Hyperplanes.plane(PlaneSeed, j, numPlanes, Dim))) > 0, lit(1 << j))
         .otherwise(lit(0))
     }.reduce(_ + _)
 
   private def bucketSql(emb: String): String =
     (0 until NumPlanes).map { j =>
-      s"(CASE WHEN ${Vectors.dotSql(emb, planeSqlList(j))} > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN ${Vectors.dotSql(emb, Hyperplanes.sqlList(PlaneSeed, j, NumPlanes, Dim))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   // ---------------------------------------------------------------------

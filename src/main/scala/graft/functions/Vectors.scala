@@ -43,6 +43,11 @@ object Vectors {
     FloatVectorExpressions.floatDoubleDot(e, m) /
       (fastNorm(e) * sqrt(FloatVectorExpressions.doubleDot(m, m)))
 
+  /** Codegen'd dot of an `array<float>` column against an `array<double>`
+    * constant (hyperplane literals) — same index-order double fold. */
+  def fastDotFD(e: Column, m: Column): Column =
+    FloatVectorExpressions.floatDoubleDot(e, m)
+
   /** The DuckDB mirror of [[dot]] for oracle SQL construction. */
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
