@@ -165,6 +165,14 @@ object Soak {
     val qd13Drops = graft.ext.SpanDedup.incrementalDroppedBuckets(spark, out).count()
     println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops,"qd13_seen_bucket_drops":$qd13Drops}""")
 
+    // streaming near-dup bounded-state channel: run the gated qst10 face
+    // over the soak corpus and report its poison/eviction counters — the
+    // streaming analogue of the batch drop channels above
+    val stKept = Registry.byName("qst10_stream_neardup").run(spark, out).count()
+    val stEvict = graft.streaming.StreamingQueries.lastNearDupEvictions
+      .map(_.value).getOrElse(-1L)
+    println(s"""{"metric":"soak_stream_neardup","kept":$stKept,"evicted_entries":$stEvict}""")
+
     // K-sizing demonstration for the SemDeDup family (qd11/qp02): at fixed
     // K the within-cluster pair stage is O(N²/K) — quadratic under corpus
     // growth (the honest noop-sink soak exposed exactly that, 14× at 30×).

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.util.LongAccumulator
 
 /** Streaming near-duplicate filtering — the streaming face of the batch
@@ -30,28 +30,32 @@ import org.apache.spark.util.LongAccumulator
   * higher-doc_id bucket-mate a that r retroactively makes a duplicate
   * (a.doc_id > r.doc_id, Hamming ≤ bound), the processor re-emits a's flag
   * row with dup=1 — the sink-side max(dup) reduction merges the correction
-  * with a's earlier dup=0 row. An arrival-order variant is the same
-  * processor with the correction dropped and `aid < r.docId` relaxed —
-  * deterministic only per-run.
+  * with a's earlier dup=0 row.
   *
-  * Scale bounds (100 TB ingest): unbounded state is the default only
-  * because it is what the batch oracle states; production runs bound it
-  * with one or both knobs:
+  * State bound (100 TB ingest): `bucketCap` — the streaming face of the
+  * batch [[graft.ext.Dedup.BucketCap]], with the SAME semantics as qd07's
+  * capped oracle: a bucket whose membership exceeds the cap produces no
+  * near-dup flags at all. The processor enforces it by POISONING: the
+  * moment a bucket's cumulative membership would pass the cap it emits a
+  * poison marker row, clears its list state (so per-bucket state is ≤ cap
+  * entries + one bit, ever after one bit), and stops comparing; the
+  * sink-side reduction discards every dup flag from a poisoned bucket.
+  * This keeps the any-split determinism guarantee THROUGH the cap: a
+  * bucket's final membership count is arrival-order independent, so
+  * whether it ends poisoned is too — whichever trigger crosses the cap,
+  * the marker eventually lands and invalidates the same bucket's flags.
+  * The gated qst10 runs at `Dedup.BucketCap` and its DuckDB oracle states
+  * the identical rule (HAVING count(*) <= cap on the candidate buckets —
+  * the qd07/qd13 capped form). Dropped (cleared + suppressed) entries are
+  * counted in the `evictions` accumulator — the observable-drops channel,
+  * mirroring Dedup.oversizedLshBuckets; Soak prints it.
   *
-  *  - `ttl`: a [[TTLConfig]] dedup horizon — bucket entries expire after
-  *    the configured processing-time duration (RocksDB-native expiry);
-  *  - `bucketCap`: a per-bucket entry cap, the streaming analogue of the
-  *    batch [[graft.ext.Dedup.BucketCap]]. When a bucket exceeds the cap
-  *    the HIGHEST doc_ids are evicted (the doc_id-ordered rule makes low
-  *    ids the authoritative dup sources, so keep-lowest loses the least
-  *    recall, and the retained set is arrival-order independent). Evicted
-  *    entries are counted in the optional `evictions` accumulator — the
-  *    observable-drops channel, mirroring Dedup.oversizedLshBuckets.
+  * `ttl` additionally bounds state by a processing-time dedup horizon
+  * (RocksDB-native expiry) — a wall-clock trade, deliberately NOT part of
+  * the gated config since expiry timing is not deterministic.
   *
-  * Capped mode trades the any-split determinism guarantee for bounded
-  * state: a doc is flagged against the ≤ cap retained mates, exact
-  * whenever its bucket never exceeded the cap. The shuffle carries only
-  * (chunk-key, doc_id, simhash) — 4 compact rows per doc, never text.
+  * The shuffle carries only (chunk-key, doc_id, simhash) — 4 compact rows
+  * per doc, never text.
   */
 object NearDupDedup {
 
@@ -64,26 +68,53 @@ object NearDupDedup {
   val HammingMax = 12
 
   final case class ChunkDoc(c: Int, chunk: Long, docId: Long, simhash: Long)
-  final case class ChunkFlag(docId: Long, simhash: Long, dup: Long)
+
+  /** One flag row per doc per bucket per trigger. `poisoned = 1` rows are
+    * bucket-level markers (docId = −1), not doc flags. */
+  final case class ChunkFlag(c: Int, chunk: Long, docId: Long, simhash: Long,
+      dup: Long, poisoned: Long)
 
   private class BucketProcessor(ttl: TTLConfig, bucketCap: Int,
       evictions: Option[LongAccumulator])
       extends StatefulProcessor[(Int, Long), ChunkDoc, ChunkFlag] {
     @transient private var seen: ListState[(Long, Long)] = _
+    @transient private var dead: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       seen = getHandle.getListState[(Long, Long)]("seen",
         Encoders.product[(Long, Long)], ttl)
+      dead = getHandle.getValueState[Boolean]("poisoned",
+        Encoders.scalaBoolean, ttl)
+    }
 
     override def handleInputRows(key: (Int, Long), rows: Iterator[ChunkDoc],
         timerValues: TimerValues): Iterator[ChunkFlag] = {
+      val (c, chunk) = key
       // Sort batch-mates by doc_id so the "earlier doc" rule is evaluated
       // identically whether two docs share a micro-batch or not.
       val batch = rows.toArray.sortBy(_.docId)
+      def ownRows = batch.iterator.map(r =>
+        ChunkFlag(c, chunk, r.docId, r.simhash, 0L, 0L))
+      if (dead.exists()) {
+        // Poisoned bucket: docs still surface (the sink needs the full doc
+        // universe) but nothing is stored or compared here.
+        evictions.foreach(_.add(batch.length))
+        return ownRows
+      }
       val state = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val it = seen.get()
       while (it.hasNext) state += it.next()
       val nPrior = state.size // entries emitted in earlier triggers
+      if (nPrior + batch.length > bucketCap) {
+        // Final membership exceeds the cap (counts only grow, so this is
+        // arrival-order independent): poison. The marker tells the sink to
+        // discard every dup flag this bucket ever produced — qd07's
+        // "oversized buckets produce no pairs", enforced online.
+        dead.update(true)
+        seen.clear()
+        evictions.foreach(_.add(nPrior + batch.length))
+        return Iterator.single(ChunkFlag(c, chunk, -1L, 0L, 0L, 1L)) ++ ownRows
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[ChunkFlag]
       batch.foreach { r =>
         var dup = false
@@ -98,20 +129,15 @@ object NearDupDedup {
             // rule. Re-emit with dup=1; the sink-side max(dup) merges.
             // (i < nPrior is implied for aid > r.docId: batch-mates
             // already in `state` sort before r.)
-            else if (i < nPrior && aid > r.docId) out += ChunkFlag(aid, ash, 1L)
+            else if (i < nPrior && aid > r.docId)
+              out += ChunkFlag(c, chunk, aid, ash, 1L, 0L)
           }
           i += 1
         }
         state += ((r.docId, r.simhash))
-        out += ChunkFlag(r.docId, r.simhash, if (dup) 1L else 0L)
+        out += ChunkFlag(c, chunk, r.docId, r.simhash, if (dup) 1L else 0L, 0L)
       }
-      if (state.size > bucketCap) {
-        // keep-lowest eviction: rewrite the list with the cap smallest ids
-        evictions.foreach(_.add(state.size - bucketCap))
-        seen.put(state.sortBy(_._1).take(bucketCap).toArray)
-      } else {
-        batch.foreach(r => seen.appendValue((r.docId, r.simhash)))
-      }
+      batch.foreach(r => seen.appendValue((r.docId, r.simhash)))
       out.iterator
     }
   }
@@ -128,18 +154,20 @@ object NearDupDedup {
       .as[ChunkDoc](Encoders.product[ChunkDoc])
 
   /** Per-chunk duplicate flags for a streaming (doc_id, simhash) frame: one
-    * (docId, simhash, dup) row per doc per chunk per trigger, plus dup=1
-    * correction rows when out-of-order arrival retroactively flags an
-    * earlier emission. A doc is a near-duplicate iff max(dup) over its rows
-    * is 1 — the final reduction runs wherever the flags land (sink-side at
-    * test, or a downstream stage in a production pipeline). State is
-    * bounded by `ttl` (processing-time dedup horizon) and/or `bucketCap`
-    * (keep-lowest per-bucket cap; evictions counted in the accumulator).
-    * Requires the RocksDB state store provider (transformWithState
-    * contract). */
+    * (c, chunk, docId, simhash, dup, poisoned=0) row per doc per chunk per
+    * trigger, dup=1 correction rows when out-of-order arrival retroactively
+    * flags an earlier emission, and one (c, chunk, −1, 0, 0, 1) poison
+    * marker per bucket whose membership passes `bucketCap`. A doc is a
+    * near-duplicate iff it has a dup=1 row in some NON-poisoned bucket —
+    * the final reduction runs wherever the flags land (sink-side at test,
+    * a downstream stage in production); the poisoned-bucket key set is
+    * bounded by the chunk keyspace (≤ 4·2^12), so it broadcasts
+    * legitimately. State per bucket is ≤ bucketCap list entries (one bit
+    * once poisoned), optionally TTL-bounded. Requires the RocksDB state
+    * store provider (transformWithState contract). */
   def flagNearDuplicates(sim: DataFrame,
       ttl: TTLConfig = TTLConfig.NONE,
-      bucketCap: Int = Int.MaxValue,
+      bucketCap: Int = graft.ext.Dedup.BucketCap,
       evictions: Option[LongAccumulator] = None): DataFrame = {
     implicit val outEnc = Encoders.product[ChunkFlag]
     val timeMode =

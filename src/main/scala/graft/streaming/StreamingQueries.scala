@@ -350,14 +350,25 @@ object StreamingQueries {
   // ---------------------------------------------------------------------
   // qst10: streaming near-dup dedup (see NearDupDedup) — documents stream
   // in, each is SimHash-banded and flagged per bucket against everything
-  // previously seen there; the kept set is docs with no duplicate flag in
-  // any bucket. The "earlier doc wins" rule is doc_id order (batch-split
-  // independent), so the final table equals the batch drop rule the oracle
-  // states: drop b iff some a < b shares a 12-bit chunk with Hamming ≤ 12.
-  // The per-bucket flag reduction happens batch-side on the sink table
-  // (qst08 pattern — chaining a second stateful agg onto
-  // transformWithState in one streaming query is restricted).
+  // previously seen there; the kept set is docs with no valid duplicate
+  // flag in any bucket. Gated at the BOUNDED config: bucketCap =
+  // Dedup.BucketCap, with qd07's capped semantics (a bucket whose
+  // membership exceeds the cap produces no flags — the processor poisons
+  // it and the reduction below discards its flags), mirrored in the
+  // oracle's HAVING count(*) <= cap. The "earlier doc wins" rule is
+  // doc_id order and bucket poisoning depends only on final membership
+  // counts, so the final table is batch-split independent. The per-bucket
+  // flag reduction happens batch-side on the sink table (qst08 pattern —
+  // chaining a second stateful agg onto transformWithState in one
+  // streaming query is restricted). The poisoned-bucket frame is bounded
+  // by the chunk keyspace (≤ 4·2^12 rows) → its broadcast is the
+  // legitimate inverse-rule side; the corpus-sized dup set stays
+  // merge-pinned. Evictions land in an accumulator Soak reads.
   // ---------------------------------------------------------------------
+  /** The gated qst10 run's eviction accumulator — read by Soak after the
+    * query completes (the streaming drop channel, like Dedup's counters). */
+  @volatile private[graft] var lastNearDupEvictions: Option[org.apache.spark.util.LongAccumulator] = None
+
   private def qst10(s: SparkSession, d: String): DataFrame = {
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -369,14 +380,26 @@ object StreamingQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val sim = graft.ext.Dedup.withSimhash(docs)
       val name = s"graft_neardup_${counter.incrementAndGet()}"
-      val q = NearDupDedup.flagNearDuplicates(sim)
+      val acc = s.sparkContext.longAccumulator("qst10_neardup_evictions")
+      lastNearDupEvictions = Some(acc)
+      val q = NearDupDedup.flagNearDuplicates(sim,
+          bucketCap = graft.ext.Dedup.BucketCap, evictions = Some(acc))
         .writeStream.outputMode("update").format("memory").queryName(name).start()
       q.processAllAvailable()
       q.stop()
-      s.table(name)
-        .groupBy(col("docId"), col("simhash"))
-        .agg(max(col("dup")).as("dup"))
-        .filter(col("dup") === 0)
+      val t = s.table(name)
+      // renamed join keys on the derived sides: all three frames descend
+      // from the same memory-sink view, and same-attribute self-joins on a
+      // View fail reference resolution
+      val bad = t.filter(col("poisoned") === 1)
+        .select(col("c").as("bc"), col("chunk").as("bchunk")).distinct()
+      val dup = t.filter(col("dup") === 1)
+        .join(broadcast(bad),
+          col("c") === col("bc") && col("chunk") === col("bchunk"), "left_anti")
+        .select(col("docId").as("dup_id")).distinct()
+      t.filter(col("docId") =!= -1L)
+        .select(col("docId"), col("simhash")).distinct()
+        .join(dup.hint("merge"), col("docId") === col("dup_id"), "left_anti")
         .select(col("docId").as("doc_id"), col("simhash"))
     } finally prevProvider match {
       case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -390,11 +413,15 @@ object StreamingQueries {
        |  SELECT doc_id, simhash, c,
        |    (simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
        |  FROM simhashed, range(0, 4) t(c)),
+       |kept_b AS (
+       |  SELECT c, chunk FROM chunks GROUP BY c, chunk
+       |  HAVING count(*) <= ${graft.ext.Dedup.BucketCap}),
        |dup AS (
        |  SELECT DISTINCT y.doc_id
        |  FROM chunks x JOIN chunks y
        |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-       |   AND bit_count(xor(x.simhash, y.simhash)) <= ${NearDupDedup.HammingMax})
+       |   AND bit_count(xor(x.simhash, y.simhash)) <= ${NearDupDedup.HammingMax}
+       |  JOIN kept_b k ON k.c = x.c AND k.chunk = x.chunk)
        |SELECT s.doc_id, CAST(s.simhash AS BIGINT) AS simhash
        |FROM simhashed s
        |WHERE s.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin

@@ -219,16 +219,22 @@ class StreamingSpec extends SparkSpec {
   test("streaming near-dup dedup equals the batch drop rule (qst10)") {
     val streamed = StreamingQueries.queries.find(_.name == "qst10_stream_neardup").get
       .run(spark, sf)
-    // batch formulation of the same rule: drop b iff some a < b shares a
-    // 12-bit simhash chunk with Hamming(a, b) <= 12 (no bucket cap)
+    // batch formulation of the same CAPPED rule: drop b iff some a < b
+    // shares a 12-bit simhash chunk bucket of <= BucketCap members with
+    // Hamming(a, b) <= 12 — qd07's capped semantics, which the streaming
+    // processor enforces by poisoning oversized buckets (at this SF no
+    // bucket exceeds the cap, so the sets also equal the uncapped rule)
     val sim = graft.ext.Dedup.withSimhash(graft.sources.Tables.documents(spark, sf))
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
           .cast("long") * 4 + c): _*)).as("ck"))
+    val keptB = chunks.groupBy(col("ck")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= graft.ext.Dedup.BucketCap).select(col("ck"))
     val dropped = chunks.alias("x").join(chunks.alias("y"),
         col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id") &&
           expr("bit_count(x.simhash ^ y.simhash) <= 12"))
+      .join(keptB.withColumnRenamed("ck", "kck"), col("x.ck") === col("kck"))
       .select(col("y.doc_id").as("doc_id")).distinct()
     val batch = sim.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("simhash"))
@@ -275,19 +281,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("near-dup bucketCap bounds state via keep-lowest eviction, observably") {
-    // Four docs sharing ONLY chunk-0 bucket (low 12 simhash bits all 0);
-    // upper-36-bit patterns pairwise Hamming > 12 except doc 4, which is
-    // Hamming 3 from doc 3 but collides with it in no other chunk. With
-    // bucketCap=2 the bucket holds {1,2} when doc 3 arrives, doc 3's entry
-    // is evicted (counted), and doc 4 — a near-dup of ONLY the evicted
-    // doc 3 — is therefore kept: the documented capped-mode semantics
-    // (compare against the cap-lowest retained mates).
+  /** The qst10 sink-side reduction: kept docs = universe minus docs with a
+    * dup=1 flag in a non-poisoned bucket. */
+  private def nearDupKept(table: String): Set[Long] = {
+    val t = spark.table(table)
+    // renamed keys: all frames descend from the same memory-sink view
+    val bad = t.filter(col("poisoned") === 1)
+      .select(col("c").as("bc"), col("chunk").as("bchunk")).distinct()
+    val dup = t.filter(col("dup") === 1)
+      .join(bad, col("c") === col("bc") && col("chunk") === col("bchunk"), "left_anti")
+      .select(col("docId").as("dup_id")).distinct()
+    t.filter(col("docId") =!= -1L).select(col("docId")).distinct()
+      .join(dup, col("docId") === col("dup_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("near-dup bucketCap poisons oversized buckets: bounded state, deterministic, observable") {
+    // Four docs sharing ONLY the chunk-0 bucket (low 12 simhash bits all
+    // 0); upper-36-bit patterns pairwise Hamming > 12 except doc 4, which
+    // is Hamming 3 from doc 3 but collides with it in no other chunk.
+    // With bucketCap=2 the shared bucket's membership passes the cap when
+    // doc 3 arrives: the processor emits the poison marker, clears the
+    // bucket's list state, and every dup flag from that bucket is
+    // discarded by the reduction — qd07's capped-oracle semantics
+    // ("oversized buckets produce no pairs"). All four docs are kept, the
+    // drop channel counts the cleared + suppressed entries, and the same
+    // data in ONE trigger must give the same kept set (final membership
+    // counts, not arrival order, decide poisoning).
     withRocksDB {
       implicit val ctx = spark.sqlContext
       def sh(p: Long) = p << 12
       val sh4 = sh(0x555555555L) ^ (1L << 12) ^ (1L << 24) ^ (1L << 36)
       assert(java.lang.Long.bitCount(sh4 ^ sh(0x555555555L)) === 3)
+      val docs = Seq((1L, sh(0L)), (2L, sh(0xFFFFFFFFFL)),
+        (3L, sh(0x555555555L)), (4L, sh4))
       val acc = spark.sparkContext.longAccumulator("ndd_evictions")
       val ms = MemoryStream[(Long, Long)]
       val flags = graft.streaming.NearDupDedup.flagNearDuplicates(
@@ -295,18 +322,30 @@ class StreamingSpec extends SparkSpec {
       val q = flags.writeStream.outputMode("update")
         .format("memory").queryName("ndd_cap").start()
       try {
-        ms.addData((1L, sh(0L)), (2L, sh(0xFFFFFFFFFL)))
+        ms.addData(docs(0), docs(1))
         q.processAllAvailable()
-        ms.addData((3L, sh(0x555555555L)))
+        ms.addData(docs(2))
         q.processAllAvailable()
-        ms.addData((4L, sh4))
+        ms.addData(docs(3))
         q.processAllAvailable()
-        assert(acc.value >= 1, "eviction channel never fired")
-        val kept = spark.table("ndd_cap")
-          .groupBy(col("docId")).agg(max(col("dup")).as("dup"))
-          .filter(col("dup") === 0).collect().map(_.getLong(0)).toSet
-        assert(kept === Set(1L, 2L, 3L, 4L))
+        assert(acc.value >= 3, "poison drop channel never fired")
+        val markers = spark.table("ndd_cap").filter(col("poisoned") === 1)
+          .select(col("c"), col("chunk")).distinct().count()
+        assert(markers === 1, "exactly the one oversized bucket is poisoned")
+        assert(nearDupKept("ndd_cap") === Set(1L, 2L, 3L, 4L))
       } finally q.stop()
+
+      // any-split determinism: the same four docs in a single trigger
+      val ms2 = MemoryStream[(Long, Long)]
+      val q2 = graft.streaming.NearDupDedup.flagNearDuplicates(
+          ms2.toDF().toDF("doc_id", "simhash"), bucketCap = 2)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("ndd_cap1").start()
+      try {
+        ms2.addData(docs: _*)
+        q2.processAllAvailable()
+        assert(nearDupKept("ndd_cap1") === Set(1L, 2L, 3L, 4L))
+      } finally q2.stop()
     }
   }
 
