@@ -165,6 +165,17 @@ object Soak {
     val qd13Drops = graft.ext.SpanDedup.incrementalDroppedBuckets(spark, out).count()
     println(s"""{"metric":"soak_drops","oversized_lsh_buckets":$oversized,"shingle_df_drops":$dfDrops,"pipeline_oversized_buckets":$pipeDrops,"qd13_seen_bucket_drops":$qd13Drops}""")
 
+    // band-width drain: the same corpus's oversized-bucket channels under
+    // the gate scheme (4×12 over 48 bits) vs the wide 100 TB scheme (4×15
+    // over 60 bits) — BASELINE.md's "wider bands, not bigger caps" remedy,
+    // measured instead of asserted
+    val gateSim = graft.ext.Dedup.simhashOversizedBuckets(spark, out).count()
+    val wideSim = graft.ext.Dedup
+      .simhashOversizedBuckets(spark, out, graft.ext.Dedup.WideScheme).count()
+    val widePipe = graft.ext.Pipeline
+      .oversizedBuckets(spark, out, graft.ext.Dedup.WideScheme).count()
+    println(s"""{"metric":"soak_band_width","gate_simhash_oversized":$gateSim,"wide_simhash_oversized":$wideSim,"gate_pipeline_oversized":$pipeDrops,"wide_pipeline_oversized":$widePipe}""")
+
     // streaming near-dup bounded-state channel: run the gated qst10 face
     // over the soak corpus and report its poison/eviction counters — the
     // streaming analogue of the batch drop channels above

@@ -372,14 +372,43 @@ object Dedup {
   // ---------------------------------------------------------------------
   private val SimBits = 48
 
+  /** SimHash band layout: `bands` bands of `width` bits over a `simBits`-bit
+    * signature, near-dup Hamming threshold `hammingMax`.
+    *
+    * Structural recall guarantee: a pair with Hamming ≤ bands − 1 shares at
+    * least one exact band (pigeonhole) at ANY width, so widening bands
+    * keeps qd07's Hamming ≤ 3 guarantee. Width is the OCCUPANCY knob:
+    * expected bucket population is N / 2^width, so each +1 bit halves
+    * per-bucket pair work — the 30×/100× soak showed the 4 × 12-bit
+    * keyspace saturating under corpus growth (pipeline_oversized_buckets
+    * 1810, flat from 30× to 100×), and the remedy at scale is WIDER BANDS,
+    * not bigger caps (a bigger cap re-admits quadratic pair work exactly
+    * where the corpus is densest). Soak measures the drain: the same 100×
+    * corpus under [[WideScheme]] vs [[GateScheme]].
+    */
+  final case class BandScheme(simBits: Int, bands: Int, width: Int, hammingMax: Int) {
+    require(bands * width <= simBits && simBits <= 60,
+      "bands*width must fit the signature; TokenSimHash carries <= 60 bits")
+  }
+
+  /** The gated layout — 4 × 12 bits over 48, Hamming ≤ 12. Every SimHash
+    * oracle states these literals. */
+  val GateScheme: BandScheme = BandScheme(SimBits, 4, 12, 12)
+
+  /** The documented 100 TB layout: same 4 bands (same structural recall),
+    * 15-bit width = 8× the per-band keyspace, over the full 60 bits the
+    * md5-derived token hashes carry; Hamming threshold scaled to the same
+    * 25% of signature bits. */
+  val WideScheme: BandScheme = BandScheme(60, 4, 15, 15)
+
   /** Package-private: reused by the streaming near-dup dedup (qst10), whose
     * per-doc signature must be bit-identical to the batch one. */
-  private[graft] def withSimhash(docs: DataFrame): DataFrame =
+  private[graft] def withSimhash(docs: DataFrame, bits: Int = SimBits): DataFrame =
     docs
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
-        graft.functions.TokenSimHash.simhash(col("toks"), SimBits).as("simhash"))
+        graft.functions.TokenSimHash.simhash(col("toks"), bits).as("simhash"))
 
   /** The simhash CTE chain over an arbitrary (doc_id, text) relation —
     * reused by qd06/qd07/qst10 (over `documents`) and the e2e pipeline
@@ -422,38 +451,70 @@ object Dedup {
   // (any equal chunk → candidate; guarantees recall for Hamming ≤ 3),
   // then exact Hamming distance ≤ 12 filter via bit_count(xor).
   // ---------------------------------------------------------------------
-  /** qd07 candidate-generation stage: one groupBy(chunk) shuffle carrying
-    * (doc_id, simhash) structs so Hamming is map-side afterwards.
-    * Package-private for the PlanLintSpec single-Exchange contract. */
-  private[graft] def simhashBucketStage(s: SparkSession, d: String): DataFrame =
-    withSimhash(Tables.documents(s, d))
+  /** (band, chunk) buckets of sorted (doc_id, simhash) structs for an
+    * arbitrary (doc_id, text) frame under `scheme` — one groupBy shuffle,
+    * cap filter NOT yet applied. */
+  private def simhashBucketsRaw(docs: DataFrame, scheme: BandScheme): DataFrame =
+    withSimhash(docs, scheme.simBits)
       .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
+        explode(array((0 until scheme.bands).map(c =>
           struct(lit(c).as("c"),
-            expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096").as("chunk"))): _*))
+            expr(s"(simhash div cast(pow(2, ${scheme.width * c}) as bigint)) % ${1L << scheme.width}")
+              .as("chunk"))): _*))
           .as("ck"))
       .select(col("ck.c").as("c"), col("ck.chunk").as("chunk"),
         struct(col("doc_id"), col("simhash")).as("ds"))
       .groupBy(col("c"), col("chunk"))
       .agg(sort_array(collect_list(col("ds"))).as("ids")) // sorts by doc_id
+
+  /** qd07 candidate-generation stage: one groupBy(chunk) shuffle carrying
+    * (doc_id, simhash) structs so Hamming is map-side afterwards.
+    * Package-private for the PlanLintSpec single-Exchange contract. */
+  private[graft] def simhashBucketStage(s: SparkSession, d: String): DataFrame =
+    simhashBucketsRaw(Tables.documents(s, d), GateScheme)
       .filter(size(col("ids")).between(2, BucketCap))
 
-  private def qd07(s: SparkSession, d: String): DataFrame = {
-    // Same capped-bucket shape as qd03, but the bucket members carry
-    // (doc_id, simhash) structs so the Hamming distance is computed
-    // map-side at pair-explosion time — one shuffle total, no sig re-join.
-    val buckets = simhashBucketStage(s, d)
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(1, size(ids) - 1),
-        |  i -> transform(slice(ids, i + 1, size(ids) - i),
-        |    b -> struct(element_at(ids, i).doc_id AS doc_a, b.doc_id AS doc_b,
-        |      bit_count(element_at(ids, i).simhash ^ b.simhash) AS hamming))))"""
-        .stripMargin.replace("\n", " "))).as("p"))
+  /** SimHash near-dup pairs over an arbitrary (doc_id, text) frame under
+    * `scheme` — package-private so the spec can measure the recall /
+    * precision trade of band widths on planted near-dups. */
+  private[graft] def simhashPairs(docs: DataFrame, scheme: BandScheme): DataFrame =
+    simhashBucketsRaw(docs, scheme)
+      .filter(size(col("ids")).between(2, BucketCap))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    b -> struct(element_at(ids, i).doc_id AS doc_a, b.doc_id AS doc_b,
+          |      bit_count(element_at(ids, i).simhash ^ b.simhash) AS hamming))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.hamming").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
-  }
+      .filter(col("hamming") <= scheme.hammingMax)
+
+  /** Total candidate pairs a scheme's capped buckets would explode
+    * (Σ n·(n−1)/2 over kept buckets) — the pair-work metric behind the
+    * width knob; package-private for the band-scheme spec. */
+  private[graft] def simhashCandidatePairs(docs: DataFrame,
+      scheme: BandScheme): Long =
+    simhashBucketsRaw(docs, scheme)
+      .filter(size(col("ids")).between(2, BucketCap))
+      .agg(coalesce(sum(expr("size(ids) * (size(ids) - 1) div 2")), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** Buckets a scheme's candidate stage skips (> BucketCap members) — the
+    * per-scheme drop channel; Soak prints GateScheme vs WideScheme so the
+    * wider bands' drain of the saturated keyspace is measured. */
+  def simhashOversizedBuckets(s: SparkSession, d: String,
+      scheme: BandScheme = GateScheme): DataFrame =
+    simhashBucketsRaw(Tables.documents(s, d), scheme)
+      .filter(size(col("ids")) > BucketCap)
+      .select(col("c"), col("chunk"), size(col("ids")).as("n_docs"))
+
+  private def qd07(s: SparkSession, d: String): DataFrame =
+    // Same capped-bucket shape as qd03, but the bucket members carry
+    // (doc_id, simhash) structs so the Hamming distance is computed
+    // map-side at pair-explosion time — one shuffle total, no sig re-join.
+    simhashPairs(Tables.documents(s, d), GateScheme)
 
   private val qd07Sql =
     s"""WITH $simhashSqlCte,

@@ -53,13 +53,17 @@ object Pipeline {
 
   /** Near-dup candidate buckets over the dedup survivors, BEFORE the cap
     * filter: one groupBy(chunk-key) shuffle carrying sorted (doc_id,
-    * simhash) structs — identical shape to Dedup.simhashBucketStage. */
-  private def nearDupBuckets(dedup: DataFrame): DataFrame =
-    Dedup.withSimhash(dedup.select(col("doc_id"), col("text")))
+    * simhash) structs — identical shape to Dedup.simhashBucketStage. Band
+    * layout is a parameter (gate = Dedup.GateScheme; Soak also probes
+    * Dedup.WideScheme to show the wider keyspace draining the saturated
+    * oversized-bucket channel). */
+  private def nearDupBuckets(dedup: DataFrame,
+      scheme: Dedup.BandScheme = Dedup.GateScheme): DataFrame =
+    Dedup.withSimhash(dedup.select(col("doc_id"), col("text")), scheme.simBits)
       .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
-          expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
-            .cast("long") * 4 + c): _*)).as("ck"))
+        explode(array((0 until scheme.bands).map(c =>
+          expr(s"(simhash div cast(pow(2, ${scheme.width * c}) as bigint)) % ${1L << scheme.width}")
+            .cast("long") * scheme.bands + c): _*)).as("ck"))
       .select(col("ck"), struct(col("doc_id"), col("simhash")).as("ds"))
       .groupBy(col("ck"))
       .agg(sort_array(collect_list(col("ds"))).as("ids")) // sorts by doc_id
@@ -67,8 +71,9 @@ object Pipeline {
   /** Buckets the pipeline's near-dup stage skips (> BucketCap members) —
     * the observable-drops channel, symmetric to Dedup.oversizedLshBuckets;
     * asserted empty in the soak's linearity preconditions. */
-  def oversizedBuckets(s: SparkSession, d: String): DataFrame =
-    nearDupBuckets(dedupSurvivors(s, d))
+  def oversizedBuckets(s: SparkSession, d: String,
+      scheme: Dedup.BandScheme = Dedup.GateScheme): DataFrame =
+    nearDupBuckets(dedupSurvivors(s, d), scheme)
       .filter(size(col("ids")) > Dedup.BucketCap)
       .select(col("ck"), size(col("ids")).as("n"))
 

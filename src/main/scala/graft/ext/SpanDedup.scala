@@ -133,12 +133,13 @@ object SpanDedup {
   // ---------------------------------------------------------------------
   private val NewMod = 5
 
-  private def simhashChunks(docs: DataFrame): DataFrame =
-    Dedup.withSimhash(docs)
+  private def simhashChunks(docs: DataFrame,
+      scheme: Dedup.BandScheme = Dedup.GateScheme): DataFrame =
+    Dedup.withSimhash(docs, scheme.simBits)
       .select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
+        explode(array((0 until scheme.bands).map(c =>
           struct(lit(c).as("c"),
-            expr(s"(simhash div cast(pow(2, ${12 * c}) as bigint)) % 4096")
+            expr(s"(simhash div cast(pow(2, ${scheme.width * c}) as bigint)) % ${1L << scheme.width}")
               .as("chunk"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.c").as("c"), col("ck.chunk").as("chunk"))

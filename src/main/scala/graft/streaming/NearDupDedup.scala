@@ -59,13 +59,9 @@ import org.apache.spark.util.LongAccumulator
   */
 object NearDupDedup {
 
-  private val SimBits = 48
-  private val ChunkBits = 12
-  private val NumChunks = SimBits / ChunkBits
-
-  /** Max Hamming distance (of 48 bits) for two docs to count as near-dups —
-    * same threshold as the batch qd07. */
-  val HammingMax = 12
+  /** Max Hamming distance (of 48 bits) for two docs to count as near-dups
+    * under the GATED band scheme — same threshold as the batch qd07. */
+  val HammingMax: Int = graft.ext.Dedup.GateScheme.hammingMax
 
   final case class ChunkDoc(c: Int, chunk: Long, docId: Long, simhash: Long)
 
@@ -75,7 +71,7 @@ object NearDupDedup {
       dup: Long, poisoned: Long)
 
   private class BucketProcessor(ttl: TTLConfig, bucketCap: Int,
-      evictions: Option[LongAccumulator])
+      hammingMax: Int, evictions: Option[LongAccumulator])
       extends StatefulProcessor[(Int, Long), ChunkDoc, ChunkFlag] {
     @transient private var seen: ListState[(Long, Long)] = _
     @transient private var dead: ValueState[Boolean] = _
@@ -121,7 +117,7 @@ object NearDupDedup {
         var i = 0
         while (i < state.size) {
           val (aid, ash) = state(i)
-          if (java.lang.Long.bitCount(ash ^ r.simhash) <= HammingMax) {
+          if (java.lang.Long.bitCount(ash ^ r.simhash) <= hammingMax) {
             if (aid < r.docId) dup = true
             // Out-of-order correction: an earlier trigger emitted dup=0
             // for aid, and r (a lower doc_id inside the Hamming bound)
@@ -142,12 +138,14 @@ object NearDupDedup {
     }
   }
 
-  /** (doc_id, simhash) frame → one ChunkDoc per 12-bit chunk (4 per doc).
-    * Same chunking arithmetic as the batch qd07 bucket stage. */
-  private def chunked(sim: DataFrame): Dataset[ChunkDoc] =
-    sim.select(explode(array((0 until NumChunks).map(c =>
+  /** (doc_id, simhash) frame → one ChunkDoc per band chunk. Same chunking
+    * arithmetic as the batch qd07 bucket stage; the simhash column must
+    * carry `scheme.simBits` bits (Dedup.withSimhash(_, scheme.simBits)). */
+  private def chunked(sim: DataFrame,
+      scheme: graft.ext.Dedup.BandScheme): Dataset[ChunkDoc] =
+    sim.select(explode(array((0 until scheme.bands).map(c =>
         struct(lit(c).as("c"),
-          expr(s"(simhash div cast(pow(2, ${ChunkBits * c}) as bigint)) % ${1 << ChunkBits}")
+          expr(s"(simhash div cast(pow(2, ${scheme.width * c}) as bigint)) % ${1L << scheme.width}")
             .as("chunk"),
           col("doc_id").as("docId"), col("simhash").as("simhash"))): _*)).as("cd"))
       .select(col("cd.c"), col("cd.chunk"), col("cd.docId"), col("cd.simhash"))
@@ -168,13 +166,15 @@ object NearDupDedup {
   def flagNearDuplicates(sim: DataFrame,
       ttl: TTLConfig = TTLConfig.NONE,
       bucketCap: Int = graft.ext.Dedup.BucketCap,
-      evictions: Option[LongAccumulator] = None): DataFrame = {
+      evictions: Option[LongAccumulator] = None,
+      scheme: graft.ext.Dedup.BandScheme = graft.ext.Dedup.GateScheme): DataFrame = {
     implicit val outEnc = Encoders.product[ChunkFlag]
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    chunked(sim)
+    chunked(sim, scheme)
       .groupByKey(r => (r.c, r.chunk))(Encoders.product[(Int, Long)])
-      .transformWithState(new BucketProcessor(ttl, bucketCap, evictions),
+      .transformWithState(
+        new BucketProcessor(ttl, bucketCap, scheme.hammingMax, evictions),
         timeMode, OutputMode.Update())
       .toDF()
   }

@@ -32,6 +32,58 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.oversizedLshBuckets(spark, sf).count() === 0)
   }
 
+  test("band schemes: exact capped semantics both widths; wider bands trade candidates for recall") {
+    // Planted corpus: 40 base docs of 30 vocab tokens, each with a one-token
+    // -changed near-dup twin (ids i and 1000+i), plus 2000 unrelated docs —
+    // enough that random 12-bit chunk collisions produce chance candidates
+    // the 15-bit scheme should mostly avoid.
+    val rnd = new scala.util.Random(42)
+    def doc(): Array[String] = Array.fill(30)("w" + rnd.nextInt(5000))
+    val bases = Seq.tabulate(40)(i => i.toLong -> doc())
+    val twins = bases.map { case (i, toks) =>
+      val t = toks.clone(); t(7) = "w" + rnd.nextInt(5000); (1000L + i) -> t
+    }
+    val noise = Seq.tabulate(2000)(i => (10000L + i).toLong -> doc())
+    import spark.implicits._
+    val docs = (bases ++ twins ++ noise)
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+
+    var plantedBy = Map.empty[Dedup.BandScheme, Int]
+    for (scheme <- Seq(Dedup.GateScheme, Dedup.WideScheme)) {
+      // driver-side reference: pairs (a < b) sharing >= 1 exact band chunk
+      // with Hamming <= hammingMax (buckets here are far below BucketCap)
+      val sh = Dedup.withSimhash(docs, scheme.simBits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      def chunks(s: Long): Seq[(Int, Long)] = (0 until scheme.bands)
+        .map(c => c -> ((s >>> (scheme.width * c)) & ((1L << scheme.width) - 1)))
+      val expected = (for {
+        ((a, ash), ai) <- sh.zipWithIndex; (b, bsh) <- sh.drop(ai + 1)
+        if chunks(ash).intersect(chunks(bsh)).nonEmpty
+        if java.lang.Long.bitCount(ash ^ bsh) <= scheme.hammingMax
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(docs, scheme)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"pair semantics diverged under $scheme")
+      plantedBy += scheme -> got.count { case (a, b) => b - a == 1000 && a < 1000 }
+    }
+
+    // The measured trade (deterministic on this seeded corpus). Cost side:
+    // wider chunks demand an exact match on more bits, so chance-band
+    // recall BEYOND the structural Hamming <= bands-1 guarantee drops
+    // (wide finds 27 of 40 planted twins here, gate 30+). Benefit side: 8x the
+    // keyspace => far fewer chance candidates to Hamming-check — the
+    // actual pair work at scale. Floors are loose so near-threshold twins
+    // moving a bucket under a Spark upgrade don't flake the build.
+    assert(plantedBy(Dedup.GateScheme) >= 30, s"gate recall collapsed: $plantedBy")
+    assert(plantedBy(Dedup.WideScheme) >= 22, s"wide recall collapsed: $plantedBy")
+    val gateCand = Dedup.simhashCandidatePairs(docs, Dedup.GateScheme)
+    val wideCand = Dedup.simhashCandidatePairs(docs, Dedup.WideScheme)
+    assert(wideCand < gateCand,
+      s"wide bands did not reduce candidate work ($wideCand vs $gateCand)")
+  }
+
   test("near-dup components: endpoints share labels, label is component min") {
     val comp = Registry.byName("qd08_dedup_components").run(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
