@@ -9,15 +9,21 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: opaque `binary` payload columns with typed
   * metadata, plus a batched decode/feature-extraction stage.
   *
-  * The real decode (image/audio codecs) is STUBBED — this container has no
-  * media libraries — with a deterministic fake that derives "pixels" from
-  * the payload bytes. What IS real and tested end-to-end is the Spark-side
-  * plumbing a 100 TB media pipeline needs:
+  * The decode is REAL: qm02 round-trips every document through an actual
+  * 24-bit BMP image ([[BmpCodec]] — pure JVM, since this container ships
+  * no media libraries; BMP is the format a dependency-free decoder can
+  * honestly implement). The image content is synthesized deterministically
+  * from the document text (the stand-in for "bytes the generator wrote"),
+  * so the DuckDB oracle can state the expected features from the text
+  * alone — the gate then proves the decoder recovered header fields, row
+  * padding, and every pixel exactly. Audio/video codecs remain out of
+  * scope (no pure-JVM format of comparable ubiquity); the plumbing below
+  * is codec-agnostic:
   *   - binary columns carried through scans/projections without copies,
   *   - a typed per-partition batch API ([[decodeFeatures]]) with the same
   *     shape as a vectorized decode stage (iterator-in/iterator-out per
-  *     partition, so a real codec would amortize init per batch, exactly
-  *     like `mapInPandas` does in PySpark),
+  *     partition, so codec init amortizes per batch, exactly like
+  *     `mapInPandas` does in PySpark),
   *   - fixed-width feature schema out, partitioning preserved (no shuffle).
   */
 object Multimodal {
@@ -31,30 +37,46 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
-      f0: Double, f1: Double, f2: Double, f3: Double,
-      f4: Double, f5: Double, f6: Double, f7: Double,
-      feat_mean: Double)
+      width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** STUB decoder: a real implementation would decode `payload` with an
-    * image/audio codec. The fake samples 8 evenly-spaced character codes —
-    * deterministic, so the pipeline around it is fully testable. */
-  private def stubDecode(text: String): Array[Double] = {
-    val len = text.length
-    val step = len / 8
-    Array.tabulate(8)(j => text.charAt(j * step).toDouble)
+  /** Deterministic image synthesis for doc (id, text): a (4 + id%5) ×
+    * (3 + id%3) RGB image whose pixel k samples the text at evenly-spaced
+    * positions — r = code, g = 2·code mod 256, b = (code + k) mod 256.
+    * This is the test-harness stand-in for "the generator wrote image
+    * bytes"; the oracle restates the same arithmetic over the text. */
+  private def synthPixels(id: Long, text: String): (Int, Int, Array[Int]) = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 3).toInt
+    val n = w * h
+    val step = text.length / n
+    val px = Array.tabulate(n) { k =>
+      val code = text.charAt(k * step).toInt
+      ((code % 256) << 16) | ((code * 2 % 256) << 8) | ((code + k) % 256)
+    }
+    (w, h, px)
   }
 
-  /** Batched decode/feature-extract: iterator-in/iterator-out per partition
-    * (codec init would live once per partition, before the iterator map). */
+  /** Batched encode→decode→feature-extract through the REAL BMP codec:
+    * iterator-in/iterator-out per partition (codec init amortizes per
+    * partition, before the iterator map). Every output field comes from
+    * the DECODED image — header width/height, payload size, per-channel
+    * pixel means (exact integer sums, one IEEE division) — so the gate
+    * checks the decoder, not the synthesis. */
   def decodeFeatures(docs: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
-      // real pipeline: val codec = Codec.open() — once per batch/partition
       rows.map { r =>
-        val f = stubDecode(r.text)
-        val mean = (((((((f(0) + f(1)) + f(2)) + f(3)) + f(4)) + f(5)) + f(6)) + f(7)) / 8.0
-        MediaFeatures(r.doc_id, r.text.getBytes("UTF-8").length,
-          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7), mean)
+        val (w, h, px) = synthPixels(r.doc_id, r.text)
+        val payload = BmpCodec.encode(w, h, px)
+        val img = BmpCodec.decode(payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        img.pixels.foreach { p =>
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        }
+        val n = img.pixels.length
+        MediaFeatures(r.doc_id, payload.length, img.width, img.height,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }
     }
   }
@@ -86,27 +108,34 @@ object Multimodal {
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------------
-  // qm02: the stubbed decode stage run through the typed batch API —
-  // deterministic fake features, so the oracle can mirror the sampling
-  // arithmetic with substr/unicode.
+  // qm02: the REAL decode stage run through the typed batch API — each doc
+  // becomes an actual 24-bit BMP (synthesized from its text, dimensions
+  // varying with doc_id so row padding 0–3 bytes is exercised), decoded by
+  // BmpCodec, and every output column comes from the decoded image. The
+  // oracle restates the synthesis arithmetic from the text alone: a
+  // mismatch anywhere in the codec (header fields, stride, BGR order,
+  // bottom-up rows) breaks the hash gate.
   // ---------------------------------------------------------------------
   private def qm02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .filter(length(col("text")) >= 8)
+      .filter(length(col("text")) >= 40) // >= max npix, so step >= 1
       .select(col("doc_id"), col("text")).as[MediaRow]
     decodeFeatures(docs).toDF()
   }
 
   private val qm02Sql = {
-    val feats = (0 until 8).map { j =>
-      s"CAST(unicode(substr(text, 1 + $j * (length(text) // 8), 1)) AS DOUBLE) AS f$j"
-    }.mkString(",\n  ")
-    val mean = "(((((((f0 + f1) + f2) + f3) + f4) + f5) + f6) + f7) / 8.0"
-    s"""SELECT doc_id, n_bytes, f0, f1, f2, f3, f4, f5, f6, f7, $mean AS feat_mean
-       |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       |  $feats
-       |FROM documents WHERE length(text) >= 8)""".stripMargin
+    def chan(f: String, alias: String) =
+      s"CAST(CAST(list_sum(list_transform(range(0, w*h), k -> $f)) AS BIGINT) AS DOUBLE) / (w*h) AS $alias"
+    val code = "unicode(substr(text, 1 + k * (length(text) // (w*h)), 1))"
+    s"""SELECT doc_id,
+       |  CAST(54 + h * (((3*w + 3) // 4) * 4) AS INT) AS n_bytes,
+       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  ${chan(s"$code % 256", "mean_r")},
+       |  ${chan(s"($code * 2) % 256", "mean_g")},
+       |  ${chan(s"($code + k) % 256", "mean_b")}
+       |FROM (SELECT doc_id, text, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+       |      FROM documents WHERE length(text) >= 40)""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -567,18 +567,66 @@ class PipelineSpec extends SparkSpec {
   }
 }
 
+class BmpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ext.BmpCodec
+
+  test("encode/decode round trip across padding widths") {
+    // widths 4..8 cover row padding 0..3 bytes
+    for ((w, h) <- Seq((1, 1), (4, 3), (5, 4), (6, 2), (7, 3), (8, 4))) {
+      val px = Array.tabulate(w * h)(k => (k * 2654435761L.toInt) & 0xFFFFFF)
+      val img = BmpCodec.decode(BmpCodec.encode(w, h, px))
+      assert(img.width === w && img.height === h)
+      assert(img.pixels.toSeq === px.toSeq, s"pixels diverged at ${w}x$h")
+    }
+  }
+
+  test("top-down BMP (negative height) decodes to the same image") {
+    val (w, h) = (5, 3)
+    val px = Array.tabulate(w * h)(k => (k * 31 + 7) & 0xFFFFFF)
+    val up = BmpCodec.encode(w, h, px)
+    // rewrite as top-down: flip the height sign, reverse the row blocks
+    val stride = ((3 * w + 3) / 4) * 4
+    val down = up.clone()
+    val bb = java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    for (r <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - r) * stride, down, 54 + r * stride, stride)
+    val img = BmpCodec.decode(down)
+    assert(img.width === w && img.height === h)
+    assert(img.pixels.toSeq === px.toSeq)
+  }
+
+  test("rejects bad magic, unsupported bpp, compressed, truncated") {
+    val ok = BmpCodec.encode(4, 2, Array.fill(8)(0x123456))
+    def mutated(off: Int, v: Byte) = { val b = ok.clone(); b(off) = v; b }
+    intercept[IllegalArgumentException](BmpCodec.decode(mutated(0, 'X'.toByte)))
+    intercept[IllegalArgumentException](BmpCodec.decode(mutated(28, 32.toByte)))
+    intercept[IllegalArgumentException](BmpCodec.decode(mutated(30, 1.toByte)))
+    intercept[IllegalArgumentException](BmpCodec.decode(ok.take(40)))
+    intercept[IllegalArgumentException](BmpCodec.decode(ok.take(60)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
-  test("stubbed decode features match JVM reference") {
+  test("qm02 features come from a real BMP round trip and match the JVM reference") {
     val rows = Registry.byName("qm02_decode_features").run(spark, sf)
       .join(Tables.documents(spark, sf), "doc_id")
-      .select("text", "f0", "f7", "n_bytes").limit(50).collect()
+      .select("doc_id", "text", "n_bytes", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+      .limit(50).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val text = r.getString(0)
-      val step = text.length / 8
-      assert(r.getAs[Double]("f0") === text.charAt(0).toDouble)
-      assert(r.getAs[Double]("f7") === text.charAt(7 * step).toDouble)
-      assert(r.getAs[Int]("n_bytes") === text.getBytes("UTF-8").length)
+      val id = r.getLong(0); val text = r.getString(1)
+      val w = (4 + id % 5).toInt; val h = (3 + id % 3).toInt; val n = w * h
+      val step = text.length / n
+      val codes = Array.tabulate(n)(k => text.charAt(k * step).toInt)
+      assert(r.getInt(2) === 54 + h * ((3 * w + 3) / 4 * 4))
+      assert(r.getInt(3) === w && r.getInt(4) === h)
+      assert(r.getDouble(5) === codes.map(_ % 256).sum.toDouble / n)
+      assert(r.getDouble(6) === codes.map(c => c * 2 % 256).sum.toDouble / n)
+      assert(r.getDouble(7) ===
+        codes.zipWithIndex.map { case (c, k) => (c + k) % 256 }.sum.toDouble / n)
     }
   }
 
