@@ -52,7 +52,18 @@ object Soak {
     alpha.drop(r) + alpha.take(r)
   }
 
-  private def generate(s: SparkSession, base: String, out: String, mult: Int): Unit = {
+  /** Zipf duplication mode (`SPARK_GRAFT_SOAK_ZIPF=1`): instead of every
+    * copy being letter-rotated unique text, copy k keeps doc d's text
+    * VERBATIM when (d + 1) · k ≤ N — so base doc d ends up in
+    * ≈ min(mult, N/(d+1)) exact copies: duplicate-cluster sizes follow
+    * 1/rank, the published shape of crawl duplication. This is the skew
+    * the uniform letter-rotated corpus cannot produce (its band saturation
+    * was a generator artifact — BASELINE.md round-5 analysis): hot
+    * documents concentrate hash buckets, exercising BucketCap /
+    * ShingleDfCap and the capped-bucket paths under realistic pressure,
+    * with the drop channels reporting what binds. */
+  private def generate(s: SparkSession, base: String, out: String, mult: Int,
+      zipf: Boolean): Unit = {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(k => f(df, k)).reduce(_ unionAll _)
     def write(df: DataFrame, name: String): Unit =
@@ -82,8 +93,14 @@ object Soak {
     val docOff = Tables.documents(s, base).agg(max(col("doc_id")))
       .collect()(0).getLong(0) + 1
     write(copies(Tables.documents(s, base)) { (df, k) =>
-      df.withColumn("doc_id", col("doc_id") + lit(k * docOff))
-        .withColumn("text", translate(col("text"), alpha, rotated(k)))
+      val rot = translate(col("text"), alpha, rotated(k))
+      val text =
+        if (k == 0) col("text")
+        else if (zipf) when((col("doc_id") + 1) * k <= lit(docOff), col("text"))
+          .otherwise(rot)
+        else rot
+      df.withColumn("text", text)
+        .withColumn("doc_id", col("doc_id") + lit(k * docOff))
     }, "documents")
 
     val vecOff = Tables.embeddings(s, base).agg(max(col("vec_id")))
@@ -101,14 +118,16 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
-    val out = s"target/soak/x$mult"
+    val zipf = sys.env.get("SPARK_GRAFT_SOAK_ZIPF").contains("1")
+    val out = s"target/soak/${if (zipf) "zipf_" else ""}x$mult"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local("graft-soak", cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     if (!new File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
-      System.err.println(s"[soak] generating ${mult}x corpus under $out")
-      generate(spark, base, out, mult)
+      System.err.println(s"[soak] generating ${mult}x corpus under $out" +
+        (if (zipf) " (zipf duplication)" else ""))
+      generate(spark, base, out, mult, zipf)
     }
 
     val names = Registry.all.filter(_.headline).map(_.name) ++

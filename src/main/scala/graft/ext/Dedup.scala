@@ -412,8 +412,9 @@ object Dedup {
 
   /** The simhash CTE chain over an arbitrary (doc_id, text) relation —
     * reused by qd06/qd07/qst10 (over `documents`) and the e2e pipeline
-    * (over its dedup-survivor CTE). */
-  private[graft] def simhashSqlCteFrom(rel: String): String =
+    * (over its dedup-survivor CTE). `bits` parameterizes the signature
+    * width (48 for the gate scheme, 60 for the wide one). */
+  private[graft] def simhashSqlCteFrom(rel: String, bits: Int = SimBits): String =
     s"""tokenized AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM $rel WHERE len(trim(text)) > 0),
@@ -423,14 +424,14 @@ object Dedup {
        |  FROM tokenized),
        |summed AS (
        |  SELECT doc_id, list_reduce(
-       |    [list_transform(range(0, $SimBits), j -> CAST(0 AS BIGINT))] ||
-       |    list_transform(tokh, h -> list_transform(range(0, $SimBits),
+       |    [list_transform(range(0, $bits), j -> CAST(0 AS BIGINT))] ||
+       |    list_transform(tokh, h -> list_transform(range(0, $bits),
        |      j -> CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
        |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
        |    (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2])) AS bitsum
        |  FROM hashed),
        |simhashed AS (
-       |  SELECT doc_id, list_sum(list_transform(range(0, $SimBits),
+       |  SELECT doc_id, list_sum(list_transform(range(0, $bits),
        |    j -> CASE WHEN bitsum[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT)
        |         ELSE CAST(0 AS BIGINT) END)) AS simhash
        |  FROM summed)""".stripMargin
@@ -516,12 +517,14 @@ object Dedup {
     // map-side at pair-explosion time — one shuffle total, no sig re-join.
     simhashPairs(Tables.documents(s, d), GateScheme)
 
-  private val qd07Sql =
-    s"""WITH $simhashSqlCte,
+  /** qd07's oracle generated from a band scheme — the same SQL for the
+    * gate layout as ever, and the wide layout's gate (qd07b) for free. */
+  private def qd07SqlFor(scheme: BandScheme): String =
+    s"""WITH ${simhashSqlCteFrom("documents", scheme.simBits)},
        |chunks AS (
        |  SELECT doc_id, simhash, c,
-       |    (simhash // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk
-       |  FROM simhashed, range(0, 4) t(c)),
+       |    (simhash // CAST(pow(2, ${scheme.width} * c) AS BIGINT)) % ${1L << scheme.width} AS chunk
+       |  FROM simhashed, range(0, ${scheme.bands}) t(c)),
        |kept AS (
        |  SELECT c, chunk FROM chunks GROUP BY c, chunk
        |  HAVING count(*) BETWEEN 2 AND $BucketCap),
@@ -531,7 +534,9 @@ object Dedup {
        |  FROM chunks x JOIN chunks y
        |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
        |  JOIN kept k ON k.c = x.c AND k.chunk = x.chunk)
-       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 12""".stripMargin
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= ${scheme.hammingMax}""".stripMargin
+
+  private val qd07Sql = qd07SqlFor(GateScheme)
 
   // ---------------------------------------------------------------------
   // qd08: near-dup connected components — the actual dedup decision: docs
@@ -889,6 +894,11 @@ object Dedup {
     Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
+    // the wide 100 TB band layout, gated — not just documented: same
+    // 4-band recall guarantee, 8x keyspace, over the full 60-bit signature
+    Q("qd07b_simhash_pairs_wide",
+      (s, d) => simhashPairs(Tables.documents(s, d), WideScheme),
+      Some(qd07SqlFor(WideScheme))),
     Q("qd08_dedup_components", qd08, Some(qd08Sql)),
     Q("qd09_graph_rank", qd09, Some(qd09Sql)),
     Q("qd10_cdc_chunks", qd10, Some(qd10Sql)),

@@ -40,9 +40,9 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def bucketSql(emb: String): String =
-    (0 until NumPlanes).map { j =>
-      s"(CASE WHEN ${Vectors.dotSql(emb, Hyperplanes.sqlList(PlaneSeed, j, NumPlanes, Dim))} > 0 THEN ${1 << j} ELSE 0 END)"
+  private def bucketSql(emb: String, numPlanes: Int = NumPlanes): String =
+    (0 until numPlanes).map { j =>
+      s"(CASE WHEN ${Vectors.dotSql(emb, Hyperplanes.sqlList(PlaneSeed, j, numPlanes, Dim))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   // ---------------------------------------------------------------------
@@ -120,10 +120,10 @@ object Similarity {
 
   private def qs02(s: SparkSession, d: String): DataFrame = lshAnn(s, d)
 
-  private val qs02Sql = {
+  private def qs02SqlFor(numPlanes: Int): String = {
     val cos = Vectors.cosineSql("q.embedding", "c.embedding")
     s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  SELECT vec_id, embedding, ${bucketSql("embedding", numPlanes)} AS bucket
        |  FROM embeddings)
        |SELECT q_id, bucket, n_id, cos_sim, rank FROM (
        |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
@@ -134,6 +134,8 @@ object Similarity {
        |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
        |WHERE rank <= 3""".stripMargin
   }
+
+  private val qs02Sql = qs02SqlFor(NumPlanes)
 
   // ---------------------------------------------------------------------
   // qs03: IVF-style ANN — inverted-file search with a FIXED-K sampled
@@ -234,5 +236,9 @@ object Similarity {
     // scale use qs02 (LSH) or qs03 (IVF).
     Q("qs01_knn_brute", qs01, Some(qs01Sql), headline = true),
     Q("qs02_ann_lsh", qs02, Some(qs02Sql), headline = true),
+    // the finer-bucketing config gated too (8 planes / 256 buckets —
+    // the direction the 100 TB sizing rule moves; prefix-stable planes
+    // mean planes 0-3 are qs02's own)
+    Q("qs02b_ann_lsh8", (s, d) => lshAnn(s, d, numPlanes = 8), Some(qs02SqlFor(8))),
     Q("qs03_ann_ivf", qs03, Some(qs03Sql)))
 }

@@ -376,8 +376,15 @@ object StreamingQueries {
     try {
       val path = s"$d/documents.parquet"
       val schema: StructType = s.read.parquet(path).schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // testdata ships documents.parquet as a single FILE in d (filter by
+      // name); Spark-written corpora (Soak) make it a DIRECTORY of parts
+      // (read it directly) — pathGlobFilter matches filenames only, so the
+      // directory layout needs the direct path or the stream is empty
+      val docs =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
       val sim = graft.ext.Dedup.withSimhash(docs)
       val name = s"graft_neardup_${counter.incrementAndGet()}"
       val acc = s.sparkContext.longAccumulator("qst10_neardup_evictions")
