@@ -145,7 +145,10 @@ object Soak {
         "qd15_block_dedup_rewrite",
         // third wave: qw08's per-user cohort join and qp02's cross-modal
         // attach + cluster-scoped pair stage both grow with the corpus
-        "qw08_cohort_retention", "qp02_curation_pipeline")
+        "qw08_cohort_retention", "qp02_curation_pipeline",
+        // round-6 new operators: qd05b's banded-LSH pair stage grows with
+        // the corpus; qx10's bloom build + pruned SMJ is fact-fact shaped
+        "qd05b_embedding_lsh_dup", "qx10_bloom_join")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

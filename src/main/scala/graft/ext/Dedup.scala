@@ -366,6 +366,89 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // qd05b: embedding near-dup pairs AT SCALE — banded random-hyperplane
+  // LSH replaces qd05's O(N²) all-pairs candidate stage. EmbBands bands of
+  // EmbWidth sign bits each (independent orthogonalized hyperplanes per
+  // band, the qe02 machinery under this site's own seed); two vectors are
+  // candidates iff some band's bits all agree, then the EXACT cosine
+  // filters at the same 0.4 threshold as qd05. Candidate generation is
+  // qd03's shape verbatim: one groupBy(band, key) shuffle of compact int
+  // keys, BucketCap-capped map-side pair explosion, corpus-growing sides
+  // merge-pinned. Width is the occupancy knob (per-band keyspace 2^width,
+  // expected bucket N/2^width): 3×4 gates at test SF; 100 TB sizing wants
+  // 4×8+ per the BandScheme analysis. Recall loses only pairs no band
+  // agrees on — P(band agrees) = prod_j P(sign_j equal) = (1 − θ/π)^width
+  // per the random-hyperplane collision bound — and the oracle mirrors
+  // the same blocking, so the gate stays hash-exact.
+  // ---------------------------------------------------------------------
+  private val EmbBands = 3
+  private val EmbWidth = 4
+  private val EmbPlanes = EmbBands * EmbWidth
+  private val EmbDim = 64
+  private val EmbSeed = 2003L
+
+  private def embCodeCol: org.apache.spark.sql.Column =
+    (0 until EmbPlanes).map { j =>
+      when(Vectors.fastDotFD(col("embedding"),
+        typedLit(graft.ext.Hyperplanes.plane(EmbSeed, j, EmbPlanes, EmbDim))) > 0,
+        lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def embCodeSql: String =
+    (0 until EmbPlanes).map { j =>
+      s"(CASE WHEN ${Vectors.dotSql("embedding",
+        graft.ext.Hyperplanes.sqlList(EmbSeed, j, EmbPlanes, EmbDim))} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def qd05b(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codes = e.select(col("vec_id"), embCodeCol.as("code"))
+    val bands = codes.select(col("vec_id"),
+      explode(expr(
+        s"transform(sequence(0, ${EmbBands - 1}), j -> " +
+          s"struct(j AS j, (shiftright(code, j * $EmbWidth) & ${(1 << EmbWidth) - 1}) AS key))"))
+        .as("b"))
+      .select(col("vec_id"), col("b.j").as("j"), col("b.key").as("key"))
+    val cand = bands
+      .groupBy(col("j"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, BucketCap))
+      .select(explode(pairExplode).as("p"))
+      .select(col("p.doc_a").as("id_a"), col("p.doc_b").as("id_b"))
+      .distinct()
+    // embeddings and candidate pairs both grow with the corpus — neither
+    // side broadcast-safe; merge-pin like qd03 (PlanLintSpec asserts).
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")).hint("merge"), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")).hint("merge"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Vectors.fastCosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  private val qd05bSql = {
+    val cos = Vectors.cosineSql("a.embedding", "b.embedding")
+    s"""WITH codes AS (
+       |  SELECT vec_id, $embCodeSql AS code FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, j, (code >> (j * $EmbWidth)) & ${(1 << EmbWidth) - 1} AS key
+       |  FROM codes, range(0, $EmbBands) t(j)),
+       |kept AS (
+       |  SELECT j, key FROM bands GROUP BY j, key
+       |  HAVING count(*) BETWEEN 2 AND $BucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.j = y.j AND x.key = y.key AND x.vec_id < y.vec_id
+       |  JOIN kept k ON k.j = x.j AND k.key = x.key)
+       |SELECT id_a, id_b, $cos AS cos_sim
+       |FROM cand
+       |JOIN embeddings a ON a.vec_id = id_a
+       |JOIN embeddings b ON b.vec_id = id_b
+       |WHERE $cos >= 0.4""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // qd06: SimHash — 48-bit signature: per token hash h, bit j contributes
   // +1/−1 by bit j of h; signature bit j = [sum > 0]. Pure higher-order
   // array folds, one row per doc, no shuffle.
@@ -892,6 +975,9 @@ object Dedup {
     // SMALL-SF ONLY: deliberate all-pairs exact baseline (O(N²)) — never
     // bench/run above test SF; the scale path is qd03 (LSH) / qs02.
     Q("qd05_embedding_dup", qd05, Some(qd05Sql)),
+    // the scale path for qd05: banded hyperplane-LSH candidates + exact
+    // cosine — linear in N at fixed occupancy, BucketCap-bounded per bucket
+    Q("qd05b_embedding_lsh_dup", qd05b, Some(qd05bSql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
     // the wide 100 TB band layout, gated — not just documented: same

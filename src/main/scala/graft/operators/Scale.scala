@@ -489,6 +489,76 @@ object Scale {
        |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n
        |FROM ex GROUP BY source, epoch""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx10: bloom-pruned fact-fact join — the explicit two-phase runtime
+  // filter for the 100 TB middle ground where the build side is too big to
+  // broadcast but its KEY SET is sketchable. Phase 1 builds a bloom filter
+  // over the selected orders' keys as a distributed aggregation (partial
+  // sketches OR-merged executor-side — BloomFilterAggregate is a
+  // TypedImperativeAggregate, so the driver receives ONE finished sketch,
+  // MB-scale at any corpus size; the 1-row read is the same metric-class
+  // driver read as the k-means convergence checks, NOT a data collect).
+  // Phase 2 re-embeds the sketch as a binary literal in a
+  // BloomFilterMightContain prefilter on the fact scan, so non-joining
+  // lineitem rows die at the scan instead of crossing the shuffle — the
+  // join itself stays an exact merge-pinned SMJ and false positives are
+  // dropped by it, which is why the oracle is the PLAIN join (no false
+  // negatives = semantics preserved). This is the same expression pair
+  // Spark's InjectRuntimeFilter plants when stats thresholds allow;
+  // materializing it explicitly makes the prune deterministic at any
+  // stats state. Sketch sized 8 bits/key at the phase-1 cardinality.
+  // ---------------------------------------------------------------------
+  /** Phase-1 sketch + phase-2 prefiltered fact scan, package-private so the
+    * spec can assert the pruning property (keeps every joining row, drops
+    * most non-joining ones) independently of the gated aggregate. */
+  private[graft] def bloomPrunedLineitem(s: SparkSession, d: String,
+      sel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val bloomBytes: Array[Byte] = {
+      val nKeys = math.max(1L, sel.count()) // phase-1 sizing count (cheap scan agg)
+      val row = sel.select(ColumnBridge.toColumn(
+        new BloomFilterAggregate(
+          XxHash64(Seq(ColumnBridge.toExpression(col("o_orderkey"))), 42L),
+          Literal(nKeys), Literal(nKeys * 8L)).toAggregateExpression()).as("bf"))
+        .head()
+      if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+    }
+    val prefilter =
+      if (bloomBytes == null) lit(false) // empty build side: join is empty too
+      else ColumnBridge.toColumn(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        XxHash64(Seq(ColumnBridge.toExpression(col("l_orderkey"))), 42L)))
+    Tables.lineitem(s, d).filter(prefilter)
+  }
+
+  private def qx10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val sel = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(12, 2)))
+    bloomPrunedLineitem(s, d, sel)
+      // both sides corpus-scaled: pin the exact SMJ (PlanLintSpec asserts
+      // might_contain present + no BroadcastExchange)
+      .join(sel.select(col("o_orderkey"), col("o_orderdate")).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(sum(rev).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val qx10Sql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -498,5 +568,6 @@ object Scale {
     Q("qx06_shard_shuffle", qx06, Some(qx06Sql)),
     Q("qx07_temperature_mix", qx07, Some(qx07Sql)),
     Q("qx08_per_source_cap", qx08, Some(qx08Sql)),
-    Q("qx09_epoch_mix", qx09, Some(qx09Sql)))
+    Q("qx09_epoch_mix", qx09, Some(qx09Sql)),
+    Q("qx10_bloom_join", qx10, Some(qx10Sql)))
 }

@@ -636,6 +636,31 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst18: watermark-TTL'd streaming dedup — dropDuplicatesWithinWatermark,
+  // the BOUNDED-STATE face of qst03. qst03's dropDuplicates holds every key
+  // it has ever seen (state grows with the corpus forever — untenable for
+  // 100 TB ingest); WithinWatermark expires a key's state once the
+  // watermark passes its event time + delay, so state is bounded by the
+  // key arrival rate × the horizon. The trade is re-emission: a duplicate
+  // arriving after its key's state expired is emitted again. The gated
+  // bounded file arrives as ONE batch (no intra-batch expiry), so the
+  // output here is exactly the distinct key set and the oracle is batch
+  // DISTINCT; the expiry/re-emission semantics are pinned by a dedicated
+  // two-batch MemoryStream test in StreamingSpec. Keys only in the output
+  // (the first-arrival row's other columns are arrival-order dependent).
+  // ---------------------------------------------------------------------
+  private def qst18(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "append") { ev =>
+      ev.select(col("ts"), col("user_id"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    }
+
+  private val qst18Sql =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -658,5 +683,6 @@ object StreamingQueries {
     Q("qst16_stream_block_dedup", qst16, Some(qst16Sql)),
     // same semantics, same oracle as batch qw08 — streaming/batch
     // consistency by construction
-    Q("qst17_stream_cohorts", qst17, Some(graft.operators.Windows.qw08Sql)))
+    Q("qst17_stream_cohorts", qst17, Some(graft.operators.Windows.qw08Sql)),
+    Q("qst18_stream_dedup_ttl", qst18, Some(qst18Sql)))
 }

@@ -178,6 +178,22 @@ class DedupSpec extends SparkSpec {
           | 0L, (a, b) -> a + b)""".stripMargin.replace("\n", " ")).as("simhash"))
     sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
+
+  test("qd05b LSH pairs are a subset of qd05's exact pairs with identical cosines") {
+    // banded hyperplane LSH only restricts the CANDIDATE set; the final
+    // exact-cosine filter is qd05's — so every emitted pair must appear in
+    // the all-pairs baseline with the same cos_sim, and recall loses only
+    // pairs no band agrees on.
+    val lsh = Registry.byName("qd05b_embedding_lsh_dup").run(spark, sf)
+    val exact = Registry.byName("qd05_embedding_dup").run(spark, sf)
+    assert(lsh.exceptAll(exact).count() === 0,
+      "qd05b emitted a pair (or cosine) the exact baseline does not contain")
+    val nLsh = lsh.count()
+    assert(nLsh > 0, "qd05b found no pairs at test SF")
+    // sanity on the collision bound: 3 bands x 4 bits should recover a
+    // nontrivial fraction of the exact pairs on this corpus
+    assert(nLsh * 4 >= exact.count(), s"recall collapsed: $nLsh pairs")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

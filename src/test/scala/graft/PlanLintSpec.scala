@@ -136,7 +136,9 @@ class PlanLintSpec extends SparkSpec {
       // qw08's cohort frame is one row per USER — grows with the corpus
       "qw08_cohort_retention",
       // qd16's component and score frames both grow with the corpus
-      "qd16_component_keep_best")) {
+      "qd16_component_keep_best",
+      // qd05b's candidate pairs and embeddings both grow with the corpus
+      "qd05b_embedding_lsh_dup")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
@@ -240,5 +242,17 @@ class PlanLintSpec extends SparkSpec {
     val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
     assert(broadcasts == 1,
       s"expected exactly 1 BroadcastExchange (2^16-bounded occupancy), found $broadcasts")
+  }
+
+  test("qx10 bloom join: might_contain prefilter present, join stays a merge SMJ") {
+    val plan = Registry.byName("qx10_bloom_join").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // phase-2 sketch re-embedded as a literal prefilter on the fact side
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from qx10 plan:\n${plan.take(600)}")
+    // both sides corpus-scaled: the exact join must stay a shuffle SMJ
+    assert(plan.contains("SortMergeJoin"), "qx10 join is not a SortMergeJoin")
+    assert(!plan.contains("BroadcastExchange"),
+      "corpus-sized frame broadcast in qx10")
   }
 }

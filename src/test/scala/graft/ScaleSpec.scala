@@ -160,6 +160,25 @@ class ScaleSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Double]("fill_rate") > 0
       && r.getAs[Double]("fill_rate") <= 1.0))
   }
+
+  test("qx10 bloom prefilter: keeps every joining row, prunes most others") {
+    val li = Tables.lineitem(spark, sf)
+    val sel = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pruned = graft.operators.Scale.bloomPrunedLineitem(spark, sf, sel)
+    val total = li.count()
+    val prunedN = pruned.count()
+    // no false negatives: every lineitem row whose order is selected survives
+    val trueMatch = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val keptMatch = pruned.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(keptMatch === trueMatch, "bloom prefilter dropped a joining row")
+    // the point of the sketch: most non-joining fact rows die at the scan.
+    // ~20% of orders are 1-URGENT; at 8 bits/key fpp ~2%, so kept should
+    // be well under half the fact table.
+    assert(prunedN < total / 2,
+      s"bloom prefilter barely pruned: kept $prunedN of $total")
+    assert(prunedN >= trueMatch)
+  }
 }
 
 class ShardShuffleSpec extends SparkSpec {
@@ -307,4 +326,5 @@ class EpochMixSpec extends SparkSpec {
     assert(out.exceptAll(again).count() === 0)
     assert(again.exceptAll(out).count() === 0)
   }
+
 }

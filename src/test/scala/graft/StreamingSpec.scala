@@ -51,6 +51,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qst18 dropDuplicatesWithinWatermark: dups within horizon dropped, expired keys re-emit") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val base = 1700000000000L
+    def t(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val dedup = ms.toDF().toDF("event_time", "k")
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_test").start()
+    try {
+      ms.addData((t(0), "a"), (t(5), "a"))
+      q.processAllAvailable() // intra-batch dup dropped: "a" emitted once
+      ms.addData((t(100), "b"))
+      q.processAllAvailable() // watermark → 90 s: "a"'s state (expiry 10 s) evicted
+      ms.addData((t(101), "a"), (t(102), "a"))
+      q.processAllAvailable() // state expired → "a" re-emitted (once; dup dropped)
+      val got = spark.table("ddww_test").groupBy("k").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bounded state's trade, pinned: one re-emission after expiry, no
+      // duplicate emissions inside the horizon
+      assert(got === Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+
   test("W5 hybrid trigger: early update fires, final append purge equals last fire") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
