@@ -198,6 +198,20 @@ object Soak {
       .oversizedBuckets(spark, out, graft.ext.Dedup.WideScheme).count()
     println(s"""{"metric":"soak_band_width","gate_simhash_oversized":$gateSim,"wide_simhash_oversized":$wideSim,"gate_pipeline_oversized":$pipeDrops,"wide_pipeline_oversized":$widePipe}""")
 
+    // same drain measurement for qd05b's embedding LSH: the 3×4 gate
+    // scheme saturates under corpus growth (N/16 per band-bucket); the
+    // 3×10 wide scheme is the documented remedy — report both channels
+    // and the wide variant's wall time so the knob's effect is recorded
+    val gateEmb = graft.ext.Dedup.embLshOversizedBuckets(spark, out).count()
+    val wideEmb = graft.ext.Dedup
+      .embLshOversizedBuckets(spark, out, graft.ext.Dedup.EmbWideScheme).count()
+    val wideEmbSec = timed {
+      graft.ext.Dedup.embLshPairs(
+        graft.sources.Tables.embeddings(spark, out), graft.ext.Dedup.EmbWideScheme)
+        .write.format("noop").mode("overwrite").save(); 0L
+    }
+    println(s"""{"metric":"soak_emb_band_width","gate_emb_oversized":$gateEmb,"wide_emb_oversized":$wideEmb,"wide_emb_pairs_sec":$wideEmbSec}""")
+
     // streaming near-dup bounded-state channel: run the gated qst10 face
     // over the soak corpus and report its poison/eviction counters — the
     // streaming analogue of the batch drop channels above

@@ -381,37 +381,61 @@ object Dedup {
   // per the random-hyperplane collision bound — and the oracle mirrors
   // the same blocking, so the gate stays hash-exact.
   // ---------------------------------------------------------------------
-  private val EmbBands = 3
-  private val EmbWidth = 4
-  private val EmbPlanes = EmbBands * EmbWidth
   private val EmbDim = 64
   private val EmbSeed = 2003L
 
-  private def embCodeCol: org.apache.spark.sql.Column =
-    (0 until EmbPlanes).map { j =>
+  /** Embedding LSH band layout: `bands` bands of `width` sign bits
+    * (planes = bands·width ≤ dim). Width is the occupancy knob (per-band
+    * keyspace 2^width, expected bucket N/2^width): the GATE scheme's 3×4
+    * collides enough at 500-doc test SF to exercise the pair path, but
+    * saturates under corpus growth exactly like SimHash's 4×12 did (30×
+    * soak: 60k docs / 16 buckets ≈ 3.7k per bucket ≫ BucketCap — nearly
+    * every bucket dropped). As with [[BandScheme]], the scale remedy is
+    * WIDER bands at the same band count, never a bigger cap; Soak
+    * measures the oversized-bucket drain gate vs wide on the same corpus.
+    */
+  final case class EmbScheme(bands: Int, width: Int) {
+    val planes: Int = bands * width
+    require(planes <= EmbDim, "sign planes are orthogonalized: planes <= dim")
+  }
+  val EmbGateScheme: EmbScheme = EmbScheme(3, 4)
+  val EmbWideScheme: EmbScheme = EmbScheme(3, 10)
+
+  private def embCodeCol(sc: EmbScheme): org.apache.spark.sql.Column =
+    (0 until sc.planes).map { j =>
       when(Vectors.fastDotFD(col("embedding"),
-        typedLit(graft.ext.Hyperplanes.plane(EmbSeed, j, EmbPlanes, EmbDim))) > 0,
+        typedLit(graft.ext.Hyperplanes.plane(EmbSeed, j, sc.planes, EmbDim))) > 0,
         lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def embCodeSql: String =
-    (0 until EmbPlanes).map { j =>
+  private def embCodeSql(sc: EmbScheme): String =
+    (0 until sc.planes).map { j =>
       s"(CASE WHEN ${Vectors.dotSql("embedding",
-        graft.ext.Hyperplanes.sqlList(EmbSeed, j, EmbPlanes, EmbDim))} > 0 THEN ${1 << j} ELSE 0 END)"
+        graft.ext.Hyperplanes.sqlList(EmbSeed, j, sc.planes, EmbDim))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def qd05b(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val codes = e.select(col("vec_id"), embCodeCol.as("code"))
-    val bands = codes.select(col("vec_id"),
-      explode(expr(
-        s"transform(sequence(0, ${EmbBands - 1}), j -> " +
-          s"struct(j AS j, (shiftright(code, j * $EmbWidth) & ${(1 << EmbWidth) - 1}) AS key))"))
-        .as("b"))
+  /** qd05b's bucket stage: one groupBy(band, key) shuffle → sorted member
+    * lists. Package-private for the oversized-bucket channel + specs. */
+  private[graft] def embLshBuckets(e: DataFrame, sc: EmbScheme): DataFrame =
+    e.select(col("vec_id"), embCodeCol(sc).as("code"))
+      .select(col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, ${sc.bands - 1}), j -> " +
+            s"struct(j AS j, (shiftright(code, j * ${sc.width}) & ${(1 << sc.width) - 1}) AS key))"))
+          .as("b"))
       .select(col("vec_id"), col("b.j").as("j"), col("b.key").as("key"))
-    val cand = bands
       .groupBy(col("j"), col("key"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+
+  /** Buckets the candidate stage skips (> BucketCap members) — qd05b's
+    * "logged drops" channel, printed by Soak alongside qd03's. */
+  def embLshOversizedBuckets(s: SparkSession, d: String,
+      sc: EmbScheme = EmbGateScheme): DataFrame =
+    embLshBuckets(Tables.embeddings(s, d), sc)
+      .filter(size(col("ids")) > BucketCap)
+
+  private[graft] def embLshPairs(e: DataFrame, sc: EmbScheme): DataFrame = {
+    val cand = embLshBuckets(e, sc)
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(pairExplode).as("p"))
       .select(col("p.doc_a").as("id_a"), col("p.doc_b").as("id_b"))
@@ -426,13 +450,17 @@ object Dedup {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  private def qd05b(s: SparkSession, d: String): DataFrame =
+    embLshPairs(Tables.embeddings(s, d), EmbGateScheme)
+
   private val qd05bSql = {
+    val sc = EmbGateScheme
     val cos = Vectors.cosineSql("a.embedding", "b.embedding")
     s"""WITH codes AS (
-       |  SELECT vec_id, $embCodeSql AS code FROM embeddings),
+       |  SELECT vec_id, ${embCodeSql(sc)} AS code FROM embeddings),
        |bands AS (
-       |  SELECT vec_id, j, (code >> (j * $EmbWidth)) & ${(1 << EmbWidth) - 1} AS key
-       |  FROM codes, range(0, $EmbBands) t(j)),
+       |  SELECT vec_id, j, (code >> (j * ${sc.width})) & ${(1 << sc.width) - 1} AS key
+       |  FROM codes, range(0, ${sc.bands}) t(j)),
        |kept AS (
        |  SELECT j, key FROM bands GROUP BY j, key
        |  HAVING count(*) BETWEEN 2 AND $BucketCap),

@@ -696,6 +696,60 @@ object Relational {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------------
+  // q30: CDC merge-apply — the MERGE INTO shape of incremental table
+  // maintenance (the Delta/Iceberg upsert pattern without the format):
+  // apply a change feed (inserts / updates / deletes keyed on the table
+  // key) to a base table in ONE full-outer shuffle join — matched+update
+  // rows take the new value, matched+delete rows drop, unmatched change
+  // rows insert, untouched base rows pass through. Both sides grow with
+  // the corpus → both merge-pinned; at 100 TB base and feed bucket by key
+  // so repeated applies are shuffle-free. The feed here is derived
+  // deterministically FROM the base (delete keys %13, update %7 with
+  // +1000.00, insert beyond-max keys %11) so both engines state the
+  // identical feed; a real pipeline reads it from a CDC source. The
+  // max-key frame is the 1-row broadcast-cross pattern (qt06/qx04).
+  // ---------------------------------------------------------------------
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val maxk = base.agg(max(col("o_orderkey")).as("maxk"))
+    val dels = base.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("key"), lit("D").as("op"),
+        lit(0.0).as("newprice"))
+    val upds = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("key"), lit("U").as("op"),
+        (col("o_totalprice") + 1000.0).as("newprice"))
+    val ins = base.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(maxk))
+      .select((col("o_orderkey") + col("maxk")).as("key"), lit("I").as("op"),
+        col("o_totalprice").as("newprice"))
+    val changes = dels.union(upds).union(ins)
+    base.select(col("o_orderkey").as("key"), col("o_totalprice")).hint("merge")
+      .join(changes.hint("merge"), Seq("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("key").as("o_orderkey"),
+        when(col("op").isNotNull, col("newprice"))
+          .otherwise(col("o_totalprice")).as("price"),
+        coalesce(col("op"), lit("=")).as("op"))
+  }
+
+  private val q30Sql =
+    """WITH maxk AS (SELECT max(o_orderkey) AS mk FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS key, 'D' AS op, 0.0 AS newprice
+      |  FROM orders WHERE o_orderkey % 13 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + mk, 'I', o_totalprice
+      |  FROM orders, maxk WHERE o_orderkey % 11 = 0)
+      |SELECT COALESCE(b.o_orderkey, c.key) AS o_orderkey,
+      |  CASE WHEN c.op IS NOT NULL THEN c.newprice ELSE b.o_totalprice END AS price,
+      |  COALESCE(c.op, '=') AS op
+      |FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+      |FULL OUTER JOIN changes c ON b.o_orderkey = c.key
+      |WHERE COALESCE(c.op, '') <> 'D'""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -726,5 +780,6 @@ object Relational {
     Q("q27_scalar_subquery", q27, Some(q27Sql)),
     Q("q28_sql_frontend", q28, Some(q28Sql)),
     Q("q29_table_profile", q29, Some(q29Sql)),
-    Q("q29b_profile_hll", q29b, Some(q29bSql)))
+    Q("q29b_profile_hll", q29b, Some(q29bSql)),
+    Q("q30_merge_apply", q30, Some(q30Sql)))
 }

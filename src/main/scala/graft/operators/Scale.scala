@@ -518,12 +518,17 @@ object Scale {
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
+    // Fixed sizing, like Spark's own InjectRuntimeFilter conf defaults: a
+    // count() pass to size the sketch exactly would re-scan the build side
+    // — at 100 TB that second dim scan costs more than the precision buys.
+    // 1 M items / 8 M bits ≈ 2% fpp at the estimate; overflow degrades fpp
+    // gracefully (never correctness — the exact join drops false
+    // positives), and the sketch stays a fixed ~1 MB driver object.
     val bloomBytes: Array[Byte] = {
-      val nKeys = math.max(1L, sel.count()) // phase-1 sizing count (cheap scan agg)
       val row = sel.select(ColumnBridge.toColumn(
         new BloomFilterAggregate(
           XxHash64(Seq(ColumnBridge.toExpression(col("o_orderkey"))), 42L),
-          Literal(nKeys), Literal(nKeys * 8L)).toAggregateExpression()).as("bf"))
+          Literal(1000000L), Literal(8000000L)).toAggregateExpression()).as("bf"))
         .head()
       if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
     }
