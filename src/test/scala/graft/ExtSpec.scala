@@ -179,6 +179,37 @@ class DedupSpec extends SparkSpec {
     sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("qd05b band schemes: planted twins recovered, wide scheme cuts candidate work") {
+    import spark.implicits._
+    // deterministic corpus: 500 unit-ish gaussians + 40 twins at cos ≈ 0.96
+    // (noise sized so the width-4 vs width-10 recall trade is visible)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(500)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val twins = (0 until 40).map { i =>
+      (10000L + i, base(i).map(v => v + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ twins)
+      .toSeq.toDF("vec_id", "embedding")
+    def recovered(sc: Dedup.EmbScheme): Int =
+      Dedup.embLshPairs(corpus, sc)
+        .select("id_a", "id_b").collect()
+        .count(r => r.getLong(1) - r.getLong(0) == 10000L && r.getLong(0) < 10000L)
+    // loose floors (random-hyperplane collision bound at cos 0.96:
+    // gate ≈ 0.96 of twins, wide ≈ 0.76) so seed drift can't flake the build
+    val gateGot = recovered(Dedup.EmbGateScheme)
+    val wideGot = recovered(Dedup.EmbWideScheme)
+    assert(gateGot >= 32, s"gate recall collapsed: $gateGot of 40")
+    assert(wideGot >= 20, s"wide recall collapsed: $wideGot of 40")
+    // benefit side: 64× the per-band keyspace ⇒ far fewer chance candidates
+    def candidatePairs(sc: Dedup.EmbScheme): Long =
+      Dedup.embLshBuckets(corpus, sc)
+        .select(expr("aggregate(transform(ids, _ -> 1L), 0L, (a, b) -> a + b)").as("n"))
+        .filter(col("n").between(2, Dedup.BucketCap))
+        .select(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    assert(candidatePairs(Dedup.EmbWideScheme) < candidatePairs(Dedup.EmbGateScheme),
+      "wide bands did not reduce candidate pair work")
+  }
+
   test("qd05b LSH pairs are a subset of qd05's exact pairs with identical cosines") {
     // banded hyperplane LSH only restricts the CANDIDATE set; the final
     // exact-cosine filter is qd05's — so every emitted pair must appear in

@@ -21,6 +21,8 @@ class PlanLintSpec extends SparkSpec {
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
+    "q29_table_profile",  // two 1-row profile passes crossed, by design
+    "q29b_profile_hll",   // same two-pass cross
     "qx07_temperature_mix", // two 1-row broadcast crosses (total + wsum), by design
     "qx09_epoch_mix",     // same two 1-row crosses + bounded per-source plan frame
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
