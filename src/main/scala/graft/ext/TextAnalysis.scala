@@ -154,6 +154,39 @@ object TextAnalysis {
       |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qt15: BPE-iteration pair statistics — the counting pass of one
+  // tokenizer-training merge step (count adjacent-token pair frequencies;
+  // the argmax pair becomes the next merge rule). Explode to fixed-width
+  // pair keys → one partial-agg groupBy → TakeOrdered top-50 with a
+  // deterministic (n DESC, pair ASC) total order — linear in corpus
+  // tokens, no full sort anywhere (orderBy+limit plans as TakeOrdered).
+  // ---------------------------------------------------------------------
+  private def qt15(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(expr(s"transform($toksExpr, t -> lower(t))").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
+
+  private val qt15Sql =
+    """WITH toks AS (
+      |  SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |                        t -> lower(t)) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |  FROM toks WHERE len(toks) >= 2)
+      |SELECT pair, count(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qt06: TF-IDF — per (doc, token) with tf ≥ 3: tf · ln((N+1)/(df+1)),
   // rounded to 6 dp (ln is libm-vs-JVM ulp territory; everything else is
   // exact integer counts). Two shuffles: (doc,token) tf and token df. The
@@ -637,5 +670,6 @@ object TextAnalysis {
     Q("qt11_pii_redaction", qt11, Some(qt11Sql)),
     Q("qt12_quality_classifier", qt12, Some(qt12Sql)),
     Q("qt13_rag_chunks", qt13, Some(qt13Sql)),
-    Q("qt14_text_normalize", qt14, Some(qt14Sql)))
+    Q("qt14_text_normalize", qt14, Some(qt14Sql)),
+    Q("qt15_bpe_pairs", qt15, Some(qt15Sql)))
 }

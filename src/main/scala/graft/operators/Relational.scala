@@ -286,6 +286,39 @@ object Relational {
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q12b: the 100 TB percentile path, gated — exact `percentile` buffers
+  // EVERY group value in the agg buffer (unbounded memory per group; the
+  // thing that does not survive 100 TB), while approx_percentile is a
+  // mergeable bounded-memory sketch with a rank-error guarantee of
+  // 1/accuracy. Sketch VALUES are engine-specific, so like q29b/q18 the
+  // gate states the property, not the sketch: the approx result must lie
+  // within the exact [p−0.01, p+0.01] percentile envelope (rank error at
+  // accuracy 10000 is 1e-4 — the envelope is 100× slack), which the
+  // oracle asserts TRUE. The exact p50 rides along for value parity.
+  // ---------------------------------------------------------------------
+  private def q12b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("percentile(value, 0.49)").as("lo50"),
+        expr("percentile(value, 0.51)").as("hi50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("a95"),
+        expr("percentile(value, 0.94)").as("lo95"),
+        expr("percentile(value, 0.96)").as("hi95"))
+      .select(col("event_type"), col("p50"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("p50_within_bound"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+          .as("p95_within_bound"))
+
+  private val q12bSql =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+      |  TRUE AS p50_within_bound, TRUE AS p95_within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q13: rollup (hierarchical grouping sets).
   // ---------------------------------------------------------------------
   private def q13(s: SparkSession, d: String): DataFrame =
@@ -778,6 +811,7 @@ object Relational {
     Q("q10_window_rank", q10, Some(q10Sql), headline = true),
     Q("q11_global_agg", q11, Some(q11Sql)),
     Q("q12_percentiles", q12, Some(q12Sql)),
+    Q("q12b_percentile_sketch", q12b, Some(q12bSql)),
     Q("q13_rollup", q13, Some(q13Sql)),
     Q("q14_string_funcs", q14, Some(q14Sql)),
     Q("q15_date_funcs", q15, Some(q15Sql)),
