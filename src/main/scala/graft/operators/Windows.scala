@@ -235,6 +235,52 @@ object Windows {
       |FROM ev e JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qw09: ordered funnel — the third canonical product-analytics face
+  // (qw07 sequences, qw08 retention, this one conversion): how many users
+  // performed view → click → purchase IN ORDER, where each step must
+  // strictly follow the user's first qualifying occurrence of the
+  // previous step. Iterative conditional-min shape: step k's frame is
+  // groupBy(user) min(ts) over events after the user's step-k−1
+  // timestamp — one shuffle per step plus a merge-pinned join against the
+  // previous step's per-user frame (one row per USER: corpus-growing,
+  // never broadcast — the qw08 rule). Step frames shrink monotonically,
+  // so later joins get cheaper; at 100 TB each join is user-key
+  // partitioned and AQE-coalesced.
+  // ---------------------------------------------------------------------
+  private def qw09(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(etype: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev.hint("merge"), Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = firstAfter("click", t1, "t1", "t2")
+    val t3 = firstAfter("purchase", t2, "t2", "t3")
+    t1.agg(lit("1_view").as("step"), count(lit(1)).as("n_users"))
+      .unionAll(t2.agg(lit("2_click").as("step"), count(lit(1)).as("n_users")))
+      .unionAll(t3.agg(lit("3_purchase").as("step"), count(lit(1)).as("n_users")))
+  }
+
+  private val qw09Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT '1_view' AS step, count(*) AS n_users FROM t1
+      |UNION ALL SELECT '2_click', count(*) FROM t2
+      |UNION ALL SELECT '3_purchase', count(*) FROM t3""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
@@ -243,5 +289,6 @@ object Windows {
     Q("qw05_lag_lead", qw05, Some(qw05Sql)),
     Q("qw06_windowed_collect", qw06, Some(qw06Sql)),
     Q("qw07_session_sequences", qw07, Some(qw07Sql)),
-    Q("qw08_cohort_retention", qw08, Some(qw08Sql)))
+    Q("qw08_cohort_retention", qw08, Some(qw08Sql)),
+    Q("qw09_funnel", qw09, Some(qw09Sql)))
 }

@@ -141,7 +141,9 @@ class PlanLintSpec extends SparkSpec {
       // qd16's component and score frames both grow with the corpus
       "qd16_component_keep_best",
       // qd05b's candidate pairs and embeddings both grow with the corpus
-      "qd05b_embedding_lsh_dup")) {
+      "qd05b_embedding_lsh_dup",
+      // qw09's step frames are one row per user — corpus-growing
+      "qw09_funnel")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
