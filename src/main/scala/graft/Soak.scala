@@ -148,7 +148,11 @@ object Soak {
         "qw08_cohort_retention", "qp02_curation_pipeline",
         // round-6 new operators: qd05b's banded-LSH pair stage grows with
         // the corpus; qx10's bloom build + pruned SMJ is fact-fact shaped
-        "qd05b_embedding_lsh_dup", "qx10_bloom_join")
+        "qd05b_embedding_lsh_dup", "qx10_bloom_join",
+        // qw10's grid explode + two merge-pinned fill joins grow with
+        // users × span; qw11 pins that its pre-agg keeps the window frame
+        // bounded (types × hours) as the raw corpus grows
+        "qw10_gap_fill", "qw11_rolling_zscore")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -281,6 +281,113 @@ object Windows {
       |UNION ALL SELECT '2_click', count(*) FROM t2
       |UNION ALL SELECT '3_purchase', count(*) FROM t3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qw10: time-series gap fill — resample each user's event stream to a
+  // dense 1-hour grid between their first and last observed hour,
+  // forward-filling the hourly max(value) gauge across unobserved hours
+  // (the resample/interpolate step every metrics pipeline runs before
+  // training or charting). Shape: downsample is ONE partial-agg groupBy
+  // (map-side combine — max is order-free, so no per-hour sort); the grid
+  // is a map-side sequence() explode bounded by span/granularity per key
+  // (a key spanning years at minute grain would chunk the span — the
+  // documented knob); the fill avoids any IGNORE NULLS dependence via the
+  // running-count trick: k = count of observations at-or-before each grid
+  // hour indexes the kth observation, fetched by an equi-join. Both joins
+  // are corpus-growing × corpus-growing → merge-pinned (the qw08 rule);
+  // all windows are per-user, bounded by the grid span.
+  // ---------------------------------------------------------------------
+  private def qw10(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("value")).as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val j = grid.join(obs.hint("merge"), Seq("user_id", "h"), "left")
+      .withColumn("k",
+        count(col("v")).over(Window.partitionBy("user_id").orderBy("h")))
+    val r = obs.select(col("user_id").as("r_user"), col("v").as("fill"),
+      row_number().over(Window.partitionBy("user_id").orderBy("h")).as("rn"))
+    j.join(r.hint("merge"),
+        j("user_id") === col("r_user") && col("k") === col("rn"))
+      .select(col("user_id"), col("h"), col("fill"),
+        col("v").isNotNull.as("is_obs"))
+  }
+
+  private val qw10Sql =
+    """WITH obs AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM obs GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.h, o.v,
+      |    count(o.v) OVER (PARTITION BY g.user_id ORDER BY g.h) AS k
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h),
+      |r AS (
+      |  SELECT user_id, h, v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY h) AS rn
+      |  FROM obs)
+      |SELECT j.user_id, j.h, r.v AS fill, j.v IS NOT NULL AS is_obs
+      |FROM j JOIN r ON j.user_id = r.user_id AND j.k = r.rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qw11: rolling z-score anomaly detection — flag hours whose event
+  // count spikes > 2σ above the trailing 24 h mean, per event type. The
+  // 100 TB shape: the raw corpus collapses FIRST through one partial-agg
+  // groupBy to hourly counts (output bounded by types × span hours, not
+  // corpus size); the rolling frame (RANGE 23 PRECEDING on the integer
+  // epoch-hour key — robust to gap hours, unlike a ROWS frame) then runs
+  // over that tiny frame. Float parity: sums and sums-of-squares
+  // accumulate in DECIMAL (exact, order-free); mean/variance/z are the
+  // IDENTICAL IEEE expression in both engines — single divisions,
+  // subtractions, one sqrt (all correctly-rounded ops), with a 1e-12
+  // variance floor so an all-equal window yields z = 0, not a div-0.
+  // Windows needing < 12 trailing hours are suppressed (cold-start rule).
+  // ---------------------------------------------------------------------
+  private def qw11(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("eh"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("eh").rangeBetween(-23, 0)
+    val nDec = col("n").cast(DecimalType(18, 0))
+    val stats = hourly
+      .withColumn("s", sum(nDec).over(w).cast(DoubleType))
+      .withColumn("sq", sum(nDec * nDec).over(w).cast(DoubleType))
+      .withColumn("c", count(lit(1)).over(w))
+    val z = (col("n") - col("s") / col("c")) /
+      sqrt(greatest(
+        (col("sq") - col("s") * col("s") / col("c")) / (col("c") - 1),
+        lit(1e-12)))
+    stats.where(col("c") >= 12)
+      .select(col("event_type"), col("eh"), col("n"),
+        round(z, 6).as("z"), (abs(z) > 2.0).as("is_spike"))
+  }
+
+  private val qw11Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS eh, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, eh, n,
+      |    CAST(sum(CAST(n AS DECIMAL(18,0))) OVER w AS DOUBLE) AS s,
+      |    CAST(sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) OVER w
+      |         AS DOUBLE) AS sq,
+      |    count(*) OVER w AS c
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY eh
+      |               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, eh, n,
+      |  round((n - s / c)
+      |    / sqrt(greatest((sq - s * s / c) / (c - 1), 1e-12)), 6) AS z,
+      |  abs((n - s / c)
+      |    / sqrt(greatest((sq - s * s / c) / (c - 1), 1e-12))) > 2.0 AS is_spike
+      |FROM stats WHERE c >= 12""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
@@ -290,5 +397,7 @@ object Windows {
     Q("qw06_windowed_collect", qw06, Some(qw06Sql)),
     Q("qw07_session_sequences", qw07, Some(qw07Sql)),
     Q("qw08_cohort_retention", qw08, Some(qw08Sql)),
-    Q("qw09_funnel", qw09, Some(qw09Sql)))
+    Q("qw09_funnel", qw09, Some(qw09Sql)),
+    Q("qw10_gap_fill", qw10, Some(qw10Sql)),
+    Q("qw11_rolling_zscore", qw11, Some(qw11Sql)))
 }

@@ -143,7 +143,10 @@ class PlanLintSpec extends SparkSpec {
       // qd05b's candidate pairs and embeddings both grow with the corpus
       "qd05b_embedding_lsh_dup",
       // qw09's step frames are one row per user — corpus-growing
-      "qw09_funnel")) {
+      "qw09_funnel",
+      // qw10's obs/grid/rank frames are all one-row-per-(user,hour) —
+      // corpus-growing on both sides of both fill joins
+      "qw10_gap_fill")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString

@@ -72,6 +72,82 @@ class SessionSequencesSpec extends SparkSpec {
   }
 }
 
+class GapFillSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("qw10 gap fill matches a driver-side forward-fill reimplementation") {
+    val out = Registry.byName("qw10_gap_fill").run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
+        r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2))
+    // independent reimplementation: hourly max per user via a mutable map,
+    // then walk the dense hour grid carrying the last observed value
+    val obs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 3600000L * 3600000L,
+        r.getDouble(2)))
+    val expected = obs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val hourMax = rows.groupBy(_._2).map { case (h, vs) => h -> vs.map(_._3).max }
+      val lo = hourMax.keys.min; val hi = hourMax.keys.max
+      var last = 0.0
+      (lo to hi by 3600000L).map { h =>
+        val isObs = hourMax.contains(h)
+        if (isObs) last = hourMax(h)
+        (u, h, last, isObs)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (a, b) => assert(a === b) }
+  }
+}
+
+class RollingZscoreSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("qw11 z-scores match a driver-side trailing-24h reimplementation") {
+    val out = Registry.byName("qw11_rolling_zscore").run(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val counts = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = counts.keys.groupBy(_._1).flatMap { case (et, keys) =>
+      keys.map { case (_, eh) =>
+        val win = counts.collect {
+          case ((t, h), n) if t == et && h >= eh - 23 && h <= eh => n
+        }.toSeq
+        val c = win.length
+        (et, eh, c, win)
+      }
+    }.filter(_._3 >= 12)
+    assert(expected.size === out.size)
+    expected.foreach { case (et, eh, c, win) =>
+      val n = counts((et, eh)).toDouble
+      val s = win.sum.toDouble
+      val sq = win.map(x => x * x).sum.toDouble
+      val z = (n - s / c) /
+        math.sqrt(math.max((sq - s * s / c) / (c - 1), 1e-12))
+      val (_, zOut, spike) = out((et, eh))
+      // zOut is z rounded to 6 decimals, so |zOut − z| ≤ 5e-7 by definition
+      assert(math.abs(zOut - z) < 1e-6, s"z mismatch at ($et,$eh)")
+      assert(spike === (math.abs(z) > 2.0))
+    }
+  }
+
+  test("qw11 suppresses cold-start windows (< 12 trailing hours)") {
+    val out = Registry.byName("qw11_rolling_zscore").run(spark, sf)
+    // the first observed hour of each type can never have 12 trailing hours
+    val firstHours = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(min(expr("unix_micros(ts) div 3600000000")).as("eh"))
+    assert(out.join(firstHours, Seq("event_type", "eh")).count() === 0)
+  }
+}
+
 class CohortRetentionSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
