@@ -46,9 +46,10 @@ object Embeddings {
   // qe01: symmetric int8 quantization.
   // ---------------------------------------------------------------------
 
-  /** The qe01 projection over an arbitrary (vec_id, embedding) frame —
-    * package-private so the spec can check round-trip error bounds. */
-  private[graft] def int8Quantize(e: DataFrame): DataFrame =
+  /** Quantization in array form — (vec_id, qscale, qarr) — the internal
+    * representation qs04's coarse scoring consumes (package-private; qe01
+    * stringifies it for the gate). */
+  private[graft] def quantArr(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
         expr("aggregate(embedding, cast(0.0 as double), (acc, x) -> greatest(acc, abs(cast(x as double))))")
           .as("qscale"))
@@ -58,6 +59,27 @@ object Embeddings {
           .otherwise(expr(
             "transform(embedding, x -> cast(floor((cast(x as double) / qscale) * 127.0 + 0.5) as int))"))
           .as("qarr"))
+
+  /** The same quantization as DuckDB CTEs (`scaled`, `quant`), shared with
+    * qs04's oracle so both gates restate ONE definition. */
+  private[graft] val quantSqlCte: String =
+    s"""scaled AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale
+       |  FROM embeddings),
+       |quant AS (
+       |  SELECT vec_id, qscale,
+       |    CASE WHEN qscale = 0
+       |      THEN list_transform(range(1, ${Dim + 1}), i -> 0)
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(floor((CAST(x AS DOUBLE) / qscale) * 127.0 + 0.5) AS INT))
+       |    END AS qarr
+       |  FROM scaled)""".stripMargin
+
+  /** The qe01 projection over an arbitrary (vec_id, embedding) frame —
+    * package-private so the spec can check round-trip error bounds. */
+  private[graft] def int8Quantize(e: DataFrame): DataFrame =
+    quantArr(e)
       // codes ship as one comma-joined string: the driver's hash
       // canonicalization mismatches list-typed parquet columns (the qd02
       // per-band-string precedent)
@@ -70,18 +92,7 @@ object Embeddings {
     int8Quantize(Tables.embeddings(s, d))
 
   private val qe01Sql =
-    s"""WITH scaled AS (
-       |  SELECT vec_id, embedding,
-       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qscale
-       |  FROM embeddings),
-       |quant AS (
-       |  SELECT vec_id, qscale,
-       |    CASE WHEN qscale = 0
-       |      THEN list_transform(range(1, ${Dim + 1}), i -> 0)
-       |      ELSE list_transform(embedding,
-       |        x -> CAST(floor((CAST(x AS DOUBLE) / qscale) * 127.0 + 0.5) AS INT))
-       |    END AS qarr
-       |  FROM scaled)
+    s"""WITH $quantSqlCte
        |SELECT vec_id, qscale, array_to_string(qarr, ',') AS q_codes,
        |  list_max(qarr) AS q_max, list_min(qarr) AS q_min
        |FROM quant""".stripMargin

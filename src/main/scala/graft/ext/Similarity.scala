@@ -200,6 +200,82 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  // ---------------------------------------------------------------------
+  // qs04: two-stage quantized retrieval — the 100 TB ANN *serving* shape:
+  // a cheap coarse pass over the int8-quantized corpus (qe01's codes: 4×
+  // smaller at rest, integer arithmetic) ranks candidates by the
+  // asymmetric score scale_q·scale_c·dot_int8, keeps top-C per query, and
+  // only those C candidates are reranked with exact float cosine. Scale
+  // properties: the coarse rank-≤-C filter compiles to Spark's
+  // WindowGroupLimit (per-task top-C heaps BEFORE the shuffle — lint-
+  // pinned, not a full per-partition sort); the candidate frame is
+  // |queries|·C rows — bounded by construction, so the rerank attaches
+  // full vectors via a legitimate broadcast (the qe02 side of the
+  // broadcast inverse rule) instead of a corpus shuffle. Determinism: the
+  // coarse score multiplies two identical doubles into an exact-integer
+  // dot (order-free), so candidate sets match the oracle bit-for-bit;
+  // rerank is the fastCosine/cosineSql bit-equal pair.
+  // ---------------------------------------------------------------------
+  private val CoarseC = 20
+
+  private def qs04(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val quant = Embeddings.quantArr(e)
+    val q = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qscale").as("q_scale"),
+        col("qarr").as("q_arr"))
+    val corp = quant.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("qscale").as("n_scale"),
+        col("qarr").as("n_arr"))
+    val dotInt = expr(
+      "aggregate(zip_with(q_arr, n_arr, (a, b) -> cast(a as bigint) * b), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)")
+    val wc = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    val cands = corp.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        (col("q_scale") * col("n_scale") * dotInt).as("score"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= CoarseC)
+      .select(col("q_id"), col("n_id"))
+    val qEmb = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    // both the candidate list and the query vectors are bounded frames —
+    // broadcast them against the corpus scan (no corpus shuffle at all)
+    e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands.join(broadcast(qEmb), Seq("q_id"))), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs04Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""WITH ${Embeddings.quantSqlCte},
+       |coarse AS (
+       |  SELECT q.vec_id AS q_id, cp.vec_id AS n_id,
+       |    q.qscale * cp.qscale *
+       |      list_sum(list_transform(list_zip(q.qarr, cp.qarr),
+       |        p -> CAST(p[1] AS BIGINT) * p[2])) AS score
+       |  FROM quant q CROSS JOIN quant cp
+       |  WHERE q.vec_id < 10 AND cp.vec_id >= 10),
+       |cands AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, n_id ASC) AS crank
+       |    FROM coarse) WHERE crank <= $CoarseC)
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT k.q_id, k.n_id, $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY k.q_id
+       |      ORDER BY $cos DESC, k.n_id ASC) AS rank
+       |  FROM cands k
+       |  JOIN embeddings q ON q.vec_id = k.q_id
+       |  JOIN embeddings c ON c.vec_id = k.n_id)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private def qs03(s: SparkSession, d: String): DataFrame = ivfAnn(s, d)
 
   private val qs03Sql = {
@@ -240,5 +316,8 @@ object Similarity {
     // the direction the 100 TB sizing rule moves; prefix-stable planes
     // mean planes 0-3 are qs02's own)
     Q("qs02b_ann_lsh8", (s, d) => lshAnn(s, d, numPlanes = 8), Some(qs02SqlFor(8))),
-    Q("qs03_ann_ivf", qs03, Some(qs03Sql)))
+    Q("qs03_ann_ivf", qs03, Some(qs03Sql)),
+    // coarse pass is SMALL-SF brute over codes here; at 100 TB the coarse
+    // stage composes with qs02/qs03 bucketing — the rerank shape is the point
+    Q("qs04_quantized_rerank", qs04, Some(qs04Sql)))
 }

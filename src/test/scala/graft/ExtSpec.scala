@@ -252,6 +252,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("qs04 rerank: 5 rows per query, cosines bit-equal to qs01 on shared pairs") {
+    val out = Registry.byName("qs04_quantized_rerank").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val exact = Registry.byName("qs01_knn_brute").run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    assert(out.size === exact.size) // 5 per query both
+    // the rerank scores exact cosine, so any pair both stages surface must
+    // carry the IDENTICAL double (same fold, bit-equal — not approximately)
+    val shared = out.keySet intersect exact.keySet
+    shared.foreach(k => assert(out(k) === exact(k), s"cosine drift at $k"))
+    // recall@5 of the two-stage path vs the exact baseline: C=20 candidates
+    // cover the true top-5 on this corpus near-perfectly; floor at 0.8 so
+    // the test pins quality without pinning the corpus
+    assert(shared.size.toDouble / exact.size >= 0.8,
+      s"two-stage recall@5 too low: ${shared.size}/${exact.size}")
+  }
+
   test("IVF centroid sample is exactly K rows regardless of corpus size") {
     val cents = Similarity.ivfCentroids(spark, sf)
     assert(cents.count() === Similarity.IvfK)

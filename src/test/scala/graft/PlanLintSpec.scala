@@ -16,6 +16,7 @@ class PlanLintSpec extends SparkSpec {
     "qs01_knn_brute",     // exact baseline: deliberate broadcast cross join
     "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
     "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
+    "qs04_quantized_rerank", // coarse pass: broadcast cross vs 10 query code rows
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
@@ -250,6 +251,20 @@ class PlanLintSpec extends SparkSpec {
     val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
     assert(broadcasts == 1,
       s"expected exactly 1 BroadcastExchange (2^16-bounded occupancy), found $broadcasts")
+  }
+
+  // qs04's scale contract: the coarse rank-≤-C filter must compile to
+  // WindowGroupLimit (per-task bounded top-C heaps before any exchange —
+  // Spark's rank-limit pushdown), and the rerank must attach full vectors
+  // through broadcasts of the |queries|·C-bounded candidate frame, never a
+  // corpus-side shuffle join.
+  test("qs04 two-stage rerank: coarse top-C is a WindowGroupLimit, rerank broadcast-bounded") {
+    val df = Registry.byName("qs04_quantized_rerank").run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"coarse rank filter did not push down to WindowGroupLimit:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "rerank attach should be broadcast (bounded candidate frame), not a shuffle join")
   }
 
   test("qx10 bloom join: might_contain prefilter present, join stays a merge SMJ") {
