@@ -152,7 +152,10 @@ object Soak {
         // qw10's grid explode + two merge-pinned fill joins grow with
         // users × span; qw11 pins that its pre-agg keeps the window frame
         // bounded (types × hours) as the raw corpus grows
-        "qw10_gap_fill", "qw11_rolling_zscore")
+        "qw10_gap_fill", "qw11_rolling_zscore",
+        // qs04's coarse pass is O(|Q|·N) with a WindowGroupLimit top-C —
+        // linear; soak confirms the candidate broadcast stays bounded
+        "qs04_quantized_rerank")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>
