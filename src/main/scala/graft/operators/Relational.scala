@@ -798,6 +798,59 @@ object Relational {
       |FULL OUTER JOIN changes c ON b.o_orderkey = c.key
       |WHERE COALESCE(c.op, '') <> 'D'""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q31: incremental aggregate maintenance — the OTHER half of q30's
+  // incremental-table story: keep a (key → count, decimal sum) aggregate
+  // table current by merging yesterday's aggregates with a partial-agg of
+  // ONLY the new partition, never rescanning the base corpus. The delta
+  // collapses through one map-side-combine shuffle (bounded by its OWN
+  // size); the merge is a full-outer join on the agg key where each
+  // algebraic aggregate merges exactly: counts add, DECIMAL sums add
+  // (exact, order-free — the reason sums are maintained as decimal, not
+  // double), and non-mergeable aggregates (avg) are DERIVED at read time
+  // from the maintained pair with one double division. At 100 TB the agg
+  // table buckets by key so repeated daily merges are shuffle-free; both
+  // sides are keyspace-sized (generically corpus-growing for user-level
+  // keys) → merge-pinned, never broadcast. The gate derives "yesterday's
+  // table" from the same events table (day < 2024-01-24) so the query is
+  // self-contained (the q30 derived-feed pattern); the oracle is the full
+  // from-scratch recompute — equality IS the statement that incremental
+  // maintenance loses nothing.
+  // ---------------------------------------------------------------------
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val split = lit("2024-01-24").cast(DateType)
+    def aggOf(part: DataFrame): DataFrame =
+      part.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s"))
+    val base = aggOf(ev.filter(col("day") < split))
+      .select(col("event_type").as("b_et"), col("day").as("b_day"),
+        col("n").as("b_n"), col("s").as("b_s"))
+    val delta = aggOf(ev.filter(col("day") >= split))
+      .select(col("event_type").as("d_et"), col("day").as("d_day"),
+        col("n").as("d_n"), col("s").as("d_s"))
+    val nTot = coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))
+    val sTot = coalesce(col("b_s"), lit(BigDecimal(0)).cast(DecimalType(12, 2))) +
+      coalesce(col("d_s"), lit(BigDecimal(0)).cast(DecimalType(12, 2)))
+    base.hint("merge")
+      .join(delta.hint("merge"),
+        col("b_et") === col("d_et") && col("b_day") === col("d_day"),
+        "full_outer")
+      .select(coalesce(col("b_et"), col("d_et")).as("event_type"),
+        date_format(coalesce(col("b_day"), col("d_day")), "yyyy-MM-dd").as("day"),
+        nTot.as("n"),
+        sTot.cast(DoubleType).as("sum_value"),
+        (sTot.cast(DoubleType) / nTot).as("avg_value"))
+  }
+
+  private val q31Sql =
+    """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -830,5 +883,6 @@ object Relational {
     Q("q28_sql_frontend", q28, Some(q28Sql)),
     Q("q29_table_profile", q29, Some(q29Sql)),
     Q("q29b_profile_hll", q29b, Some(q29bSql)),
-    Q("q30_merge_apply", q30, Some(q30Sql)))
+    Q("q30_merge_apply", q30, Some(q30Sql)),
+    Q("q31_incremental_agg", q31, Some(q31Sql)))
 }

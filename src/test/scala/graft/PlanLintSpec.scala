@@ -147,7 +147,10 @@ class PlanLintSpec extends SparkSpec {
       "qw09_funnel",
       // qw10's obs/grid/rank frames are all one-row-per-(user,hour) —
       // corpus-growing on both sides of both fill joins
-      "qw10_gap_fill")) {
+      "qw10_gap_fill",
+      // q31's agg table is keyspace-sized (generically corpus-growing for
+      // user-level keys) — the maintenance merge must stay a shuffle join
+      "q31_incremental_agg")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString

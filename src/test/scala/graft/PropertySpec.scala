@@ -26,6 +26,23 @@ class PropertySpec extends SparkSpec {
   private val tsGen = SGen.chooseNum(0L, 7200L) // seconds over 2 h
   private val rowsGen = SGen.listOfN(60, SGen.zip(SGen.chooseNum(1L, 4L), tsGen))
 
+  test("q31 incremental merge equals the from-scratch recompute exactly") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val out = Registry.byName("q31_incremental_agg").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val full = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(3) / r.getLong(2))).toMap
+    assert(out.keySet === full.keySet)
+    // decimal merge is exact, so every field matches BIT-equal, not approx
+    out.foreach { case (k, v) => assert(v === full(k), s"merge drift at $k") }
+  }
+
   test("property: session_window islands match brute-force reference") {
     val gapSec = 300L
     val prop = Prop.forAll(rowsGen) { rows =>
