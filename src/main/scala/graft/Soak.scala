@@ -155,7 +155,10 @@ object Soak {
         "qw10_gap_fill", "qw11_rolling_zscore",
         // qs04's coarse pass is O(|Q|·N) with a WindowGroupLimit top-C —
         // linear; soak confirms the candidate broadcast stays bounded
-        "qs04_quantized_rerank")
+        "qs04_quantized_rerank",
+        // q31's full-outer agg merge joins two corpus-growing keyed frames —
+        // the soak pins that both sides stay merge SMJs (never broadcast)
+        "q31_incremental_agg")
     val queries = names.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -535,4 +535,44 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("transformWithState state survives a query restart from checkpoint") {
+    // fault-tolerance evidence for the 100 TB claim: per-key RocksDB state
+    // must come back from the checkpoint after a stop/restart, and offsets
+    // committed before the stop must not be re-emitted. Memory sink refuses
+    // recovery in update mode, so both runs collect through foreachBatch.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+      val ms = MemoryStream[Long]
+      val counters = graft.streaming.RunningCounters.countByKey(ms.toDS())
+      val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+      def start() = counters.toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          got.synchronized { got ++= rows; () }
+        }.start()
+
+      val q1 = start()
+      try {
+        ms.addData(1L, 1L, 2L)
+        q1.processAllAvailable()
+        assert(got.synchronized(got.toSet) === Set((1L, 2L, 2L), (2L, 1L, 1L)))
+      } finally q1.stop()
+
+      got.synchronized(got.clear())
+      ms.addData(2L)      // arrives while the query is DOWN — must replay
+      val q2 = start()
+      try {
+        ms.addData(1L, 3L)
+        q2.processAllAvailable()
+        // key 1 resumes at total 3 (2 recovered + 1) and key 2 at 2 — proof
+        // the per-key state was restored from the checkpoint, not rebuilt —
+        // and the committed first batch is NOT re-emitted
+        assert(got.synchronized(got.toSet) ===
+          Set((2L, 2L, 1L), (1L, 3L, 1L), (3L, 1L, 1L)))
+      } finally q2.stop()
+    }
+  }
 }
