@@ -536,6 +536,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup ListState bucket membership survives a restart from checkpoint") {
+    // the ListState/bucket-state half of the restart story (the counter
+    // test covers ValueState): doc 10 lands in trigger 1 under query A;
+    // after a stop/restart from the same checkpoint, docs 30 (added while
+    // the query was down) and 20 share doc 10's simhash — both can only be
+    // flagged dup=1 if the bucket's (doc_id, simhash) list came back from
+    // the checkpoint. A lost bucket would re-admit doc 30 as dup=0.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ndd-ckpt-").toString
+      val ms = MemoryStream[(Long, Long)]
+      val flags = graft.streaming.NearDupDedup.flagNearDuplicates(
+        ms.toDF().toDF("doc_id", "simhash"))
+      val got = scala.collection.mutable.Map[Long, Long]()
+      def start() = flags.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.filter(col("docId") =!= -1L)
+            .groupBy(col("docId")).agg(max(col("dup")).as("dup"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          got.synchronized { rows.foreach { case (id, d) =>
+            got(id) = math.max(got.getOrElse(id, 0L), d) }; () }
+        }.start()
+
+      val q1 = start()
+      try {
+        ms.addData((10L, 0x0F0FL))
+        q1.processAllAvailable()
+        assert(got.synchronized(got.toMap) === Map(10L -> 0L))
+      } finally q1.stop()
+
+      got.synchronized(got.clear())
+      ms.addData((30L, 0x0F0FL))
+      val q2 = start()
+      try {
+        ms.addData((20L, 0x0F0FL))
+        q2.processAllAvailable()
+        assert(got.synchronized(got.toMap) === Map(30L -> 1L, 20L -> 1L))
+      } finally q2.stop()
+    }
+  }
+
   test("transformWithState state survives a query restart from checkpoint") {
     // fault-tolerance evidence for the 100 TB claim: per-key RocksDB state
     // must come back from the checkpoint after a stop/restart, and offsets
