@@ -375,8 +375,12 @@ object Dedup {
   // qd03's shape verbatim: one groupBy(band, key) shuffle of compact int
   // keys, BucketCap-capped map-side pair explosion, corpus-growing sides
   // merge-pinned. Width is the occupancy knob (per-band keyspace 2^width,
-  // expected bucket N/2^width): 3×4 gates at test SF; 100 TB sizing wants
-  // 4×8+ per the BandScheme analysis. Recall loses only pairs no band
+  // expected bucket N/2^width): 3×4 gates at test SF; the shipped wide
+  // config is EmbWideScheme 3×10 — band count stays fixed (bands set the
+  // recall floor AND multiply the shuffle volume; the BandScheme lesson is
+  // to widen bands, never add them) while width scales the keyspace to
+  // corpus size (100 TB wants width 20+ at the same 3 bands).
+  // Recall loses only pairs no band
   // agrees on — P(band agrees) = prod_j P(sign_j equal) = (1 − θ/π)^width
   // per the random-hyperplane collision bound — and the oracle mirrors
   // the same blocking, so the gate stays hash-exact.

@@ -49,9 +49,13 @@ object Multimodal {
     val w = (4 + id % 5).toInt
     val h = (3 + id % 3).toInt
     val n = w * h
-    val step = text.length / n
+    // Code points, not UTF-16 units: the qm02 oracle indexes with DuckDB
+    // substr/unicode/length (all code-point based), so a non-BMP (astral)
+    // character must shift positions identically on both sides.
+    val cps = text.codePoints().toArray
+    val step = cps.length / n
     val px = Array.tabulate(n) { k =>
-      val code = text.charAt(k * step).toInt
+      val code = cps(k * step)
       ((code % 256) << 16) | ((code * 2 % 256) << 8) | ((code + k) % 256)
     }
     (w, h, px)

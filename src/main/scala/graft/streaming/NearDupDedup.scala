@@ -46,9 +46,12 @@ import org.apache.spark.util.LongAccumulator
   * the marker eventually lands and invalidates the same bucket's flags.
   * The gated qst10 runs at `Dedup.BucketCap` and its DuckDB oracle states
   * the identical rule (HAVING count(*) <= cap on the candidate buckets —
-  * the qd07/qd13 capped form). Dropped (cleared + suppressed) entries are
-  * counted in the `evictions` accumulator — the observable-drops channel,
-  * mirroring Dedup.oversizedLshBuckets; Soak prints it.
+  * the qd07/qd13 capped form). The `evictions` accumulator is an
+  * AT-LEAST signal of poisoned-bucket traffic, not an exact dropped-entry
+  * count: the poisoning trigger adds nPrior + batch, every later batch
+  * routed to the dead bucket adds again, and Spark may re-add on task
+  * retry. Nonzero ⇔ the cap engaged somewhere — which is all Soak's drop
+  * channel reads from it (mirroring Dedup.oversizedLshBuckets).
   *
   * `ttl` additionally bounds state by a processing-time dedup horizon
   * (RocksDB-native expiry) — a wall-clock trade, deliberately NOT part of
