@@ -457,8 +457,7 @@ object Dedup {
   private def qd05b(s: SparkSession, d: String): DataFrame =
     embLshPairs(Tables.embeddings(s, d), EmbGateScheme)
 
-  private val qd05bSql = {
-    val sc = EmbGateScheme
+  private def qd05bSqlFor(sc: EmbScheme): String = {
     val cos = Vectors.cosineSql("a.embedding", "b.embedding")
     s"""WITH codes AS (
        |  SELECT vec_id, ${embCodeSql(sc)} AS code FROM embeddings),
@@ -479,6 +478,8 @@ object Dedup {
        |JOIN embeddings b ON b.vec_id = id_b
        |WHERE $cos >= 0.4""".stripMargin
   }
+  private val qd05bSql = qd05bSqlFor(EmbGateScheme)
+  private val qd05cSql = qd05bSqlFor(EmbWideScheme)
 
   // ---------------------------------------------------------------------
   // qd06: SimHash — 48-bit signature: per token hash h, bit j contributes
@@ -1010,6 +1011,12 @@ object Dedup {
     // the scale path for qd05: banded hyperplane-LSH candidates + exact
     // cosine — linear in N at fixed occupancy, BucketCap-bounded per bucket
     Q("qd05b_embedding_lsh_dup", qd05b, Some(qd05bSql)),
+    // the wide embedding layout (3×10 — 1024-key bands), gated: vacuous
+    // occupancy at sf0.001 but real pair work from sf0.1's 2k vectors up;
+    // the sf0.1 oracle pass is the evidence it produces nonzero recall
+    Q("qd05c_embedding_lsh_wide",
+      (s, d) => embLshPairs(Tables.embeddings(s, d), EmbWideScheme),
+      Some(qd05cSql)),
     Q("qd06_simhash", qd06, Some(qd06Sql)),
     Q("qd07_simhash_pairs", qd07, Some(qd07Sql)),
     // the wide 100 TB band layout, gated — not just documented: same

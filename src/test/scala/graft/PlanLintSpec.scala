@@ -141,8 +141,9 @@ class PlanLintSpec extends SparkSpec {
       "qw08_cohort_retention",
       // qd16's component and score frames both grow with the corpus
       "qd16_component_keep_best",
-      // qd05b's candidate pairs and embeddings both grow with the corpus
-      "qd05b_embedding_lsh_dup",
+      // qd05b/qd05c's candidate pairs and embeddings both grow with the
+      // corpus (same plan shape, gate vs wide band layout)
+      "qd05b_embedding_lsh_dup", "qd05c_embedding_lsh_wide",
       // qw09's step frames are one row per user — corpus-growing
       "qw09_funnel",
       // qw10's obs/grid/rank frames are all one-row-per-(user,hour) —

@@ -578,6 +578,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState recovers from a mid-batch crash without double-counting") {
+    // the non-graceful half of the recovery claim: the sink CRASHES while
+    // processing batch 1 — after it has already emitted rows externally but
+    // before the batch commits. Spark must (a) discard the uncommitted
+    // RocksDB state version, (b) replay the failed batch from the same
+    // checkpoint, and (c) produce the SAME counter values on the replay —
+    // i.e. the first (crashed) attempt's transformWithState increments must
+    // not survive, or key 1 would double-count to 4. Committed batch 0 must
+    // not re-emit.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-crash-ckpt-").toString
+      val ms = MemoryStream[Long]
+      val counters = graft.streaming.RunningCounters.countByKey(ms.toDS())
+      val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+      val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start() = counters.toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          got.synchronized { got ++= rows; () }
+          // emit FIRST, then die — models a crash after a partial external
+          // write, the worst point in the batch lifecycle
+          if (crash.get()) { crash.set(false); sys.error("injected crash") }
+        }.start()
+
+      val q1 = start()
+      ms.addData(1L, 1L, 2L)
+      q1.processAllAvailable()
+      assert(got.synchronized(got.toSet) === Set((1L, 2L, 2L), (2L, 1L, 1L)))
+
+      got.synchronized(got.clear())
+      crash.set(true)
+      ms.addData(1L, 3L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(!q1.isActive, "query must die with the sink crash")
+      // the crashed attempt DID run the stateful operator and emit
+      // (key 1 at 3 = 2 recovered + 1) — that's the partial output whose
+      // state effects must now be rolled back
+      assert(got.synchronized(got.toSet) === Set((1L, 3L, 1L), (3L, 1L, 1L)))
+
+      got.synchronized(got.clear())
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        // batch 1 replays with identical values: key 1 is 3, NOT 4 — the
+        // crashed attempt's increments were discarded with the uncommitted
+        // state version; batch 0 (committed) is not re-emitted
+        assert(got.synchronized(got.toSet) === Set((1L, 3L, 1L), (3L, 1L, 1L)))
+        got.synchronized(got.clear())
+        ms.addData(1L)
+        q2.processAllAvailable()
+        // and the stream continues from the recovered state: 3 + 1 = 4
+        assert(got.synchronized(got.toSet) === Set((1L, 4L, 1L)))
+      } finally q2.stop()
+    }
+  }
+
   test("transformWithState state survives a query restart from checkpoint") {
     // fault-tolerance evidence for the 100 TB claim: per-key RocksDB state
     // must come back from the checkpoint after a stop/restart, and offsets
