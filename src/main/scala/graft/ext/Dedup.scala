@@ -84,7 +84,7 @@ object Dedup {
   // 60-bit base hash from md5 hex, reduced mod P; signature i =
   // min over shingles of (aᵢ·h + bᵢ) mod P.
   // ---------------------------------------------------------------------
-  private def withSignature(docs: DataFrame): DataFrame = {
+  private[graft] def withSignature(docs: DataFrame): DataFrame = {
     val as = (0 until NumHashes).map(hashA)
     val bs = (0 until NumHashes).map(hashB)
     docs
