@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -27,20 +27,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects outright. Read nanos as long (legacy flag) and truncate to
-    * microseconds — the same coercion DuckDB applies, so oracles agree. */
+  /** events.parquet has stored `ts` as INT64 TIMESTAMP(NANOS) (which Spark 4
+    * rejects outright — read nanos as long via the legacy flag and truncate
+    * to microseconds, DuckDB's own coercion) and, in later driver
+    * generations, as timestamp[us] WITHOUT timezone (Spark's TIMESTAMP_NTZ —
+    * unusable for event-time watermarks and unix_* functions). Both forms
+    * normalize to plain TimestampType; the session timezone is pinned UTC
+    * (GraftSession), so the NTZ cast is value-identical to DuckDB's naive
+    * reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEvents(load(s, d, "events"))
   }
 
-  /** Convert a nanos-as-long `ts` column to TimestampType (micros). Applied
-    * after both batch and streaming reads of the events table. */
+  /** Coerce the `ts` column to TimestampType (micros) from whichever
+    * physical form the driver generated (nanos-as-long or TIMESTAMP_NTZ).
+    * Applied after both batch and streaming reads of the events table. */
   def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
