@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Skewed-JOIN evidence at soak scale (VERDICT r07 Next #2): qx11 gates the
+  * Zipf-keyed fact×dim join's semantics; this probe stages it at fact scale
+  * — the dim above the broadcast threshold, the hot key owning ~half the
+  * probe rows — and measures the three ways the plan can go:
+  *
+  *   - `aqe_skew`  — the plain declarative join with AQE's
+  *     OptimizeSkewedJoin enabled (the qx11 code path at scale). The hot
+  *     partition is split into advisory-sized chunks and the single
+  *     matching dim row is replicated per chunk; the probe records whether
+  *     the final plan actually carries `skew=true` — a plan FACT, not an
+  *     argument.
+  *   - `no_split`  — the same join with skew-splitting disabled: the
+  *     one-straggler-task baseline AQE is rescuing us from.
+  *   - `salted`    — the targeted-salting rewrite (the pre-AQE remedy, and
+  *     still the only option when the skewed join is NOT a last-stage SMJ
+  *     — e.g. under a streaming join or a bucketed layout): dim rows for
+  *     the known-hot head are exploded ×S, probe rows of hot keys pick a
+  *     deterministic salt (event_id mod S), cold keys salt 0. Only the hot
+  *     head pays the replication — full-dim salting would multiply the
+  *     entire dim shuffle ×S for keys that never needed it.
+  *
+  * Skew thresholds are scaled to the probe corpus (sf0.1 × mult instead of
+  * 100 TB): `skewedPartitionThresholdInBytes`/`advisoryPartitionSizeInBytes`
+  * are lowered proportionally so the hot partition is over-threshold at
+  * probe size exactly as a multi-GB partition is over the 256 MB default
+  * at cluster scale. The skewedPartitionFactor×median condition is left at
+  * its default — the skew RATIO is scale-invariant and is what's being
+  * demonstrated.
+  *
+  * Output: one JSON line per variant {variant, sec, skew_marks, rows} plus
+  * a summary line; recorded in BASELINE.md.
+  */
+object SkewProbe {
+
+  private val Domain = 1000000 // hot_key domain; key 1 gets ~half the rows
+  private val HotHead = 16     // targeted-salting head: keys 1..16 carry ~94%
+  private val Salts = 32
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** events ×mult via explode (no disk corpus needed — the join's shuffle,
+    * not the scan, is under test), Zipf-keyed over the probe domain. */
+  private def fact(s: SparkSession, base: String, mult: Int): DataFrame =
+    graft.operators.Scale.zipfKeyed(
+      Tables.events(s, base)
+        .select(col("event_id"), col("value"))
+        .withColumn("copy", explode(expr(s"sequence(0, ${mult - 1})")))
+        .withColumn("event_id", col("event_id") * mult + col("copy"))
+        .drop("copy"),
+      Domain)
+
+  /** One row per key over the full domain with a ~100-byte payload: ~100 MB
+    * total — far above the 10 MB broadcast threshold, the "profile dim too
+    * big to broadcast" shape that forces the shuffle join at 100 TB. */
+  private def dim(s: SparkSession): DataFrame =
+    s.range(1, Domain + 1).toDF("hot_key")
+      .withColumn("payload", expr("repeat(md5(cast(hot_key as string)), 3)"))
+
+  private def joined(f: DataFrame, d: DataFrame): DataFrame =
+    f.join(d, Seq("hot_key"))
+      .groupBy(col("hot_key"))
+      .agg(count(lit(1)).as("n"), max(col("payload")).as("payload"))
+
+  /** Targeted salting: explode only the hot head's dim rows ×Salts; probe
+    * rows on hot keys spread over the salts deterministically. */
+  private def salted(f: DataFrame, d: DataFrame): DataFrame = {
+    val saltedDim = d.withColumn("salt",
+      explode(when(col("hot_key") <= HotHead, expr(s"sequence(0, ${Salts - 1})"))
+        .otherwise(expr("array(0)"))))
+    val saltedFact = f.withColumn("salt",
+      when(col("hot_key") <= HotHead, pmod(col("event_id"), lit(Salts)))
+        .otherwise(lit(0)).cast("int"))
+    saltedFact.join(saltedDim, Seq("hot_key", "salt"))
+      .groupBy(col("hot_key"))
+      .agg(count(lit(1)).as("n"), max(col("payload")).as("payload"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "30").toInt
+    val spark = GraftSession.local("graft-skew-probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // thresholds scaled to probe size (see scaladoc); factor left default
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+    def run(name: String, df: => DataFrame, skewEnabled: Boolean): Unit = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
+      val frame = df
+      // toRdd.foreach executes the dataset's OWN QueryExecution, so the
+      // AdaptiveSparkPlan below is the FINAL runtime plan, not the static one
+      val sec = timed { frame.queryExecution.toRdd.foreach(_ => ()) }
+      val plan = frame.queryExecution.executedPlan.toString
+      val skewMarks = "skew=true".r.findAllIn(plan).size
+      val rows = frame.count()
+      println(s"""{"metric":"skew_probe","variant":"$name","sec":${f"$sec%.3f"},"skew_marks":$skewMarks,"rows":$rows}""")
+    }
+
+    val f = fact(spark, base, mult)
+    val d = dim(spark)
+    // hot-key mass, so the recorded skew is a corpus fact not an assumption
+    val hot = f.filter(col("hot_key") === 1).count()
+    val total = f.count()
+    println(s"""{"metric":"skew_probe_corpus","mult":$mult,"rows":$total,"hot_key_rows":$hot}""")
+
+    run("aqe_skew", joined(f, d), skewEnabled = true)
+    run("no_split", joined(f, d), skewEnabled = false)
+    run("salted", salted(f, d), skewEnabled = false)
+    spark.stop()
+  }
+}

@@ -62,8 +62,8 @@ object Soak {
     * documents concentrate hash buckets, exercising BucketCap /
     * ShingleDfCap and the capped-bucket paths under realistic pressure,
     * with the drop channels reporting what binds. */
-  private def generate(s: SparkSession, base: String, out: String, mult: Int,
-      zipf: Boolean): Unit = {
+  private[graft] def generate(s: SparkSession, base: String, out: String,
+      mult: Int, zipf: Boolean): Unit = {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(k => f(df, k)).reduce(_ unionAll _)
     def write(df: DataFrame, name: String): Unit =
@@ -165,7 +165,16 @@ object Soak {
     // adding scale evidence — the drop/band-width channels still run.
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on typos: a name that matches nothing would silently shrink
+    // the run — with every name wrong, the soak would emit empty-looking
+    // results indistinguishable from a successful run
+    only.foreach { o =>
+      val unknown = o -- names.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SOAK_ONLY names not in the soak set: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(names)(o => names.filter(o))
+    require(selected.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selected zero queries")
     val queries = selected.map(Registry.byName)
 
     def run(dir: String): Seq[(String, Double)] = queries.map { q =>

@@ -60,26 +60,65 @@ object StateCurves {
     }
 
   private def curve(spark: SparkSession, name: String, dir: String,
-      filesPerTrigger: Int, mode: String)(
+      filesPerTrigger: Int, mode: String,
+      triggerEveryMs: Option[Long] = None,
+      expectedRows: Option[Long] = None)(
       transform: DataFrame => DataFrame): Unit = {
     val schema = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
-    val q = transform(src).writeStream
-      .outputMode(mode).format("noop")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft-curve-$name-").toString)
-      .start()
-    q.processAllAvailable()
-    val points = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .map { p =>
-        val rows = p.stateOperators.map(_.numRowsTotal).sum
-        val mem = p.stateOperators.map(_.memoryUsedBytes).sum
-        s"""{"batch":${p.batchId},"input":${p.numInputRows},"state_rows":$rows,"state_bytes":$mem}"""
+    // progress points via listener, not recentProgress: the rolling buffer
+    // caps at 100 entries and paced/TTL'd runs interleave no-data ticks
+    // that would push data triggers out of it
+    val points = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          inputRows.addAndGet(p.numInputRows)
+          val rows = p.stateOperators.map(_.numRowsTotal).sum
+          val mem = p.stateOperators.map(_.memoryUsedBytes).sum
+          points.add(s"""{"batch":${p.batchId},"input":${p.numInputRows},"state_rows":$rows,"state_bytes":$mem}""")
+        }
       }
-    q.stop()
-    println(s"""{"metric":"state_curve","query":"$name","points":[${points.mkString(",")}]}""")
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val writer = transform(src).writeStream
+        .outputMode(mode).format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-curve-$name-").toString)
+      // paced triggers: trigger starts are spaced (wall-clock ingest pacing)
+      // so processing-time TTLs get a chance to bind and RocksDB compaction
+      // can catch up between commits — both effects the back-to-back replay
+      // of processAllAvailable masks
+      val q = triggerEveryMs
+        .fold(writer)(ms => writer.trigger(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms)))
+        .start()
+      expectedRows match {
+        case None => q.processAllAvailable()
+        case Some(total) =>
+          // TTL'd TimeMode.ProcessingTime operators re-schedule no-data
+          // ticks forever (shouldRunAnotherBatch is always true — the ticks
+          // drive TTL expiry), so processAllAvailable never latches; wait
+          // until the source has absorbed the whole corpus instead
+          val deadline = System.nanoTime() + 3600L * 1000 * 1000 * 1000
+          while (inputRows.get() < total && System.nanoTime() < deadline)
+            Thread.sleep(500)
+          require(inputRows.get() >= total,
+            s"$name: absorbed ${inputRows.get()}/$total rows before timeout")
+      }
+      q.stop()
+    } finally spark.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    println(s"""{"metric":"state_curve","query":"$name","points":[${points.asScala.mkString(",")}]}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -139,6 +178,50 @@ object StateCurves {
     }
     curve(spark, "qst16_blockdedup", docDir, 1, "update") { docs =>
       graft.streaming.BlockDedup.flagBlocks(docs).toDF()
+    }
+
+    // qst19: the TTL'd configuration of the line above — the one curve
+    // still monotone in STATE_CURVES_r07. Keeper TTL 15 s with trigger
+    // starts paced 10 s apart: a keeper whose hash hasn't re-arrived
+    // within ~1.5 triggers expires, so state plateaus at the distinct-
+    // block ARRIVAL RATE × horizon while the untimed curve above grows
+    // with the corpus's total distinct blocks. Zipf-hot docs re-arrive
+    // every copy and keep their keepers alive; the cold tail expires —
+    // exactly the 100 TB ingest shape (horizon = days, state ∝ rate).
+    if (!sys.env.get("SPARK_GRAFT_CURVE_TTL").contains("0")) {
+      val totalDocs = spark.read.parquet(docDir).count()
+      curve(spark, "qst19_blockdedup_ttl", docDir, 1, "update",
+        triggerEveryMs = Some(10000L), expectedRows = Some(totalDocs)) { docs =>
+        graft.streaming.BlockDedup.flagBlocks(docs,
+          new org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofSeconds(15))).toDF()
+      }
+    }
+
+    // VERDICT r07 Next #3: close the RocksDB bytes caveat. Under the
+    // back-to-back replay above, memoryUsedBytes (SST + memtable) grows in
+    // BOTH the TTL'd and unbounded dedup runs because compaction lags the
+    // commit rate — tombstoned keys still occupy SST space. Re-record both
+    // open-key dedup curves with compactOnCommit=true (a synchronous full
+    // compaction per commit — the measurement configuration, not the
+    // production default): with dead keys actually reclaimed per commit,
+    // the TTL'd run's bytes must plateau with its rows while the
+    // unbounded run's keep growing — bytes finally tracking rows.
+    if (!sys.env.get("SPARK_GRAFT_CURVE_COMPACT").contains("0")) {
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+      try {
+        curve(spark, "dedup_open_keys_compact", evDir, 2, "append") { ev =>
+          ev.select(col("event_id")).dropDuplicates("event_id")
+        }
+        curve(spark, "dedup_ttl_open_keys_compact", evDir, 2, "append") { ev =>
+          ev.select(col("ts"), col("event_id"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"))
+        }
+      } finally spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit")
     }
     spark.stop()
   }

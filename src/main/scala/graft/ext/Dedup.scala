@@ -185,6 +185,16 @@ object Dedup {
   private[graft] def lshStage(s: SparkSession, d: String): DataFrame =
     lshBuckets(withSignature(Tables.documents(s, d)))
 
+  /** Candidate pairs after the capped explode + distinct but BEFORE the two
+    * signature merge joins — the qd03 prefix StageProbe times to split
+    * "pair generation" from "verification join" cost. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
+    lshBuckets(withSignature(Tables.documents(s, d)))
+      .filter(size(col("ids")).between(2, BucketCap))
+      .select(explode(pairExplode).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+
   private def qd03(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint (not cache): sigs is read three times below, so it is
     // materialized once either way, but the checkpoint's lifetime is owned

@@ -65,6 +65,20 @@ object SpanDedup {
          |  i -> md5(concat_ws(' ', slice(toks, i, $SpanK))))"""
         .stripMargin.replace("\n", " "))).as(Seq("pos", "gram")))
 
+  /** StageProbe prefix 1: tokenization + positional gram explode only. */
+  private[graft] def gramStage(docs: DataFrame): DataFrame =
+    gramOccurrences(docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= SpanK))
+
+  /** StageProbe prefix 2: + the duplicate-gram key set (the one gram-keyed
+    * shuffle the min≠max rewrite reduced this to). */
+  private[graft] def dupGramStage(docs: DataFrame): DataFrame =
+    gramStage(docs)
+      .groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("gram"))
+
   /** The qd12 coverage computation over an arbitrary (doc_id, text) frame —
     * package-private so the spec can run it on planted-span corpora. */
   private[graft] def dupSpans(docs: DataFrame): DataFrame = {
@@ -72,11 +86,17 @@ object SpanDedup {
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= SpanK)
     val grams = gramOccurrences(tok)
-    // grams shared by >= 2 distinct docs; corpus-sized → merge-pin the
-    // semi join back (static-broadcast trap, see qd04)
-    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("gram"))
+    // grams shared by >= 2 distinct docs. The predicate needs only "more
+    // than one distinct doc", and min(doc_id) ≠ max(doc_id) answers that
+    // in ONE gram-keyed shuffle with constant-size partial aggs — vs the
+    // naive distinct(doc_id, gram) + groupBy(gram) count, which shuffles
+    // every occurrence pair TWICE (measured 25% off qd12's whole wall
+    // time at 30× soak — see BASELINE.md stage attribution). Corpus-sized
+    // → merge-pin the semi join back (static-broadcast trap, see qd04).
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("gram"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // union-of-intervals size via the sorted-gap identity: each occurrence
     // adds min(k, pos − prev_pos) new covered tokens (k for the first)

@@ -117,7 +117,7 @@ object YsbStreamingBench {
 
   /** Percentile from a merged bucket histogram (bucket midpoint, 10 ms
     * resolution). */
-  private def pct(hist: Map[Long, Long], p: Double): Double = {
+  private[harness] def pct(hist: Map[Long, Long], p: Double): Double = {
     if (hist.isEmpty) return 0.0
     val total = hist.valuesIterator.sum
     val target = math.max(1L, math.ceil(p * total).toLong)
@@ -149,6 +149,46 @@ object YsbStreamingBench {
       s""""rows":${best.rows},"seconds":${best.seconds},""" +
       s""""latency_ms":{"p50":${pct(lat, 0.5)},"p95":${pct(lat, 0.95)},"p99":${pct(lat, 0.99)}},""" +
       s""""trials":${trials.size},"target_rps":${cfg.recordsPerSecond}}""")
+    spark.stop()
+  }
+}
+
+/** Latency/throughput trade curve (VERDICT r07 Next #5): the reference's
+  * whole purpose is this trade — its hybrid trigger
+  * [flink/YahooBenchmark.scala:73-104] exists to move along it — but the
+  * harness so far recorded a single operating point (p50 785 ms at 2 M
+  * rps, trigger 1 s). This sweep holds the YSB 2 M rps target fixed and
+  * varies the TRIGGER INTERVAL (the Structured Streaming knob that sets
+  * batch size — the micro-batch analogue of maxOffsetsPerTrigger for the
+  * rate source, W5's documented knob): short triggers bound per-result
+  * staleness low but pay per-batch fixed cost more often (scheduling,
+  * state-store commit, sink round-trip), long triggers amortize that cost
+  * into higher sustained throughput at proportionally higher latency.
+  * One JSON line per operating point; the table lands in BASELINE.md.
+  */
+object LatencySweep {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local("graft-latency-sweep", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val rps = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val runMs = args.lift(1).map(_.toLong).getOrElse(45000L)
+    val triggers = Seq(250L, 500L, 1000L, 2000L, 5000L)
+    val rows = triggers.map { t =>
+      System.gc()
+      val cfg = YsbConfig(recordsPerSecond = rps, rampUpSeconds = 5,
+        runDurationMillis = runMs, numTrials = 1, triggerMillis = t)
+      val r = YsbStreamingBench.runTrial(spark, cfg)
+      val line =
+        s"""{"metric":"latency_sweep","trigger_ms":$t,"target_rps":$rps,""" +
+        s""""throughput":${r.throughput.toLong},"rows":${r.rows},""" +
+        s""""p50_ms":${YsbStreamingBench.pct(r.latHist, 0.5)},""" +
+        s""""p95_ms":${YsbStreamingBench.pct(r.latHist, 0.95)},""" +
+        s""""p99_ms":${YsbStreamingBench.pct(r.latHist, 0.99)}}"""
+      println(line)
+      line
+    }
+    println(s"""{"metric":"latency_sweep_done","points":${rows.size}}""")
     spark.stop()
   }
 }

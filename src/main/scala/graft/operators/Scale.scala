@@ -564,6 +564,45 @@ object Scale {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx11: Zipf-skewed fact×dim join — the classic 100 TB shuffle killer
+  // (VERDICT r07 Next #2). qx01 covers skewed AGGREGATION via salting;
+  // this stages the skewed JOIN: the probe side's key distribution is
+  // Zipf-like by construction (hot_key = ⌊D/(1+(event_id mod D))⌋ puts
+  // ~half the rows on key 1, ~1/k(k+1) mass on key k — the crawl-hot-key
+  // shape), joined to a one-row-per-key dim. Written as the PLAIN
+  // declarative join — no salting — because the scale remedy is Spark's
+  // own OptimizeSkewedJoin: AQE splits the oversized probe partition and
+  // replicates the single matching dim row per split, preserving exact
+  // join semantics (which is why the oracle is the plain join). At gate
+  // SF the dim broadcasts and there is nothing to split — correct too;
+  // SkewProbe stages the fact-scale version (dim above the broadcast
+  // threshold) and records the skew-split firing + wall time vs both the
+  // unsplit baseline and the targeted-salting rewrite.
+  // ---------------------------------------------------------------------
+  /** Attach the deterministic Zipf hot key (shared by qx11 and SkewProbe). */
+  private[graft] def zipfKeyed(ev: DataFrame, domain: Int): DataFrame =
+    ev.withColumn("hot_key",
+      expr(s"cast(floor($domain/(1 + (event_id % $domain))) as bigint)"))
+
+  private def qx11(s: SparkSession, d: String): DataFrame =
+    zipfKeyed(Tables.events(s, d), 1000)
+      .join(Tables.part(s, d).select(col("p_partkey").as("hot_key"), col("p_name")),
+        Seq("hot_key"))
+      .groupBy(col("hot_key"), col("p_name"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+
+  private val qx11Sql =
+    """WITH keyed AS (
+      |  SELECT CAST(floor(1000/(1 + (event_id % 1000))) AS BIGINT) AS hot_key,
+      |    value
+      |  FROM events)
+      |SELECT hot_key, p_name, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM keyed JOIN part ON hot_key = p_partkey
+      |GROUP BY hot_key, p_name""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -574,5 +613,6 @@ object Scale {
     Q("qx07_temperature_mix", qx07, Some(qx07Sql)),
     Q("qx08_per_source_cap", qx08, Some(qx08Sql)),
     Q("qx09_epoch_mix", qx09, Some(qx09Sql)),
-    Q("qx10_bloom_join", qx10, Some(qx10Sql)))
+    Q("qx10_bloom_join", qx10, Some(qx10Sql)),
+    Q("qx11_skew_join", qx11, Some(qx11Sql)))
 }

@@ -46,7 +46,16 @@ object Tables {
   def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TimestampType cast interprets the naive value in the
+        // SESSION timezone; only UTC reproduces DuckDB's naive reading. A
+        // non-UTC session (one not built via GraftSession) would silently
+        // shift every event time and watermark — fail loudly instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEvents requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "the TIMESTAMP_NTZ cast is only value-identical to DuckDB under UTC")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

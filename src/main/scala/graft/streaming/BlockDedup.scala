@@ -25,7 +25,16 @@ import graft.ext.SpanDedup
   * distinct block hash — O(1) per key, no per-key list to cap (contrast
   * qst10's bucket lists). Total state grows with the distinct-block count,
   * which is inherent to exact dedup; the production horizon knob is the
-  * same TTLConfig the batch→stream family uses. The shuffle carries only
+  * TTLConfig passed to `flagBlocks` (gated as qst19): a keeper whose block
+  * hash has not re-arrived within the horizon expires, bounding state to
+  * the distinct-block arrival rate × horizon. The trade — the same one
+  * qst18 pins for dropDuplicatesWithinWatermark — is re-keeping: an
+  * occurrence arriving after its hash's keeper expired is elected keeper
+  * again, so the kept set is the TIME-RESTRICTED keeper rule (min
+  * occurrence per hash per horizon window) rather than corpus-wide min.
+  * TTL here is processing-time (the only mode TTLConfig supports), so the
+  * horizon binds on wall-clock ingest pacing — the 100 TB deployment shape,
+  * where "horizon" means e.g. 7 days of ingest. The shuffle carries only
   * (bhash, doc_id, blk) — never block text.
   */
 object BlockDedup {
@@ -35,11 +44,16 @@ object BlockDedup {
 
   private class KeeperProcessor(ttl: TTLConfig)
       extends StatefulProcessor[String, BlockRow, BlockFlag] {
+    // resolved ONCE driver-side at construction and serialized with the
+    // processor: Encoders.product runs Scala-reflection TypeTag resolution,
+    // and calling it from init() — which runs PER TASK on executors —
+    // livelocks under concurrent tasks (global TypeTag lock + per-thread
+    // ExecutorClassLoader misses; observed wedging a 4-thread local run)
+    private val keeperEnc = Encoders.product[(Long, Long)]
     @transient private var keeper: ValueState[(Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      keeper = getHandle.getValueState[(Long, Long)]("keeper",
-        Encoders.product[(Long, Long)], ttl)
+      keeper = getHandle.getValueState[(Long, Long)]("keeper", keeperEnc, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[BlockRow],
         timerValues: TimerValues): Iterator[BlockFlag] = {
@@ -92,9 +106,12 @@ object BlockDedup {
       .select(col("b.bhash").as("bhash"), col("doc_id").as("docId"),
         col("b.blk").as("blk"))
       .as[BlockRow]
+    // TTL'd value state requires processing-time mode; the untimed gate
+    // path keeps TimeMode.None (no timer plumbing where none is used)
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     blocks
       .groupByKey(_.bhash)
-      .transformWithState(new KeeperProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new KeeperProcessor(ttl), timeMode, OutputMode.Update())
   }
 }

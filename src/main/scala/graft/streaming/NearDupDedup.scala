@@ -76,12 +76,15 @@ object NearDupDedup {
   private class BucketProcessor(ttl: TTLConfig, bucketCap: Int,
       hammingMax: Int, evictions: Option[LongAccumulator])
       extends StatefulProcessor[(Int, Long), ChunkDoc, ChunkFlag] {
+    // driver-side once: Encoders.product from init() (per task, on
+    // executors) livelocks Scala reflection's TypeTag lock under
+    // concurrent tasks — see BlockDedup.KeeperProcessor
+    private val seenEnc = Encoders.product[(Long, Long)]
     @transient private var seen: ListState[(Long, Long)] = _
     @transient private var dead: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      seen = getHandle.getListState[(Long, Long)]("seen",
-        Encoders.product[(Long, Long)], ttl)
+      seen = getHandle.getListState[(Long, Long)]("seen", seenEnc, ttl)
       dead = getHandle.getValueState[Boolean]("poisoned",
         Encoders.scalaBoolean, ttl)
     }

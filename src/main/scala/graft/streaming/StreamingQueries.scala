@@ -570,7 +570,11 @@ object StreamingQueries {
   // oracle is qd15's keeper CTE verbatim minus the text reassembly — the
   // streaming/batch consistency contract, stated by construction.
   // ---------------------------------------------------------------------
-  private def qst16(s: SparkSession, d: String): DataFrame = {
+  private def qst16(s: SparkSession, d: String): DataFrame =
+    blockDedup(s, d, org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  private def blockDedup(s: SparkSession, d: String,
+      ttl: org.apache.spark.sql.streaming.TTLConfig): DataFrame = {
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -580,9 +584,25 @@ object StreamingQueries {
       val docs = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val name = s"graft_blockdedup_${counter.incrementAndGet()}"
-      val q = BlockDedup.flagBlocks(docs)
+      val q = BlockDedup.flagBlocks(docs, ttl)
         .writeStream.outputMode("update").format("memory").queryName(name).start()
-      q.processAllAvailable()
+      if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE) q.processAllAvailable()
+      else {
+        // TTL'd state forces TimeMode.ProcessingTime, where
+        // TransformWithStateExec.shouldRunAnotherBatch is always true: the
+        // query keeps scheduling no-data ticks (they drive TTL expiry), so
+        // processAllAvailable — and even Trigger.AvailableNow — never see
+        // a "drained" stream (verified empirically: both wedge). Bounded
+        // completion instead: the file source puts the whole bounded
+        // corpus in batch 0, so once the sink holds a flag for every
+        // document the data is fully absorbed and we stop the query.
+        val expectDocs = s.read.parquet(path).count()
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (s.table(name).select(col("docId")).distinct().count() < expectDocs
+            && System.nanoTime() < deadline) Thread.sleep(200)
+        require(s.table(name).select(col("docId")).distinct().count() >= expectDocs,
+          s"qst19: sink did not absorb all $expectDocs docs within 180s")
+      }
       q.stop()
       s.table(name)
         .groupBy(col("docId"), col("blk"))
@@ -596,6 +616,27 @@ object StreamingQueries {
       case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // qst19: TTL'd streaming block dedup — qst16's production-horizon
+  // configuration (VERDICT r07 Next #1), the transformWithState analogue
+  // of qst18's treatment of qst03. The keeper ValueState carries a
+  // processing-time TTL: a block hash whose keeper has not re-arrived
+  // within the horizon expires, bounding state to the distinct-block
+  // arrival rate × horizon instead of the corpus's distinct-block count
+  // (the one state curve still monotone in STATE_CURVES_r07). The trade
+  // is re-keeping — an occurrence arriving after its hash expired is
+  // elected keeper again (time-restricted keeper rule). The gated run
+  // replays the bounded corpus in seconds against a 1-hour horizon, so no
+  // key expires mid-run and the output equals qst16's corpus-wide keeper
+  // rule — oracle verbatim (exactly how qst18 gates WithinWatermark with
+  // a batch-DISTINCT oracle). The expiry/re-keep semantics at the horizon
+  // boundary are pinned by a dedicated small-TTL StreamingSpec case, and
+  // the bounded-state claim is a measured StateCurves plateau.
+  // ---------------------------------------------------------------------
+  private def qst19(s: SparkSession, d: String): DataFrame =
+    blockDedup(s, d,
+      new org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
 
   private val qst16Sql =
     s"""WITH ${graft.ext.SpanDedup.blockKeeperSqlCte}
@@ -684,5 +725,8 @@ object StreamingQueries {
     // same semantics, same oracle as batch qw08 — streaming/batch
     // consistency by construction
     Q("qst17_stream_cohorts", qst17, Some(graft.operators.Windows.qw08Sql)),
-    Q("qst18_stream_dedup_ttl", qst18, Some(qst18Sql)))
+    Q("qst18_stream_dedup_ttl", qst18, Some(qst18Sql)),
+    // same keeper rule, same oracle as qst16: the 1 h horizon cannot bind
+    // inside a seconds-long bounded replay (see qst19 scaladoc)
+    Q("qst19_stream_block_dedup_ttl", qst19, Some(qst16Sql)))
 }

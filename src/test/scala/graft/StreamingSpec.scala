@@ -677,4 +677,139 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("qst19 TTL'd block dedup: dedup holds within the horizon, expired keeper re-keeps") {
+    // the horizon-boundary semantics qst19's gate cannot exercise (its 1 h
+    // TTL never binds inside a seconds-long replay): with an 8 s TTL, an
+    // occurrence of a seen block hash arriving WITHIN the horizon is
+    // demoted kept=0 as usual, but after the keeper state expires a new
+    // occurrence is elected keeper AGAIN — the time-restricted keeper rule
+    // (the re-keep trade qst18 pins for dropDuplicatesWithinWatermark).
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val flags = graft.streaming.BlockDedup.flagBlocks(
+        ms.toDF().toDF("doc_id", "text"),
+        new org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(8)))
+      val q = flags.toDF().writeStream.outputMode("update")
+        .format("memory").queryName("bd_ttl").start()
+      // sink-side min(kept) reduction — the qst16 contract
+      def kept(): Map[Long, Long] = spark.table("bd_ttl")
+        .groupBy(col("docId"), col("blk")).agg(min(col("kept")).as("k"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // TimeMode.ProcessingTime keeps scheduling no-data ticks (they drive
+      // TTL expiry), so processAllAvailable never latches — poll the sink
+      // until the expected keys landed instead (see qst19's bounded-
+      // completion note in StreamingQueries.blockDedup)
+      def awaitKeys(ids: Long*): Map[Long, Long] = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!ids.forall(kept().contains) && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        kept()
+      }
+      try {
+        ms.addData((10L, "a b c"), (20L, "a b c"))
+        // same batch, same hash: 10 elected, 20 demoted
+        assert(awaitKeys(10L, 20L) === Map(10L -> 1L, 20L -> 0L))
+        ms.addData((30L, "a b c")) // arrives well inside the 8 s horizon
+        assert(awaitKeys(30L) === Map(10L -> 1L, 20L -> 0L, 30L -> 0L))
+        Thread.sleep(10000) // horizon passes with no arrival — keeper expires
+        ms.addData((40L, "a b c"))
+        // re-keep: with the keeper state expired, 40 is elected keeper of
+        // the SAME hash — the bounded-state trade, now pinned
+        assert(awaitKeys(40L) ===
+          Map(10L -> 1L, 20L -> 0L, 30L -> 0L, 40L -> 1L))
+      } finally q.stop()
+    }
+  }
+
+  test("state store version abandoned mid-task is rolled back on replay") {
+    // The round-7 crash spec kills the SINK — the state store version for
+    // the batch always finishes its writes. This is the harder face
+    // (VERDICT r07 Next #4): the failure happens INSIDE the stateful
+    // operator, AFTER count.update() put the increment into the store's
+    // pending version but BEFORE that version commits — the version write
+    // itself is abandoned mid-task. Recovery must replay batch 1 against
+    // the last COMMITTED version: key 99 resumes at 2 (1 committed + 1),
+    // not 3 (which would mean the abandoned version's update leaked into
+    // the replay), and committed batch 0 is not re-emitted.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-statecrash-").toString
+      val ms = MemoryStream[Long]
+      val counters = CrashInject.countByKey(ms.toDS())
+      val got = scala.collection.mutable.Set[(Long, Long)]()
+      def start() = counters.toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+          got.synchronized { got ++= rows; () }
+        }.start()
+
+      val q1 = start()
+      ms.addData(99L)
+      q1.processAllAvailable()
+      assert(got.synchronized(got.toSet) === Set((99L, 1L))) // batch 0 commits
+
+      got.synchronized(got.clear())
+      CrashInject.armed.set(true)
+      ms.addData(99L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(!q1.isActive, "query must die with the in-operator crash")
+      // the crashed attempt updated state to 2 in the pending version and
+      // then threw — the task never emitted, the version never committed
+      assert(got.synchronized(got.toSet) === Set.empty[(Long, Long)])
+
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        // replay of batch 1 reads the last committed version (1), not the
+        // abandoned pending version (2): key 99 is 2, NOT 3; batch 0 is
+        // not re-emitted
+        assert(got.synchronized(got.toSet) === Set((99L, 2L)))
+        got.synchronized(got.clear())
+        ms.addData(99L)
+        q2.processAllAvailable()
+        assert(got.synchronized(got.toSet) === Set((99L, 3L)))
+      } finally q2.stop()
+    }
+  }
+}
+
+/** Test-only stateful processor for the state-commit-boundary crash spec:
+  * identical to RunningCounters' per-key counter, except that when `armed`
+  * it throws AFTER count.update() has placed the increment into the state
+  * store's pending version — so the version write is abandoned mid-task.
+  * Top-level (not spec-inner) so the processor closure stays serializable;
+  * the armed flag is a plain static — local-mode tasks share the JVM, and
+  * getAndSet(false) disarms before the post-restart replay runs. */
+private[graft] object CrashInject {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private class PoisonCounter extends StatefulProcessor[Long, Long, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size.toLong
+      count.update(total) // state lands in the PENDING store version first
+      if (armed.getAndSet(false)) sys.error("injected state-task crash")
+      Iterator.single((key, total))
+    }
+  }
+
+  def countByKey(keys: Dataset[Long]): Dataset[(Long, Long)] = {
+    implicit val outEnc = Encoders.product[(Long, Long)]
+    keys.groupByKey(identity)(Encoders.scalaLong)
+      .transformWithState(new PoisonCounter, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -17,7 +17,12 @@ Additionally any spark-side output column with a hash-risk physical type
 (decimal, date32, list/array) FAILS regardless of values: round 1 proved the
 driver's canonicalization mismatches those types even when values are exact.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--json <outPath>]
+
+--json writes a driver-schema artifact: per-query {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err} exactly mirroring the driver's
+CORRECTNESS_r{N}.json, so off-gate runs (e.g. the sf0.1 full gate) are
+machine-comparable round over round (VERDICT r07 Next #7).
 """
 import sys, json, glob, os
 import duckdb
@@ -99,7 +104,8 @@ def pandas_compare(qdir, sql, con):
                     f"value[{c}] row {bad}: spark {sv[bad]} vs oracle {ov[bad]}")
     return issues
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -114,16 +120,21 @@ def main(sf_dir, out_dir):
             got_cols, got = norm_rows(got_rel.columns, got_rel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: cannot read result: {e}")
+            results[name] = entry(err=f"cannot read result: {e}")
             n_fail += 1
             continue
         risky = risky_columns(qdir)
         if risky:
             print(f"FAIL {name}: hash-risk output types {risky}")
+            results[name] = entry(schema=False, spark_rows=len(got),
+                                  err=f"hash-risk output types {risky}")
             n_fail += 1
             continue
         if name not in oracles:
             status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
             print(f"{status} {name}: {len(got)} rows")
+            results[name] = entry(rows=len(got) > 0, schema=None, hash_m=None,
+                                  spark_rows=len(got))
             n_noracle += 1
             continue
         try:
@@ -131,10 +142,14 @@ def main(sf_dir, out_dir):
             exp_cols, exp = norm_rows(exp_rel.columns, exp_rel.fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            results[name] = entry(spark_rows=len(got),
+                                  err=f"oracle SQL error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
+            results[name] = entry(rows=len(got) == len(exp), schema=False,
+                                  spark_rows=len(got), oracle_rows=len(exp))
             n_fail += 1
         elif got != exp:
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
@@ -144,6 +159,8 @@ def main(sf_dir, out_dir):
                 print(f"   spark-only: {r}")
             for r in only_exp:
                 print(f"   oracle-only: {r}")
+            results[name] = entry(rows=len(got) == len(exp), schema=True,
+                                  spark_rows=len(got), oracle_rows=len(exp))
             n_fail += 1
         else:
             try:
@@ -152,12 +169,36 @@ def main(sf_dir, out_dir):
                 issues = [f"pandas compare crashed: {e}"]
             if issues:
                 print(f"FAIL {name}: pandas-mode " + "; ".join(issues[:4]))
+                results[name] = entry(rows=True, schema=not any(
+                    i.startswith(("dtype", "columns")) for i in issues),
+                    spark_rows=len(got), oracle_rows=len(exp),
+                    err="pandas-mode " + "; ".join(issues[:4]))
                 n_fail += 1
             else:
                 print(f"PASS {name}: {len(got)} rows")
+                results[name] = entry(rows=True, schema=True, hash_m=True,
+                                      spark_rows=len(got), oracle_rows=len(exp))
                 n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
+def entry(rows=False, schema=True, hash_m=False, spark_rows=None,
+          oracle_rows=None, err=None):
+    """One driver-schema result row (hash_match is False unless the full
+    value compare passed; None mirrors the driver's weaker rows-only check)."""
+    return {"rows_match": rows, "schema_match": schema, "hash_match": hash_m,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err}
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    j = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        j = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], j))
