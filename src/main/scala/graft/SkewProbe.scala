@@ -25,6 +25,12 @@ import graft.sources.Tables
   *     deterministic salt (event_id mod S), cold keys salt 0. Only the hot
   *     head pays the replication — full-dim salting would multiply the
   *     entire dim shuffle ×S for keys that never needed it.
+  *   - `agg_on_key_no_force` / `agg_on_key_forced` — the same join feeding
+  *     an aggregate ON the join key: AQE withholds the split (it would
+  *     break the reusable hash-partitioning and force an extra shuffle)
+  *     unless spark.sql.adaptive.forceOptimizeSkewedJoin opts into that
+  *     trade. Both faces measured — the consumer's distribution
+  *     requirement, not just the skew, decides whether AQE can help.
   *
   * Skew thresholds are scaled to the probe corpus (sf0.1 × mult instead of
   * 100 TB): `skewedPartitionThresholdInBytes`/`advisoryPartitionSizeInBytes`
@@ -50,7 +56,16 @@ object SkewProbe {
   }
 
   /** events ×mult via explode (no disk corpus needed — the join's shuffle,
-    * not the scan, is under test), Zipf-keyed over the probe domain. */
+    * not the scan, is under test), Zipf-keyed over the probe domain.
+    *
+    * The trailing repartition matters to the MECHANISM under test:
+    * OptimizeSkewedJoin splits a skewed reduce partition along MAP-output
+    * boundaries, so its granularity is the mapper count. The single ~2 MB
+    * events file scans as ONE map task — an artifact of the miniature
+    * corpus — and a one-mapper hot partition has no boundaries to split
+    * (measured: skew split silently never fires). At 100 TB the fact scan
+    * has thousands of mappers; the round-robin repartition stands in for
+    * that, and every variant (split / no-split / salted) shares its cost. */
   private def fact(s: SparkSession, base: String, mult: Int): DataFrame =
     graft.operators.Scale.zipfKeyed(
       Tables.events(s, base)
@@ -58,7 +73,7 @@ object SkewProbe {
         .withColumn("copy", explode(expr(s"sequence(0, ${mult - 1})")))
         .withColumn("event_id", col("event_id") * mult + col("copy"))
         .drop("copy"),
-      Domain)
+      Domain).repartition(32)
 
   /** One row per key over the full domain with a ~100-byte payload: ~100 MB
     * total — far above the 10 MB broadcast threshold, the "profile dim too
@@ -67,10 +82,24 @@ object SkewProbe {
     s.range(1, Domain + 1).toDF("hot_key")
       .withColumn("payload", expr("repeat(md5(cast(hot_key as string)), 3)"))
 
+  /** The TERMINAL enrich join — join → write, no downstream operator
+    * keyed on hot_key. This is the shape OptimizeSkewedJoin can split:
+    * nothing above the join needs its hash-partitioning preserved. */
   private def joined(f: DataFrame, d: DataFrame): DataFrame =
     f.join(d, Seq("hot_key"))
+      .select(col("hot_key"), col("event_id"), col("value"), col("payload"))
+
+  /** The same join feeding an aggregate ON THE JOIN KEY: the SMJ's output
+    * partitioning is REUSED by the downstream agg, so splitting the hot
+    * partition would break a required distribution and AQE withholds the
+    * skew split (unless spark.sql.adaptive.forceOptimizeSkewedJoin trades
+    * an extra shuffle for it) — the non-obvious scale lesson this probe
+    * records alongside the split. */
+  private def aggOnKey(f: DataFrame, d: DataFrame): DataFrame =
+    f.join(d, Seq("hot_key"))
       .groupBy(col("hot_key"))
-      .agg(count(lit(1)).as("n"), max(col("payload")).as("payload"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        max(col("payload")).as("payload"))
 
   /** Targeted salting: explode only the hot head's dim rows ×Salts; probe
     * rows on hot keys spread over the salts deterministically. */
@@ -82,8 +111,7 @@ object SkewProbe {
       when(col("hot_key") <= HotHead, pmod(col("event_id"), lit(Salts)))
         .otherwise(lit(0)).cast("int"))
     saltedFact.join(saltedDim, Seq("hot_key", "salt"))
-      .groupBy(col("hot_key"))
-      .agg(count(lit(1)).as("n"), max(col("payload")).as("payload"))
+      .select(col("hot_key"), col("event_id"), col("value"), col("payload"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,19 +122,34 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // thresholds scaled to probe size (see scaladoc); factor left default
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+    // the 100 TB stand-in premise: NEITHER side fits broadcast (without
+    // this the static planner broadcasts the fact side's pruned hot_key
+    // projection off its 2 MB scan estimate and the shuffle join — the
+    // thing under test — never exists)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     def run(name: String, df: => DataFrame, skewEnabled: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
+      // best-of-2 on FRESH frames (a finalized AdaptiveSparkPlan caches its
+      // result stages; re-executing the same Dataset would time a no-op)
+      val warm = df
+      val sec1 = timed { warm.queryExecution.toRdd.foreach(_ => ()) }
       val frame = df
       // toRdd.foreach executes the dataset's OWN QueryExecution, so the
       // AdaptiveSparkPlan below is the FINAL runtime plan, not the static one
-      val sec = timed { frame.queryExecution.toRdd.foreach(_ => ()) }
+      val sec = math.min(sec1,
+        timed { frame.queryExecution.toRdd.foreach(_ => ()) })
       val plan = frame.queryExecution.executedPlan.toString
       val skewMarks = "skew=true".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      val skewRead = "skewed".r.findAllIn(plan).size
       val rows = frame.count()
-      println(s"""{"metric":"skew_probe","variant":"$name","sec":${f"$sec%.3f"},"skew_marks":$skewMarks,"rows":$rows}""")
+      println(s"""{"metric":"skew_probe","variant":"$name","sec":${f"$sec%.3f"},"skew_marks":$skewMarks,"smj":$smj,"skew_reads":$skewRead,"rows":$rows}""")
+      if (sys.env.get("SPARK_GRAFT_SKEW_DEBUG").contains("1"))
+        System.err.println(plan.linesIterator.take(40).mkString("\n"))
     }
 
     val f = fact(spark, base, mult)
@@ -119,6 +162,10 @@ object SkewProbe {
     run("aqe_skew", joined(f, d), skewEnabled = true)
     run("no_split", joined(f, d), skewEnabled = false)
     run("salted", salted(f, d), skewEnabled = false)
+    run("agg_on_key_no_force", aggOnKey(f, d), skewEnabled = true)
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    run("agg_on_key_forced", aggOnKey(f, d), skewEnabled = true)
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
     spark.stop()
   }
 }

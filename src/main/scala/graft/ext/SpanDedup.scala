@@ -90,9 +90,10 @@ object SpanDedup {
     // than one distinct doc", and min(doc_id) ≠ max(doc_id) answers that
     // in ONE gram-keyed shuffle with constant-size partial aggs — vs the
     // naive distinct(doc_id, gram) + groupBy(gram) count, which shuffles
-    // every occurrence pair TWICE (measured 25% off qd12's whole wall
-    // time at 30× soak — see BASELINE.md stage attribution). Corpus-sized
-    // → merge-pin the semi join back (static-broadcast trap, see qd04).
+    // every occurrence pair TWICE (measured interleaved at 30× soak:
+    // 7.52 s → 6.38 s whole-query, 15% — see BASELINE.md stage
+    // attribution; the remaining cost is the semi join + per-doc window).
+    // Corpus-sized → merge-pin the semi join back (broadcast trap, qd04).
     val dupGrams = grams
       .groupBy(col("gram"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
