@@ -59,11 +59,17 @@ object StateCurves {
         .mode(if (k == 0) "overwrite" else "append").parquet(dir)
     }
 
+  // SPARK_GRAFT_CURVE_ONLY=a,b: rerun a curve subset without paying for
+  // the rest (e.g. the SST-metric byte curves after a metric change)
+  private val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   private def curve(spark: SparkSession, name: String, dir: String,
       filesPerTrigger: Int, mode: String,
       triggerEveryMs: Option[Long] = None,
       expectedRows: Option[Long] = None)(
       transform: DataFrame => DataFrame): Unit = {
+    if (!only.forall(_.contains(name))) return
     val schema = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
@@ -82,7 +88,16 @@ object StateCurves {
           inputRows.addAndGet(p.numInputRows)
           val rows = p.stateOperators.map(_.numRowsTotal).sum
           val mem = p.stateOperators.map(_.memoryUsedBytes).sum
-          points.add(s"""{"batch":${p.batchId},"input":${p.numInputRows},"state_rows":$rows,"state_bytes":$mem}""")
+          // memoryUsedBytes for the RocksDB provider is dominated by block
+          // cache + memtable — a CACHE that grows with data volume, not
+          // resident state (the round-7 "bytes don't track rows" caveat).
+          // The live-state signal is the SST file size custom metric —
+          // with compaction caught up it holds only live keys.
+          def cm(name: String): Long = p.stateOperators.map(op =>
+            Option(op.customMetrics.get(name)).map(_.longValue).getOrElse(0L)).sum
+          val sst = cm("rocksdbSstFileSize")
+          val pinned = cm("rocksdbPinnedBlocksMemoryUsage")
+          points.add(s"""{"batch":${p.batchId},"input":${p.numInputRows},"state_rows":$rows,"state_bytes":$mem,"sst_bytes":$sst,"pinned_bytes":$pinned}""")
         }
       }
       override def onQueryTerminated(
