@@ -62,6 +62,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed TERMINAL join without forcing (qx11's scale face)") {
+    // The test above needs forceOptimizeSkewedJoin because its aggregate
+    // reuses the join key's partitioning. The TERMINAL enrich join — the
+    // qx11/SkewProbe scale shape, join → write with nothing above it keyed
+    // on the join key — must split WITHOUT the force knob: that's the
+    // default-config behavior a 100 TB run relies on.
+    val overrides = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 40000)
+        .select((when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000)).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k").select(col("k"), col("v"), col("w"))
+      // collect() (not count()) so the dataset's OWN QueryExecution runs
+      // and the adaptive plan below is final
+      assert(joined.collect().length === 40000) // enrich join: 1 dim row/key
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"terminal skewed join not split without force:\n${plan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join runs shuffle-free (no Exchange in plan)") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     Scale.writeBucketed(
