@@ -603,6 +603,29 @@ object Scale {
       |FROM keyed JOIN part ON hot_key = p_partkey
       |GROUP BY hot_key, p_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx12: AQE-rebalanced output layout — the WRITE-side skew primitive.
+  // qx11/SkewProbe cover the skewed shuffle JOIN; this covers the other
+  // place skew kills a 100 TB run: the final write. Partitioning output
+  // by a low-cardinality/skewed column (here event_type — the layout
+  // consumers want to prune on) makes one writer task own the hot
+  // partition: a multi-GB output file next to thousands of tiny ones.
+  // The REBALANCE hint compiles to a rebalance Exchange whose partitions
+  // AQE both coalesces (small groups merge toward advisory size) and
+  // SPLITS (OptimizeSkewsInRebalancePartitions divides the hot group
+  // along map-output boundaries) — bounded, near-uniform output files
+  // without hand-tuning a repartition count. Semantics are identity on
+  // rows (oracle = plain projection); the layout property — the hot
+  // group actually splitting — is pinned in ScaleSpec.
+  // ---------------------------------------------------------------------
+  private def qx12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .hint("rebalance", col("event_type"))
+
+  private val qx12Sql =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -614,5 +637,6 @@ object Scale {
     Q("qx08_per_source_cap", qx08, Some(qx08Sql)),
     Q("qx09_epoch_mix", qx09, Some(qx09Sql)),
     Q("qx10_bloom_join", qx10, Some(qx10Sql)),
-    Q("qx11_skew_join", qx11, Some(qx11Sql)))
+    Q("qx11_skew_join", qx11, Some(qx11Sql)),
+    Q("qx12_rebalance_output", qx12, Some(qx12Sql)))
 }

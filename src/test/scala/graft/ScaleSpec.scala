@@ -96,6 +96,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("qx12 rebalance splits the hot output group and preserves rows") {
+    // 90% of rows share one group key. A plain repartition(col) would put
+    // all 36k hot rows in ONE writer partition; the rebalance hint with a
+    // small advisory size must split the hot group across partitions
+    // (OptimizeSkewsInRebalancePartitions) while keeping every row.
+    val overrides = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(0, 40000)
+        .select(when(col("id") % 10 < 9, lit("hot")).otherwise(lit("cold")).as("t"),
+          col("id").as("v"))
+      val reb = skewed.hint("rebalance", col("t"))
+      val sizes = reb.rdd.mapPartitions(it => Iterator(it.length)).collect()
+        .filter(_ > 0)
+      assert(sizes.sum === 40000, "rebalance must preserve every row")
+      assert(sizes.max < 36000,
+        s"hot group not split: partition sizes ${sizes.sorted.reverse.take(5).mkString(",")}")
+      assert(sizes.length > 2, s"expected several bounded partitions, got ${sizes.length}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join runs shuffle-free (no Exchange in plan)") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     Scale.writeBucketed(
