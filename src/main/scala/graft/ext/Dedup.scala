@@ -189,7 +189,10 @@ object Dedup {
     * signature merge joins — the qd03 prefix StageProbe times to split
     * "pair generation" from "verification join" cost. */
   private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
-    lshBuckets(withSignature(Tables.documents(s, d)))
+    lshCandidatesFrom(withSignature(Tables.documents(s, d)))
+
+  private[graft] def lshCandidatesFrom(sigs: DataFrame): DataFrame =
+    lshBuckets(sigs)
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(pairExplode).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
