@@ -9,16 +9,18 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: opaque `binary` payload columns with typed
   * metadata, plus a batched decode/feature-extraction stage.
   *
-  * The decode is REAL: qm02 round-trips every document through an actual
-  * 24-bit BMP image ([[BmpCodec]] — pure JVM, since this container ships
-  * no media libraries; BMP is the format a dependency-free decoder can
-  * honestly implement). The image content is synthesized deterministically
-  * from the document text (the stand-in for "bytes the generator wrote"),
-  * so the DuckDB oracle can state the expected features from the text
-  * alone — the gate then proves the decoder recovered header fields, row
-  * padding, and every pixel exactly. Audio/video codecs remain out of
-  * scope (no pure-JVM format of comparable ubiquity); the plumbing below
-  * is codec-agnostic:
+  * The decode is REAL across all three modalities: qm02 round-trips every
+  * document through an actual 24-bit BMP image ([[BmpCodec]]), qm04
+  * through an actual RIFF/WAVE 16-bit PCM file ([[WavCodec]]), and qm05
+  * through an actual YUV4MPEG2 stream ([[Y4mCodec]]) — all pure JVM,
+  * since this container ships no media libraries; BMP/WAV/Y4M are the
+  * image/audio/video formats a dependency-free decoder can honestly
+  * implement. The media content is synthesized deterministically from the
+  * document text (the stand-in for "bytes the generator wrote"), so the
+  * DuckDB oracle can state the expected features from the text alone —
+  * each gate then proves its decoder recovered header fields, layout
+  * (row padding / channel interleave / plane order), and every sample
+  * exactly. The plumbing below is codec-agnostic:
   *   - binary columns carried through scans/projections without copies,
   *   - a typed per-partition batch API ([[decodeFeatures]]) with the same
   *     shape as a vectorized decode stage (iterator-in/iterator-out per
@@ -162,8 +164,184 @@ object Multimodal {
        |        unnest(range(0, $nFramesSql)) AS frame_idx
        |      FROM documents)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qm04: the REAL audio decode stage — each doc becomes an actual
+  // RIFF/WAVE 16-bit PCM file (samples synthesized from its text, sample
+  // rate varying with doc_id so the fmt-chunk parse is load-bearing),
+  // decoded by WavCodec, and every output column comes from the decoded
+  // samples: payload size, header sample rate, sample count, peak
+  // amplitude, exact integer energy (Σs²), and zero-crossing count. The
+  // oracle restates the synthesis arithmetic from the text alone: a
+  // mismatch anywhere in the codec (chunk walk, interleave, 16-bit LE
+  // sign handling) breaks the hash gate.
+  // ---------------------------------------------------------------------
+  final case class AudioFeatures(
+      doc_id: Long, n_bytes: Int, sample_rate: Int, n_samples: Int,
+      peak_abs: Int, sum_sq: Long, zero_crossings: Int)
+
+  /** Deterministic PCM synthesis for doc (id, text): n = 16 + id%17 mono
+    * samples, sample k drawn from the text at evenly-spaced code-point
+    * positions — s_k = ((code·31 + k·7) mod 4001) − 2000, a signed value
+    * well inside int16. The oracle restates the same arithmetic. */
+  private def synthPcm(id: Long, text: String): (Int, Array[Short]) = {
+    val n = (16 + id % 17).toInt
+    val rate = (8000 * (1 + id % 3)).toInt
+    val cps = text.codePoints().toArray
+    val step = cps.length / n
+    val s = Array.tabulate(n) { k =>
+      (((cps(k * step) * 31 + k * 7) % 4001) - 2000).toShort
+    }
+    (rate, s)
+  }
+
+  /** Batched encode→decode→feature-extract through the REAL WAV codec —
+    * same iterator-in/iterator-out shape as [[decodeFeatures]]. Every
+    * output field comes from the DECODED audio. */
+  def audioFeatures(docs: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, pcm) = synthPcm(r.doc_id, r.text)
+        val payload = WavCodec.encode(rate, Array(pcm))
+        val wav = WavCodec.decode(payload)
+        val s = wav.samples(0)
+        var peak = 0; var sumSq = 0L; var zc = 0
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumSq += v.toLong * v
+          if (i > 0 && v * s(i - 1).toInt < 0) zc += 1
+          i += 1
+        }
+        AudioFeatures(r.doc_id, payload.length, wav.sampleRate, wav.numSamples,
+          peak, sumSq, zc)
+      }
+    }
+  }
+
+  private def qm04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 40) // >= max n_samples, so step >= 1
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    audioFeatures(docs).toDF()
+  }
+
+  private val qm04Sql = {
+    // s_k restated from the text: code point at the k-th evenly-spaced
+    // position, mapped into a signed sample
+    def samp(k: String) =
+      s"((unicode(substr(text, 1 + ($k) * (length(text) // n), 1)) * 31 + ($k) * 7) % 4001 - 2000)"
+    s"""SELECT doc_id,
+       |  CAST(44 + 2 * n AS INT) AS n_bytes,
+       |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       |  CAST(n AS INT) AS n_samples,
+       |  CAST(list_max(list_transform(range(0, n), k -> abs(${samp("k")}))) AS INT) AS peak_abs,
+       |  CAST(list_sum(list_transform(range(0, n), k -> ${samp("k")} * ${samp("k")})) AS BIGINT) AS sum_sq,
+       |  CAST(list_sum(list_transform(range(1, n), k ->
+       |    CASE WHEN ${samp("k")} * ${samp("k - 1")} < 0 THEN 1 ELSE 0 END)) AS INT) AS zero_crossings
+       |FROM (SELECT doc_id, text, 16 + doc_id % 17 AS n
+       |      FROM documents WHERE length(text) >= 40)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // qm05: the REAL video decode + frame sampling — each doc becomes an
+  // actual multi-frame YUV4MPEG2 stream (C444 planes synthesized from its
+  // text, frame count and frame rate varying with doc_id so the header
+  // parse and frame walk are load-bearing), decoded by Y4mCodec, then
+  // sampled at stride 2 (every even frame — the canonical "sample every
+  // k-th frame" pipeline stage). Per kept frame, exact per-plane byte
+  // sums from the DECODED planes.
+  // ---------------------------------------------------------------------
+  final case class VideoFrameFeatures(
+      doc_id: Long, frame_idx: Int, n_frames: Int, fps_num: Int,
+      y_sum: Long, u_sum: Long, v_sum: Long)
+
+  /** Deterministic C444 synthesis for doc (id, text): nf = 2 + id%4 frames
+    * of (4 + id%3)×(2 + id%2); pixel p of frame f samples the text at
+    * evenly-spaced code-point positions — Y = (code + f·17) mod 256,
+    * U = (code·3 + f) mod 256, V = (code·5 + p) mod 256. */
+  private def synthFrames(id: Long, text: String): (Int, Int, Array[Array[Byte]]) = {
+    val w = (4 + id % 3).toInt
+    val h = (2 + id % 2).toInt
+    val nf = (2 + id % 4).toInt
+    val npix = w * h
+    val cps = text.codePoints().toArray
+    val step = cps.length / npix
+    val frames = Array.tabulate(nf) { f =>
+      val bytes = new Array[Byte](npix * 3)
+      var p = 0
+      while (p < npix) {
+        val code = cps(p * step)
+        bytes(p) = ((code + f * 17) % 256).toByte
+        bytes(npix + p) = ((code * 3 + f) % 256).toByte
+        bytes(2 * npix + p) = ((code * 5 + p) % 256).toByte
+        p += 1
+      }
+      bytes
+    }
+    (w, h, frames)
+  }
+
+  /** Batched encode→decode→frame-sample through the REAL Y4M codec: the
+    * whole stream is encoded, decoded, and every even-indexed DECODED
+    * frame reduced to exact per-plane sums. 1→N expansion, partitioning
+    * preserved (no shuffle). */
+  def sampleVideoFrames(docs: Dataset[MediaRow]): Dataset[VideoFrameFeatures] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, frames) = synthFrames(r.doc_id, r.text)
+        val fpsNum = (24 + r.doc_id % 2).toInt
+        val payload = Y4mCodec.encode(w, h, fpsNum, 1, frames.toSeq)
+        val vid = Y4mCodec.decode(payload)
+        val npix = vid.width * vid.height
+        vid.frames.indices.collect { case f if f % 2 == 0 =>
+          val bytes = vid.frames(f)
+          var ys = 0L; var us = 0L; var vs = 0L
+          var p = 0
+          while (p < npix) {
+            ys += bytes(p) & 0xFF
+            us += bytes(npix + p) & 0xFF
+            vs += bytes(2 * npix + p) & 0xFF
+            p += 1
+          }
+          VideoFrameFeatures(r.doc_id, f, vid.frames.length, vid.fpsNum,
+            ys, us, vs)
+        }
+      }
+    }
+  }
+
+  private def qm05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 40) // >= max w*h, so step >= 1
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    sampleVideoFrames(docs).toDF()
+  }
+
+  private val qm05Sql = {
+    val code = "unicode(substr(text, 1 + p * (length(text) // (w*h)), 1))"
+    def plane(f: String, alias: String) =
+      s"CAST(list_sum(list_transform(range(0, w*h), p -> $f)) AS BIGINT) AS $alias"
+    s"""SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+       |  CAST(24 + doc_id % 2 AS INT) AS fps_num,
+       |  ${plane(s"($code + f*17) % 256", "y_sum")},
+       |  ${plane(s"($code*3 + f) % 256", "u_sum")},
+       |  ${plane(s"($code*5 + p) % 256", "v_sum")}
+       |FROM (SELECT doc_id, text, w, h, nf, unnest(range(0, nf)) AS f
+       |      FROM (SELECT doc_id, text, 4 + doc_id % 3 AS w, 2 + doc_id % 2 AS h,
+       |              2 + doc_id % 4 AS nf
+       |            FROM documents WHERE length(text) >= 40))
+       |WHERE f % 2 = 0""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
     Q("qm02_decode_features", qm02, Some(qm02Sql)),
-    Q("qm03_frame_sampling", qm03, Some(qm03Sql)))
+    Q("qm03_frame_sampling", qm03, Some(qm03Sql)),
+    Q("qm04_audio_features", qm04, Some(qm04Sql)),
+    Q("qm05_video_frame_sample", qm05, Some(qm05Sql)))
 }

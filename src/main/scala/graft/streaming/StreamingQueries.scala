@@ -702,6 +702,57 @@ object StreamingQueries {
   private val qst18Sql =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // ---------------------------------------------------------------------
+  // qst20: state store reader — a checkpointed streaming aggregation's
+  // STATE read back as a batch DataFrame (`spark.read.format("statestore")`,
+  // Spark 4's state data source). This is the ops face of stateful
+  // streaming at scale: inspecting a production checkpoint's resident
+  // state (what keys, which partition, how big) WITHOUT replaying the
+  // stream — state audits after a migration, hot-partition diagnosis
+  // (`partition_id` exposes skew directly), offline reconciliation of a
+  // running job's counters. The reader is a DSv2 source that scans one
+  // state partition per task, so it parallelizes like any other scan —
+  // no driver-side state download. The gate: run the bounded per-type
+  // count+sum aggregation with a checkpoint, then produce the result
+  // ONLY from the re-read state; it must equal the batch aggregate —
+  // which is exactly what "the checkpoint holds the state you think it
+  // holds" means.
+  // ---------------------------------------------------------------------
+  private def qst20(s: SparkSession, d: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qst20-ckpt-").toString
+    val path = s"$d/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema: StructType = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    val ev = Tables.normalizeEvents(raw)
+    val name = s"graft_events_${counter.incrementAndGet()}"
+    val q = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("uid_sum"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the result comes from the CHECKPOINT, not the sink: streaming-agg
+    // state stores the grouping key in `key` and the evaluation buffer in
+    // `value` (field names from the agg functions: count, sum)
+    s.read.format("statestore").load(ckpt)
+      .select(
+        col("key.event_type").as("event_type"),
+        col("value.count").as("cnt"),
+        col("value.sum").as("uid_sum"))
+  }
+
+  private val qst20Sql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(user_id) AS BIGINT) AS uid_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -728,5 +779,6 @@ object StreamingQueries {
     Q("qst18_stream_dedup_ttl", qst18, Some(qst18Sql)),
     // same keeper rule, same oracle as qst16: the 1 h horizon cannot bind
     // inside a seconds-long bounded replay (see qst19 scaladoc)
-    Q("qst19_stream_block_dedup_ttl", qst19, Some(qst16Sql)))
+    Q("qst19_stream_block_dedup_ttl", qst19, Some(qst16Sql)),
+    Q("qst20_state_reader", qst20, Some(qst20Sql)))
 }

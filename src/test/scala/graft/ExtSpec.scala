@@ -673,6 +673,102 @@ class BmpCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class WavCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ext.WavCodec
+
+  test("encode/decode round trip: mono and stereo, exact samples") {
+    val mono = Array(Array.tabulate(37)(i => ((i * 997 - 5000) % 32768).toShort))
+    val m = WavCodec.decode(WavCodec.encode(16000, mono))
+    assert(m.sampleRate === 16000 && m.channels === 1 && m.numSamples === 37)
+    assert(m.samples(0).toSeq === mono(0).toSeq)
+
+    val stereo = Array(
+      Array.tabulate(21)(i => (i * 3).toShort),
+      Array.tabulate(21)(i => (-i * 7).toShort))
+    val s = WavCodec.decode(WavCodec.encode(44100, stereo))
+    assert(s.sampleRate === 44100 && s.channels === 2 && s.numSamples === 21)
+    assert(s.samples(0).toSeq === stereo(0).toSeq)
+    assert(s.samples(1).toSeq === stereo(1).toSeq)
+  }
+
+  test("sign and extremes survive the 16-bit LE round trip") {
+    val edge = Array(Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue))
+    assert(WavCodec.decode(WavCodec.encode(8000, edge)).samples(0).toSeq
+      === edge(0).toSeq)
+  }
+
+  test("chunk walk skips unknown chunks (LIST before data), odd sizes padded") {
+    val base = WavCodec.encode(8000, Array(Array[Short](10, -20, 30)))
+    // splice a 5-byte LIST chunk (odd → 1 pad byte) between fmt and data
+    val insertAt = 36 // end of fmt chunk in the canonical layout
+    val list = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+    val spliced = base.take(insertAt) ++ list.array() ++ base.drop(insertAt)
+    // RIFF size field must cover the insert for a well-formed file
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 14)
+    val w = WavCodec.decode(spliced)
+    assert(w.samples(0).toSeq === Seq[Short](10, -20, 30))
+  }
+
+  test("rejects bad magic, non-PCM format, wrong bit depth, truncation") {
+    val ok = WavCodec.encode(8000, Array(Array[Short](1, 2, 3, 4)))
+    def mutated(off: Int, v: Byte) = { val b = ok.clone(); b(off) = v; b }
+    intercept[IllegalArgumentException](WavCodec.decode(mutated(0, 'X'.toByte)))
+    intercept[IllegalArgumentException](WavCodec.decode(mutated(8, 'X'.toByte)))
+    intercept[IllegalArgumentException](WavCodec.decode(mutated(20, 3.toByte)))  // IEEE float
+    intercept[IllegalArgumentException](WavCodec.decode(mutated(34, 8.toByte)))  // 8-bit
+    intercept[IllegalArgumentException](WavCodec.decode(ok.take(40)))
+  }
+}
+
+class Y4mCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ext.Y4mCodec
+
+  private def frame(w: Int, h: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 31 + seed * 131) % 256).toByte)
+
+  test("encode/decode round trip: header fields and every plane byte") {
+    val frames = Seq(frame(6, 4, 0), frame(6, 4, 1), frame(6, 4, 2))
+    val v = Y4mCodec.decode(Y4mCodec.encode(6, 4, 30, 1, frames))
+    assert(v.width === 6 && v.height === 4)
+    assert(v.fpsNum === 30 && v.fpsDen === 1)
+    assert(v.frames.length === 3)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
+  test("zero frames and NTSC-style rational rates parse") {
+    val v = Y4mCodec.decode(Y4mCodec.encode(2, 2, 30000, 1001, Seq.empty))
+    assert(v.frames.isEmpty && v.fpsNum === 30000 && v.fpsDen === 1001)
+  }
+
+  test("tolerates FRAME parameter text and X- extension tags") {
+    val f = frame(2, 2, 5)
+    val bytes = ("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444 Xcustom=1\n" +
+      "FRAME Ip\n").getBytes("US-ASCII") ++ f
+    val v = Y4mCodec.decode(bytes)
+    assert(v.frames.length === 1 && v.frames(0).toSeq === f.toSeq)
+  }
+
+  test("rejects bad magic, non-C444, missing F tag, truncated frame") {
+    val f = frame(2, 2, 7)
+    def parse(hdr: String, data: Array[Byte]) =
+      Y4mCodec.decode(hdr.getBytes("US-ASCII") ++ data)
+    intercept[IllegalArgumentException](
+      parse("YUV4MPEG3 W2 H2 F25:1 C444\nFRAME\n", f))
+    intercept[IllegalArgumentException](
+      parse("YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n", f))
+    intercept[IllegalArgumentException](
+      parse("YUV4MPEG2 W2 H2 C444\nFRAME\n", f))
+    intercept[IllegalArgumentException](
+      parse("YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n", f.take(5)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("qm02 features come from a real BMP round trip and match the JVM reference") {

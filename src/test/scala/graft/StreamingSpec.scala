@@ -777,6 +777,57 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("state data source: checkpoint state and metadata readable across batches") {
+    // the qst20 surface off the gate path: two MemoryStream batches so the
+    // re-read state reflects the LATEST committed batch (not batch 0), plus
+    // the state-metadata listing that locates operators in a foreign
+    // checkpoint (the discovery step an operator on a production checkpoint
+    // needs before it can name an operatorId).
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssread-ckpt-").toString
+    val ms = MemoryStream[(String, Long)]
+    val agg = ms.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("ssread").option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      ms.addData(("b", 5L), ("c", 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val st = spark.read.format("statestore").load(ckpt)
+      .select(col("key.k").as("k"), col("value.count").as("cnt"),
+        col("value.sum").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st === Set(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 7L)))
+
+    val meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert(meta.length === 1)
+    val m = meta(0)
+    assert(m.getAs[Long]("operatorId") === 0L)
+    assert(m.getAs[String]("operatorName") === "stateStoreSave")
+    assert(m.getAs[Long]("maxBatchId") === 1L,
+      "state read must reflect the latest committed batch")
+
+    // the change-feed face: per-batch state deltas (CDC over the state
+    // store itself) — key b's buffer must show BOTH versions, batch 0's
+    // (1, 10) and batch 1's (2, 15), i.e. the audit trail of how state
+    // evolved, not just its final value
+    val cf = spark.read.format("statestore")
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load(ckpt)
+      .select(col("batch_id"), col("change_type"), col("key.k").as("k"),
+        col("value.count").as("cnt"), col("value.sum").as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(cf === Set(
+      (0L, "update", "a", 2L, 3L), (0L, "update", "b", 1L, 10L),
+      (1L, "update", "b", 2L, 15L), (1L, "update", "c", 1L, 7L)))
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
