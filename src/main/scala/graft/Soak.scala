@@ -62,57 +62,75 @@ object Soak {
     * documents concentrate hash buckets, exercising BucketCap /
     * ShingleDfCap and the capped-bucket paths under realistic pressure,
     * with the drop channels reporting what binds. */
+  /** Fact tables a tier can restrict generation to (dims are always
+    * copied — they are KBs). `SPARK_GRAFT_SOAK_TABLES` exists for the
+    * very large targeted tiers (e.g. 1000× dedup): writing an 11 GB
+    * lineitem that no selected query reads would dominate generation
+    * wall-clock without adding evidence. */
+  private val factTables = Set("orders", "lineitem", "events", "documents",
+    "embeddings")
+
   private[graft] def generate(s: SparkSession, base: String, out: String,
-      mult: Int, zipf: Boolean): Unit = {
+      mult: Int, zipf: Boolean,
+      tables: Set[String] = factTables): Unit = {
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(k => f(df, k)).reduce(_ unionAll _)
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (tables(name) || !factTables(name))
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // unscaled dims, copied verbatim
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(Tables.load(s, base, t), t)
 
-    val orderOff = Tables.orders(s, base).agg(max(col("o_orderkey")))
-      .collect()(0).getLong(0) + 1
-    write(copies(Tables.orders(s, base)) { (df, k) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * orderOff))
-    }, "orders")
-    write(copies(Tables.lineitem(s, base)) { (df, k) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * orderOff))
-    }, "lineitem")
+    if (tables("orders") || tables("lineitem")) {
+      val orderOff = Tables.orders(s, base).agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0) + 1
+      write(copies(Tables.orders(s, base)) { (df, k) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(k * orderOff))
+      }, "orders")
+      write(copies(Tables.lineitem(s, base)) { (df, k) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(k * orderOff))
+      }, "lineitem")
+    }
 
-    val eventOff = Tables.events(s, base).agg(max(col("event_id")))
-      .collect()(0).getLong(0) + 1
-    // ts written as micros TimestampType; Tables.normalizeEvents passes it
-    // through (the nanos coercion only applies to the driver's raw files)
-    write(copies(Tables.events(s, base)) { (df, k) =>
-      df.withColumn("event_id", col("event_id") + lit(k * eventOff))
-    }, "events")
+    if (tables("events")) {
+      val eventOff = Tables.events(s, base).agg(max(col("event_id")))
+        .collect()(0).getLong(0) + 1
+      // ts written as micros TimestampType; Tables.normalizeEvents passes it
+      // through (the nanos coercion only applies to the driver's raw files)
+      write(copies(Tables.events(s, base)) { (df, k) =>
+        df.withColumn("event_id", col("event_id") + lit(k * eventOff))
+      }, "events")
+    }
 
-    val docOff = Tables.documents(s, base).agg(max(col("doc_id")))
-      .collect()(0).getLong(0) + 1
-    write(copies(Tables.documents(s, base)) { (df, k) =>
-      val rot = translate(col("text"), alpha, rotated(k))
-      val text =
-        if (k == 0) col("text")
-        else if (zipf) when((col("doc_id") + 1) * k <= lit(docOff), col("text"))
-          .otherwise(rot)
-        else rot
-      df.withColumn("text", text)
-        .withColumn("doc_id", col("doc_id") + lit(k * docOff))
-    }, "documents")
+    if (tables("documents")) {
+      val docOff = Tables.documents(s, base).agg(max(col("doc_id")))
+        .collect()(0).getLong(0) + 1
+      write(copies(Tables.documents(s, base)) { (df, k) =>
+        val rot = translate(col("text"), alpha, rotated(k))
+        val text =
+          if (k == 0) col("text")
+          else if (zipf) when((col("doc_id") + 1) * k <= lit(docOff), col("text"))
+            .otherwise(rot)
+          else rot
+        df.withColumn("text", text)
+          .withColumn("doc_id", col("doc_id") + lit(k * docOff))
+      }, "documents")
+    }
 
-    val vecOff = Tables.embeddings(s, base).agg(max(col("vec_id")))
-      .collect()(0).getLong(0) + 1
-    write(copies(Tables.embeddings(s, base)) { (df, k) =>
-      if (k == 0) df
-      else df.withColumn("vec_id", col("vec_id") + lit(k * vecOff))
-        .withColumn("embedding", expr(
-          s"""transform(embedding, (x, i) -> cast(x +
-             |(((vec_id * 31L + ${k}L * 1103515245L + i * 12345L) % 1000L) / 10000.0 - 0.05)
-             |as float))""".stripMargin.replace("\n", " ")))
-    }, "embeddings")
+    if (tables("embeddings")) {
+      val vecOff = Tables.embeddings(s, base).agg(max(col("vec_id")))
+        .collect()(0).getLong(0) + 1
+      write(copies(Tables.embeddings(s, base)) { (df, k) =>
+        if (k == 0) df
+        else df.withColumn("vec_id", col("vec_id") + lit(k * vecOff))
+          .withColumn("embedding", expr(
+            s"""transform(embedding, (x, i) -> cast(x +
+               |(((vec_id * 31L + ${k}L * 1103515245L + i * 12345L) % 1000L) / 10000.0 - 0.05)
+               |as float))""".stripMargin.replace("\n", " ")))
+      }, "embeddings")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -124,10 +142,22 @@ object Soak {
     val spark = GraftSession.local("graft-soak", cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+    // SPARK_GRAFT_SOAK_TABLES: restrict fact-table generation for very
+    // large targeted tiers (dims always copied). Fail fast on unknown
+    // names — same rationale as the SOAK_ONLY validation below.
+    val genTables = sys.env.get("SPARK_GRAFT_SOAK_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(factTables)
+    val unknownTables = genTables -- factTables
+    require(unknownTables.isEmpty,
+      s"SPARK_GRAFT_SOAK_TABLES names not fact tables: ${unknownTables.mkString(", ")}")
+    require(genTables.nonEmpty, "SPARK_GRAFT_SOAK_TABLES selected zero tables")
+    val genMarkers = genTables.map(t => s"$out/$t.parquet/_SUCCESS")
+    if (!genMarkers.forall(m => new File(m).exists())) {
       System.err.println(s"[soak] generating ${mult}x corpus under $out" +
-        (if (zipf) " (zipf duplication)" else ""))
-      generate(spark, base, out, mult, zipf)
+        (if (zipf) " (zipf duplication)" else "") +
+        (if (genTables != factTables) s" (tables: ${genTables.mkString(",")})" else ""))
+      generate(spark, base, out, mult, zipf, genTables)
     }
 
     val names = Registry.all.filter(_.headline).map(_.name) ++

@@ -1,0 +1,116 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Spill-pressure probe: the "spill-aware" claim measured instead of
+  * argued. Runs a gated query on a soak corpus twice in one process —
+  * first under deliberately starved execution memory
+  * (`spark.memory.fraction` collapsed so sorts/aggregates/joins cannot
+  * hold their buffers), then under the normal session — and asserts the
+  * starved run (a) actually spilled (task-metrics `diskBytesSpilled` > 0;
+  * a probe that never spilled proves nothing) and (b) produced the
+  * IDENTICAL result (order-insensitive row-hash sum). That is the
+  * production contract at 100 TB: when a partition outgrows executor
+  * memory, operators degrade to disk gracefully — same answer, bounded
+  * memory, no OOM — rather than requiring partition sizes to be tuned
+  * exactly right in advance.
+  *
+  * Env: SPARK_GRAFT_SPILL_DIR (corpus; default target/soak/x30 — generate
+  * via graft.Soak), SPARK_GRAFT_SPILL_QUERY (default qd03),
+  * SPARK_GRAFT_SPILL_FRACTION (default 0.02), SPARK_GRAFT_CPUS.
+  *
+  * Output: one JSON line per run with wall seconds + spill bytes.
+  */
+object SpillProbe {
+
+  private final class SpillListener extends SparkListener {
+    val mem = new AtomicLong(0L)
+    val disk = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private def session(cores: String, starved: Option[Double]): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-spill-${starved.fold("normal")(f => s"starved-$f")}")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    starved.foreach { f =>
+      // fraction of (heap - 300 MB reserved) usable for execution+storage;
+      // collapsing it forces every buffering operator through its spill
+      // path without shrinking the JVM (the data-structure sizes stay
+      // production-shaped, only the budget moves)
+      b.config("spark.memory.fraction", f.toString)
+        .config("spark.memory.storageFraction", "0.1")
+    }
+    b.getOrCreate()
+  }
+
+  /** Order-insensitive result fingerprint: decimal sum of per-row xxhash64
+    * over every column (decimal so ANSI mode cannot overflow-throw), so
+    * two runs compare without a driver-side collect of the (large) result
+    * itself. */
+  private def fingerprint(spark: SparkSession, dir: String, q: Q): (Long, String) = {
+    val df = q.run(spark, dir)
+    val row = df
+      .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h").cast("decimal(38,0)")).as("s"))
+      .collect()(0)
+    (row.getLong(0), Option(row.getDecimal(1)).map(_.toPlainString).getOrElse("0"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SPILL_DIR", "target/soak/x30")
+    val qName = sys.env.getOrElse("SPARK_GRAFT_SPILL_QUERY", "qd03_minhash_lsh_pairs")
+    val fraction = sys.env.getOrElse("SPARK_GRAFT_SPILL_FRACTION", "0.02").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val q = Registry.byName(qName)
+
+    def run(starved: Option[Double]): (Long, String, Double, Long, Long) = {
+      val spark = session(cpus, starved)
+      spark.sparkContext.setLogLevel("ERROR")
+      val listener = new SpillListener
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val (n, h) = fingerprint(spark, dir, q)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // let the (async) listener bus drain task-end events before
+        // reading the counters; the queue is tiny once the job is done
+        Thread.sleep(2000)
+        (n, h, secs, listener.mem.get(), listener.disk.get())
+      } finally spark.stop()
+    }
+
+    val (sn, sh, ssec, smem, sdisk) = run(Some(fraction))
+    val (nn, nh, nsec, nmem, ndisk) = run(None)
+
+    // Locale.ROOT: a comma-decimal JVM locale would emit invalid JSON
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def js(tag: String, n: Long, h: String, s: Double, m: Long, d: Long) =
+      println(s"""{"metric":"spill_$tag","query":"$qName","dir":"$dir","rows":$n,"hash":"$h","sec":${fmt(s)},"memoryBytesSpilled":$m,"diskBytesSpilled":$d}""")
+    js("starved", sn, sh, ssec, smem, sdisk)
+    js("normal", nn, nh, nsec, nmem, ndisk)
+
+    require(sdisk > 0L,
+      s"starved run did not spill (diskBytesSpilled=0) — lower " +
+        s"SPARK_GRAFT_SPILL_FRACTION or use a heavier query/corpus; " +
+        s"without a spill the graceful-degradation claim is unexercised")
+    require(sn == nn && sh == nh,
+      s"starved result diverged: rows $sn vs $nn, hash $sh vs $nh")
+    println(s"""{"metric":"spill_verdict","query":"$qName","identical":true,"starved_over_normal":${fmt(ssec / nsec)}}""")
+  }
+}
