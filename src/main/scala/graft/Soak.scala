@@ -270,11 +270,20 @@ object Soak {
 
     // streaming near-dup bounded-state channel: run the gated qst10 face
     // over the soak corpus and report its poison/eviction counters — the
-    // streaming analogue of the batch drop channels above
-    val stKept = Registry.byName("qst10_stream_neardup").run(spark, out).count()
-    val stEvict = graft.streaming.StreamingQueries.lastNearDupEvictions
-      .map(_.value).getOrElse(-1L)
-    println(s"""{"metric":"soak_stream_neardup","kept":$stKept,"evicted_entries":$stEvict}""")
+    // streaming analogue of the batch drop channels above. The gate face
+    // materializes through a MEMORY sink (that is what makes it a
+    // driver-checkable bounded gate), so its result set is bounded by
+    // spark.driver.maxResultSize by construction — ~1.5M kept rows (300×)
+    // fits, 5M (1000×) does not. Opt out for tiers past that
+    // (SPARK_GRAFT_SOAK_STREAM=0): the production path is foreachBatch/
+    // file sinks (no driver collect), and the bounded-STATE evidence at
+    // big multiples is StateCurves' per-trigger rows, not sink volume.
+    if (!sys.env.get("SPARK_GRAFT_SOAK_STREAM").contains("0")) {
+      val stKept = Registry.byName("qst10_stream_neardup").run(spark, out).count()
+      val stEvict = graft.streaming.StreamingQueries.lastNearDupEvictions
+        .map(_.value).getOrElse(-1L)
+      println(s"""{"metric":"soak_stream_neardup","kept":$stKept,"evicted_entries":$stEvict}""")
+    }
 
     // K-sizing demonstration for the SemDeDup family (qd11/qp02): at fixed
     // K the within-cluster pair stage is O(N²/K) — quadratic under corpus
