@@ -172,10 +172,57 @@ object FileSources {
       |  md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS content_hash
       |FROM documents GROUP BY 1""".stripMargin
 
+  private def corruptDir(d: String): String = scratchDir("jsonl-corrupt", d)
+
+  /** qf06: corrupt-record-tolerant ingest — the file-source behavior a
+    * 100 TB crawl batch actually needs: torn/garbage lines must be
+    * ACCOUNTED, not crash the job (FAILFAST) or vanish silently
+    * (DROPMALFORMED). Documents are written as JSONL with every
+    * doc_id % 7 == 0 line deterministically truncated mid-string
+    * (unterminated JSON — the torn-record shape); the read back uses
+    * PERMISSIVE mode with `_corrupt_record`, and the gate aggregates BOTH
+    * populations: the corrupt count (the data-loss ledger an ingest tier
+    * must report) and content sums over clean rows only (corrupt rows
+    * excluded by `_corrupt_record IS NULL`, so JSON partial-results
+    * recovery of a torn row's parseable prefix can never leak into the
+    * clean-side numbers). The oracle restates both from the corruption
+    * rule. At scale this is per-record work inside the scan — no shuffle,
+    * no driver involvement, and one bad split cannot poison the batch. */
+  private def qf06(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = corruptDir(d)
+    docs.select(
+      when(col("doc_id") % 7 === 0,
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"text\":\"TORN")))
+        .otherwise(to_json(struct(col("doc_id"), col("text"))))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    s.read
+      .schema("doc_id LONG, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("good_id_sum"),
+        sum(when(col("_corrupt_record").isNull, length(col("text"))))
+          .as("good_text_chars"))
+  }
+
+  private val qf06Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (doc_id % 7 = 0) AS BIGINT) AS n_corrupt,
+      |  CAST(sum(doc_id) FILTER (doc_id % 7 <> 0) AS BIGINT) AS good_id_sum,
+      |  CAST(sum(length(text)) FILTER (doc_id % 7 <> 0) AS BIGINT) AS good_text_chars
+      |FROM documents""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
     Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
     Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)),
     Q("qf04_partitioned_roundtrip", qf04, Some(qf04Sql)),
-    Q("qf05_text_roundtrip", qf05, Some(qf05Sql)))
+    Q("qf05_text_roundtrip", qf05, Some(qf05Sql)),
+    Q("qf06_corrupt_tolerant", qf06, Some(qf06Sql)))
 }

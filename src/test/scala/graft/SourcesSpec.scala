@@ -48,6 +48,40 @@ class SourcesSpec extends SparkSpec {
     assert(ev.filter(col("ts").isNull).count() === 0)
   }
 
+  test("corrupt JSONL: PERMISSIVE accounts, DROPMALFORMED drops, FAILFAST throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val lines = Seq(
+      """{"doc_id":1,"text":"ok one"}""",
+      """{"doc_id":2,"text":"torn""", // unterminated string
+      """{"doc_id":3,"text":"ok three"}""",
+      """not json at all""")
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = "doc_id LONG, text STRING, _corrupt_record STRING"
+
+    // corrupt-column-only queries on the raw file are disallowed
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the
+    // parsed result first, exactly as the error message prescribes
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache()
+    assert(perm.count() === 4)
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() === 2)
+    // the clean side must be exactly the two good rows
+    assert(perm.filter(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+
+    val dropped = spark.read.schema("doc_id LONG, text STRING")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+
+    val failfast = spark.read.schema("doc_id LONG, text STRING")
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("text-line codec: limit-2 split keeps tabs inside the payload") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
