@@ -338,10 +338,85 @@ object Multimodal {
        |WHERE f % 2 = 0""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qm06: binaryFile-format ingest — the path multimodal data actually
+  // arrives by at scale: a DIRECTORY OF MEDIA FILES, not rows in a table.
+  // Fixture: an executor-side job writes one real .wav per document
+  // (doc_id < 64) into a scratch dir; the gated read then uses Spark's
+  // `binaryFile` source (one file = one row: path, length, content),
+  // extracts the doc id from the file NAME, decodes `content` through
+  // WavCodec, and emits features from the decoded samples. The oracle
+  // restates qm04's synthesis arithmetic over the same id range — so the
+  // gate spans the full loop: file write → directory scan → per-file
+  // binary → real codec → features. At 100 TB the source partitions by
+  // files (maxPartitionBytes over file sizes), so a billion-file corpus
+  // scans in parallel with no driver involvement beyond listing.
+  // ---------------------------------------------------------------------
+  private def wavDir(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-wavfiles-" + Integer.toHexString(d.hashCode) +
+      "-p" + ProcessHandle.current().pid()
+
+  private def qm06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = wavDir(d)
+    new java.io.File(dir).mkdirs()
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 64 && length(col("text")) >= 40)
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    // distributed fixture write: each task writes its rows' files
+    docs.foreachPartition { rows: Iterator[MediaRow] =>
+      rows.foreach { r =>
+        val (rate, pcm) = synthPcm(r.doc_id, r.text)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"doc_${r.doc_id}.wav"),
+          WavCodec.encode(rate, Array(pcm)))
+      }
+    }
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+        col("length").cast("int").as("n_bytes"),
+        col("content"))
+    files.select(col("doc_id"), col("n_bytes"), col("content"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, nBytes, payload) =>
+          val wav = WavCodec.decode(payload)
+          val samples = wav.samples(0)
+          var peak = 0; var sumSq = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toInt
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v.toLong * v
+            i += 1
+          }
+          (id, nBytes, wav.sampleRate, wav.numSamples, peak, sumSq)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "sample_rate", "n_samples", "peak_abs", "sum_sq")
+  }
+
+  private val qm06Sql = {
+    def samp(k: String) =
+      s"((unicode(substr(text, 1 + ($k) * (length(text) // n), 1)) * 31 + ($k) * 7) % 4001 - 2000)"
+    s"""SELECT doc_id,
+       |  CAST(44 + 2 * n AS INT) AS n_bytes,
+       |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       |  CAST(n AS INT) AS n_samples,
+       |  CAST(list_max(list_transform(range(0, n), k -> abs(${samp("k")}))) AS INT) AS peak_abs,
+       |  CAST(list_sum(list_transform(range(0, n), k -> ${samp("k")} * ${samp("k")})) AS BIGINT) AS sum_sq
+       |FROM (SELECT doc_id, text, 16 + doc_id % 17 AS n
+       |      FROM documents WHERE doc_id < 64 AND length(text) >= 40)""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
     Q("qm02_decode_features", qm02, Some(qm02Sql)),
     Q("qm03_frame_sampling", qm03, Some(qm03Sql)),
     Q("qm04_audio_features", qm04, Some(qm04Sql)),
-    Q("qm05_video_frame_sample", qm05, Some(qm05Sql)))
+    Q("qm05_video_frame_sample", qm05, Some(qm05Sql)),
+    Q("qm06_binary_file_ingest", qm06, Some(qm06Sql)))
 }

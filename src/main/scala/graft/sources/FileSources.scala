@@ -218,11 +218,36 @@ object FileSources {
       |  CAST(sum(length(text)) FILTER (doc_id % 7 <> 0) AS BIGINT) AS good_text_chars
       |FROM documents""".stripMargin
 
+  private def gzDir(d: String): String = scratchDir("jsonl-gz", d)
+
+  /** qf07: compressed-text roundtrip — JSONL written gzip, read back
+    * transparently (extension-dispatched codec), same per-decade
+    * aggregate as qf05 so the oracle is shared shape. The 100 TB note is
+    * the layout rule this gate stands for: gzip is NOT splittable — one
+    * .gz file = one task, so a compressed ingest tier must arrive as
+    * many files (or a splittable codec) for the scan to parallelize;
+    * Spark's reader handles either transparently, which is exactly what
+    * the gate pins. */
+  private def qf07(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = gzDir(d)
+    docs.select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .repartition(4) // several .gz files: the parallel-scan layout
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+    s.read.schema("doc_id LONG, text STRING").json(path)
+      .groupBy((col("doc_id") % 10).as("decade"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars"),
+        md5(concat_ws("|", sort_array(collect_list(md5(col("text")))))).as("content_hash"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
     Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
     Q("qf03_orc_roundtrip", qf03, Some(qf02Sql)),
     Q("qf04_partitioned_roundtrip", qf04, Some(qf04Sql)),
     Q("qf05_text_roundtrip", qf05, Some(qf05Sql)),
-    Q("qf06_corrupt_tolerant", qf06, Some(qf06Sql)))
+    Q("qf06_corrupt_tolerant", qf06, Some(qf06Sql)),
+    // same aggregate shape as qf05, so the oracle is reused verbatim
+    Q("qf07_compressed_roundtrip", qf07, Some(qf05Sql)))
 }
