@@ -350,7 +350,10 @@ object Multimodal {
   // gate spans the full loop: file write → directory scan → per-file
   // binary → real codec → features. At 100 TB the source partitions by
   // files (maxPartitionBytes over file sizes), so a billion-file corpus
-  // scans in parallel with no driver involvement beyond listing.
+  // scans in parallel with no driver involvement beyond listing. (The
+  // executor-side fixture WRITE is a local-mode test device — all tasks
+  // share one filesystem here; production corpora arrive on shared
+  // storage and only the gated READ path is the operator.)
   // ---------------------------------------------------------------------
   private def wavDir(d: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") +

@@ -26,14 +26,14 @@ import graft.sources.Tables
 object Similarity {
 
   private val Dim = 64
-  private val NumPlanes = 4 // gated query: 2^4 = 16 buckets (oracle-stable)
+  private[graft] val NumPlanes = 4 // gated query: 2^4 = 16 buckets (oracle-stable)
   private val PlaneSeed = 1001L // site seed; Embeddings uses its own
 
   /** bucket = Σ_j 2^j · [dot(emb, plane_j) > 0]. Planes are double-array
     * literals through the codegen'd FloatDoubleDot; the oracle evaluates
     * the exact-decimal prints of the same doubles — identical constants,
     * identical folds. */
-  private def bucketExpr(numPlanes: Int): org.apache.spark.sql.Column =
+  private[graft] def bucketExpr(numPlanes: Int): org.apache.spark.sql.Column =
     (0 until numPlanes).map { j =>
       when(Vectors.fastDotFD(col("embedding"),
           typedLit(Hyperplanes.plane(PlaneSeed, j, numPlanes, Dim))) > 0, lit(1 << j))
@@ -135,7 +135,9 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
-  private val qs02Sql = qs02SqlFor(NumPlanes)
+  // shared with qst22's streaming face — same candidates, same ranking
+  private[graft] val qs02SqlShared = qs02SqlFor(NumPlanes)
+  private val qs02Sql = qs02SqlShared
 
   // ---------------------------------------------------------------------
   // qs03: IVF-style ANN — inverted-file search with a FIXED-K sampled

@@ -426,10 +426,12 @@ object Relational {
         (abs(col("approx_users") - col("exact_users"))
           <= col("exact_users") * lit(0.15)).as("approx_within_bound"))
 
-  private val q18Sql =
+  // shared with qst21's streaming face — the property bound is identical
+  private[graft] val q18SqlShared =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users, count(*) AS n,
       |  TRUE AS approx_within_bound
       |FROM events GROUP BY event_type""".stripMargin
+  private val q18Sql = q18SqlShared
 
   // ---------------------------------------------------------------------
   // q19: cube (full grouping-set lattice).

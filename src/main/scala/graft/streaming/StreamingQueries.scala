@@ -753,6 +753,71 @@ object StreamingQueries {
       |  CAST(sum(user_id) AS BIGINT) AS uid_sum
       |FROM events GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst21: streaming approximate distinct — approx_count_distinct (HLL++)
+  // as a STREAMING aggregation. Exact countDistinct is unsupported in
+  // streaming (it would need unbounded per-group value state — precisely
+  // what a 100 TB stream cannot hold); the sketch is the production form:
+  // a fixed-size buffer per group, merged through the state store across
+  // batches. The gate runs the sketch on the streaming path and
+  // property-checks it against the BATCH exact count (q18's ≥3σ bound,
+  // deterministic for fixed data + Spark version); the cross-batch
+  // sketch-merge-through-state face is pinned by a two-batch
+  // MemoryStream spec asserting the streamed estimate equals the batch
+  // estimate over the union — same sketch algebra, same hash, so exact
+  // equality, not a tolerance.
+  // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // qst22: streaming ANN — the RAG-ingest shape: query vectors ARRIVE AS A
+  // STREAM and score against a STATIC LSH-indexed corpus (qs02's bucket
+  // algebra, roles flipped: there the small query set broadcast against
+  // the big corpus; here the corpus is the prepared static side of a
+  // stream-static equi-join on bucket id, so per-arrival work is one hash
+  // + one bucket's candidates, never a corpus scan). The streaming query
+  // emits SCORED CANDIDATES in append mode — per-query top-k ranking is
+  // not streamable (a window over all of a query's candidates needs the
+  // candidate set complete), so ranking runs as a batch window over the
+  // sink, exactly where a production pipeline would put it (rank-on-read
+  // or a downstream batch stage). Oracle: qs02's verbatim — the streamed
+  // path must reproduce the batch LSH answer exactly.
+  // ---------------------------------------------------------------------
+  private def qst22(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Similarity
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("bucket"))
+    val scored = runBounded(s, d, "embeddings", "append") { emb =>
+      emb.filter(col("vec_id") < 10)
+        .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+        .join(corpus, Seq("bucket"))
+        .select(col("q_id"), col("bucket"), col("n_id"),
+          graft.functions.Vectors.fastCosine(col("q_emb"), col("n_emb"))
+            .as("cos_sim"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  private def qst21(s: SparkSession, d: String): DataFrame = {
+    val streamed = runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+    }
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+    streamed.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.15)).as("approx_within_bound"))
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -780,5 +845,13 @@ object StreamingQueries {
     // same keeper rule, same oracle as qst16: the 1 h horizon cannot bind
     // inside a seconds-long bounded replay (see qst19 scaladoc)
     Q("qst19_stream_block_dedup_ttl", qst19, Some(qst16Sql)),
-    Q("qst20_state_reader", qst20, Some(qst20Sql)))
+    Q("qst20_state_reader", qst20, Some(qst20Sql)),
+    // q18's property oracle verbatim: the bound is data-deterministic and
+    // the streaming sketch answers it on the streaming path
+    Q("qst21_stream_approx_distinct", qst21,
+      Some(graft.operators.Relational.q18SqlShared)),
+    // qs02's oracle verbatim: same bucket algebra, same candidates, same
+    // deterministic ranking — the streaming path must reproduce it exactly
+    Q("qst22_stream_ann", qst22,
+      Some(graft.ext.Similarity.qs02SqlShared)))
 }

@@ -828,6 +828,39 @@ class StreamingSpec extends SparkSpec {
       (0L, "update", "a", 2L, 3L), (0L, "update", "b", 1L, 10L),
       (1L, "update", "b", 2L, 15L), (1L, "update", "c", 1L, 7L)))
   }
+
+  test("approx_count_distinct sketch merges through state across batches") {
+    // the qst21 face that the bounded single-batch gate cannot show: HLL++
+    // buffers stored in the state store must MERGE across batches, and the
+    // sketch algebra is deterministic — so the streamed estimate over two
+    // batches equals the batch estimate over the union EXACTLY (same
+    // hashes, same merge), not within a tolerance
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val agg = ms.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(approx_count_distinct(col("v")).as("est"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hllmerge").start()
+    val b1 = (1L to 400L).map(("a", _)) ++ (1L to 50L).map(("b", _))
+    val b2 = (201L to 600L).map(("a", _)) ++ (26L to 75L).map(("b", _))
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllmerge")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      val batch = (b1 ++ b2).toDF("k", "v")
+        .groupBy(col("k")).agg(approx_count_distinct(col("v")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "streamed sketch estimate must equal the batch estimate exactly")
+      // and the estimates are sane vs the true distinct counts (600, 75)
+      assert(math.abs(streamed("a") - 600L) <= 90)
+      assert(math.abs(streamed("b") - 75L) <= 12)
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
