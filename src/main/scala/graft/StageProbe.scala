@@ -79,7 +79,20 @@ object StageProbe {
 
     Tables.lineitem(spark, base).limit(1000).count() // warm codegen/JIT
 
-    val times = variants.map { case (n, mk) => n -> bestOf2(mk) }
+    // SPARK_GRAFT_STAGE_ONLY=qd03,qd12: restrict to query prefixes for
+    // targeted large-mult attributions (fail fast on a prefix matching
+    // nothing — same rationale as the Soak knobs)
+    val only = sys.env.get("SPARK_GRAFT_STAGE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(variants) { prefixes =>
+      prefixes.foreach { p =>
+        require(variants.exists(_._1.startsWith(p)),
+          s"SPARK_GRAFT_STAGE_ONLY prefix matches nothing: $p")
+      }
+      variants.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    }
+
+    val times = selected.map { case (n, mk) => n -> bestOf2(mk) }
     println(times.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString(s"""{"metric":"stage_probe","mult":$mult,""", ",", "}"))
     spark.stop()
