@@ -724,6 +724,51 @@ class WavCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Property-based identity checks for the media codecs: any payload the
+  * encoder accepts must decode back bit-exact — arbitrary channel counts,
+  * empty PCM, extreme samples, arbitrary frame stacks. */
+class CodecPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.{Gen => SGen, Prop, Test => SCTest}
+  import graft.ext.{WavCodec, Y4mCodec}
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(50).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: WAV round trip is identity for arbitrary 16-bit PCM") {
+    val gen = for {
+      ch <- SGen.choose(1, 4)
+      n <- SGen.choose(0, 200) // n = 0: empty data chunk must round-trip too
+      rate <- SGen.oneOf(8000, 16000, 22050, 44100, 48000)
+      chans <- SGen.listOfN(ch, SGen.listOfN(n,
+        SGen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort)))
+    } yield (rate, chans.map(_.toArray).toArray)
+    check(Prop.forAll(gen) { case (rate, samples) =>
+      val w = WavCodec.decode(WavCodec.encode(rate, samples))
+      w.sampleRate == rate && w.channels == samples.length &&
+        w.samples.zip(samples).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
+
+  test("property: Y4M round trip is identity for arbitrary C444 frame stacks") {
+    val gen = for {
+      w <- SGen.choose(1, 16); h <- SGen.choose(1, 16)
+      nf <- SGen.choose(0, 6)
+      num <- SGen.choose(1, 60000); den <- SGen.choose(1, 1001)
+      frames <- SGen.listOfN(nf,
+        SGen.listOfN(w * h * 3, SGen.choose(0, 255).map(_.toByte)))
+    } yield (w, h, num, den, frames.map(_.toArray))
+    check(Prop.forAll(gen) { case (w, h, num, den, frames) =>
+      val v = Y4mCodec.decode(Y4mCodec.encode(w, h, num, den, frames))
+      v.width == w && v.height == h && v.fpsNum == num && v.fpsDen == den &&
+        v.frames.length == frames.length &&
+        v.frames.zip(frames).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
+}
+
 class Y4mCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.ext.Y4mCodec
 
