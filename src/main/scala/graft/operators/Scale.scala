@@ -626,6 +626,36 @@ object Scale {
   private val qx12Sql =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  // ---------------------------------------------------------------------
+  // qx13: deterministic train/val/test split — the holdout primitive every
+  // training pipeline needs, with the two properties df.randomSplit cannot
+  // give at 100 TB: (a) reproducibility independent of partitioning, visit
+  // order, and retries (the assignment is a pure function of the ROW, no
+  // RNG state), and (b) leakage safety against exact duplicates — the
+  // split key is md5(text), not doc_id, so verbatim copies of a document
+  // can NEVER straddle splits (near-dup-safe splitting composes the same
+  // way: key on qd08's component id instead). A salt decorrelates this
+  // hash from qx03's sampling buckets, so sampling and splitting compose
+  // without correlation. Pure map-side projection: no shuffle, no state —
+  // the same expression splits a stream (it is qx03's shape with a
+  // three-way CASE). 90/5/5 over a 0..999 bucket.
+  // ---------------------------------------------------------------------
+  private def qx13(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', md5(text))), 1, 15), 16, 10) as bigint) % 1000"))
+      .select(col("doc_id"), col("bucket"),
+        expr("CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' ELSE 'test' END")
+          .as("split"))
+
+  private val qx13Sql =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST('0x' || substr(md5('split:' || md5(text)), 1, 15) AS BIGINT) % 1000 AS bucket
+      |      FROM documents)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -638,5 +668,6 @@ object Scale {
     Q("qx09_epoch_mix", qx09, Some(qx09Sql)),
     Q("qx10_bloom_join", qx10, Some(qx10Sql)),
     Q("qx11_skew_join", qx11, Some(qx11Sql)),
-    Q("qx12_rebalance_output", qx12, Some(qx12Sql)))
+    Q("qx12_rebalance_output", qx12, Some(qx12Sql)),
+    Q("qx13_dataset_split", qx13, Some(qx13Sql)))
 }

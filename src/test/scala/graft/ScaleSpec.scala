@@ -389,3 +389,32 @@ class EpochMixSpec extends SparkSpec {
   }
 
 }
+
+class DatasetSplitSpec extends SparkSpec {
+
+  test("qx13 split: disjoint, exhaustive, and exact duplicates never straddle splits") {
+    val out = Registry.byName("qx13_dataset_split").run(spark, sf)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    // exhaustive (every doc assigned) and disjoint (one row per doc)
+    assert(out.count() === total)
+    assert(out.select("doc_id").distinct().count() === total)
+    assert(out.select("split").distinct().count() === 3)
+
+    // leakage safety: the split key is md5(text), so planted verbatim
+    // duplicates MUST receive identical assignments
+    import spark.implicits._
+    val dups = Seq(
+      (1L, "the exact same document text"),
+      (2L, "the exact same document text"),
+      (3L, "the exact same document text"),
+      (4L, "a different document entirely"),
+      (5L, "a different document entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', md5(text))), 1, 15), 16, 10) as bigint) % 1000"))
+    val buckets = dups.collect().map(r => r.getString(1) -> r.getLong(2))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    assert(buckets.values.forall(_.size == 1),
+      s"duplicate texts landed in different split buckets: $buckets")
+  }
+}
