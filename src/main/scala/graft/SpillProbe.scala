@@ -88,8 +88,18 @@ object SpillProbe {
         val (n, h) = fingerprint(spark, dir, q)
         val secs = (System.nanoTime() - t0) / 1e9
         // let the (async) listener bus drain task-end events before
-        // reading the counters; the queue is tiny once the job is done
-        Thread.sleep(2000)
+        // reading the counters: poll until they hold still for a full
+        // second (fixed sleeps undercount on a loaded machine), with a
+        // generous deadline as a backstop
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = (listener.mem.get(), listener.disk.get())
+        var stableSince = System.nanoTime()
+        while (System.nanoTime() < deadline &&
+               System.nanoTime() - stableSince < 1L * 1000 * 1000 * 1000) {
+          Thread.sleep(100)
+          val cur = (listener.mem.get(), listener.disk.get())
+          if (cur != last) { last = cur; stableSince = System.nanoTime() }
+        }
         (n, h, secs, listener.mem.get(), listener.disk.get())
       } finally spark.stop()
     }

@@ -363,7 +363,13 @@ object Multimodal {
   private def qm06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = wavDir(d)
-    new java.io.File(dir).mkdirs()
+    val dirF = new java.io.File(dir)
+    dirF.mkdirs()
+    // drop stale fixtures: if the documents table at this path changed
+    // within one JVM (e.g. a regenerated soak corpus), leftover doc_*.wav
+    // from the earlier content would be swept up by the binaryFile scan
+    Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".wav")).foreach(_.delete())
     val docs = Tables.documents(s, d)
       .filter(col("doc_id") < 64 && length(col("text")) >= 40)
       .select(col("doc_id"), col("text")).as[MediaRow]

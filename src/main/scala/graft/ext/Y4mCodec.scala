@@ -58,8 +58,9 @@ object Y4mCodec {
         case ('W', v) => width = v.toInt
         case ('H', v) => height = v.toInt
         case ('F', v) =>
-          val Array(n, d) = v.split(':')
-          fpsNum = n.toInt; fpsDen = d.toInt
+          val nd = v.split(':')
+          require(nd.length == 2, s"malformed F frame-rate tag '$tag' (want F<num>:<den>)")
+          fpsNum = nd(0).toInt; fpsDen = nd(1).toInt
         case ('C', _) => colorspace = tag
         case ('I', _) | ('A', _) | ('X', _) => // interlace/aspect/extension
         case _ =>

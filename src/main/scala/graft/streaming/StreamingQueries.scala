@@ -718,8 +718,22 @@ object StreamingQueries {
   // which is exactly what "the checkpoint holds the state you think it
   // holds" means.
   // ---------------------------------------------------------------------
+  /** Recursive delete at JVM exit: the statestore DataFrame reads the
+    * checkpoint LAZILY, so the dir must outlive the query's
+    * materialization — but repeated gate runs must not accumulate
+    * state-store files under /tmp. */
+  private def deleteOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Exception => () } // best-effort cleanup
+    }))
+
   private def qst20(s: SparkSession, d: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-qst20-ckpt-").toString
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-qst20-ckpt-")
+    deleteOnExit(ckptPath)
+    val ckpt = ckptPath.toString
     val path = s"$d/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = s.read.parquet(path).schema

@@ -811,6 +811,10 @@ class Y4mCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
       parse("YUV4MPEG2 W2 H2 C444\nFRAME\n", f))
     intercept[IllegalArgumentException](
       parse("YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n", f.take(5)))
+    // colon-less F tag must be IAE (not MatchError): callers catching
+    // IAE for corrupt streams rely on the documented contract
+    intercept[IllegalArgumentException](
+      parse("YUV4MPEG2 W2 H2 F25 C444\nFRAME\n", f))
   }
 }
 
