@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -185,6 +185,164 @@ object TextAnalysis {
       |  FROM toks WHERE len(toks) >= 2)
       |SELECT pair, count(*) AS n FROM pairs
       |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt16/qt17: BPE tokenizer — TRAIN (iterated merge learning) and APPLY
+  // (encode documents with the learned vocabulary). qt15 gated one merge
+  // step's counting pass; these close the loop into a real tokenizer.
+  //
+  // Representation: a word is a space-bracketed symbol string with
+  // DOUBLE-space delimiters — "hello" ⇒ " h  e  l  l  o " (every symbol
+  // carries its own one-space brackets). That makes one merge step a
+  // plain `replace(enc, ' a  b ', ' ab ')`: string replace scans
+  // left-to-right non-overlapping in BOTH engines (UTF8String.replace,
+  // DuckDB replace), which is exactly greedy BPE application — and the
+  // per-symbol brackets mean adjacent matches never share a delimiter
+  // char ("a a a" + merge(a,a) ⇒ [aa, a], the Sennrich reference
+  // behavior), so Spark and the oracle agree symbol-for-symbol.
+  //
+  // Train (qt16): the classic hard-to-parallelize loop, treated like
+  // qc02's k-means — vocabulary stays DISTRIBUTED (word TYPES weighted
+  // by frequency, so pair counting is map-side-combined over the vocab,
+  // not the corpus); each iteration is one groupBy(pair).sum(freq) and
+  // the driver collects only the single argmax row (n DESC, pair ASC
+  // deterministic tie-break) before folding the merge into `enc`. At
+  // 100 TB the vocab is Heaps-law sublinear in the corpus and each extra
+  // merge costs one small shuffle; only N scalar rows ever reach the
+  // driver. Apply (qt17) is a corpus-linear codegen'd projection: encode
+  // each token and fold the N trained merges as chained replaces IN
+  // ORDER, then one shuffle for the per-doc aggregate. This also
+  // upgrades the whitespace-token stand-in feeding the mix/packing
+  // budgets (qx04/qx05/qx07/qx09) into real tokenizer counts.
+  // Reference capability analogue: the A2 incremental-fold family
+  // (flink/YahooBenchmark.scala:229-242) — iterated stateful agg.
+  // ---------------------------------------------------------------------
+  private val BpeIters = 5
+
+  /** " h  e  l  l  o " — bracketed symbols, double-space delimited. */
+  private def bpeEnc(w: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+
+  /** Training vocabulary: lowercase alphabetic word types with counts. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr(toksExpr)).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), bpeEnc(col("w")).as("enc"))
+
+  /** N merge rules (lhs, rhs, weighted pair count at selection time) from
+    * a (freq, enc) vocabulary. Exposed for the spec. */
+  private[graft] def trainBpe(vocab: DataFrame, n: Int): Seq[(String, String, Long)] = {
+    val pairsOf =
+      "transform(sequence(1, size(syms) - 1), " +
+        "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    var cur = vocab.cache()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    try {
+      for (_ <- 1 to n) {
+        val top = cur
+          .withColumn("syms", split(trim(col("enc")), "  "))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(pairsOf)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()(0)
+        val Array(l, r) = top.getString(0).split(' ')
+        merges += ((l, r, top.getLong(1)))
+        cur = cur.withColumn("enc",
+          replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+      merges.result()
+    } finally vocab.unpersist()
+  }
+
+  private def qt16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainBpe(bpeVocab(s, d), BpeIters).zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1, l, r, l + r, n) }
+      .toDF("step", "lhs", "rhs", "merged", "n")
+  }
+
+  /** DuckDB mirror of one full training pass: v0 = vocab, then per step i
+    * a p_i (argmax pair of v_{i-1}) and v_i (merge applied). */
+  private def bpeTrainCtes(n: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS enc
+        |  FROM (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w)""".stripMargin
+    val steps = (1 to n).flatMap { i =>
+      val pick =
+        s"""p$i AS (
+           |  SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, n FROM (
+           |    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |      SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+           |      FROM (SELECT freq, string_split(trim(enc), '  ') AS syms FROM v${i - 1})
+           |      WHERE len(syms) >= 2
+           |    ) GROUP BY pair)
+           |  ORDER BY n DESC, pair ASC LIMIT 1)""".stripMargin
+      val fold =
+        s"""v$i AS (
+           |  SELECT freq, replace(enc, ' ' || lhs || '  ' || rhs || ' ',
+           |                            ' ' || lhs || rhs || ' ') AS enc
+           |  FROM v${i - 1} CROSS JOIN p$i)""".stripMargin
+      if (i < n) Seq(pick, fold) else Seq(pick) // last v_i never read
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
+  private val qt16Sql = {
+    val sel = (1 to BpeIters)
+      .map(i => s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, n FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeTrainCtes(BpeIters)}\n$sel"
+  }
+
+  private def qt17(s: SparkSession, d: String): DataFrame = {
+    val merges = trainBpe(bpeVocab(s, d), BpeIters)
+    val applied = merges.foldLeft(bpeEnc(col("w"))) { case (c, (l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), length(col("w")).as("n_chars_tok"),
+        size(split(trim(applied), "  ")).as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_chars_tok")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  private val qt17Sql = {
+    val mcols = (1 to BpeIters)
+      .map(i => s"p$i.lhs AS l$i, p$i.rhs AS r$i").mkString(", ")
+    val msrc = (1 to BpeIters).map(i => s"p$i").mkString(" CROSS JOIN ")
+    val applied = (1 to BpeIters).foldLeft(
+      """' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '""") {
+      (c, i) => s"replace($c, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
+    }
+    s"""WITH ${bpeTrainCtes(BpeIters)},
+       |m AS (SELECT $mcols FROM $msrc),
+       |tok AS (
+       |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+       |  FROM documents),
+       |app AS (
+       |  SELECT doc_id, length(w) AS n_chars_tok,
+       |    len(string_split(trim($applied), '  ')) AS n_sym
+       |  FROM tok CROSS JOIN m WHERE length(w) > 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars_tok) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM app GROUP BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // qt06: TF-IDF — per (doc, token) with tf ≥ 3: tf · ln((N+1)/(df+1)),
@@ -671,5 +829,7 @@ object TextAnalysis {
     Q("qt12_quality_classifier", qt12, Some(qt12Sql)),
     Q("qt13_rag_chunks", qt13, Some(qt13Sql)),
     Q("qt14_text_normalize", qt14, Some(qt14Sql)),
-    Q("qt15_bpe_pairs", qt15, Some(qt15Sql)))
+    Q("qt15_bpe_pairs", qt15, Some(qt15Sql)),
+    Q("qt16_bpe_train", qt16, Some(qt16Sql)),
+    Q("qt17_bpe_apply", qt17, Some(qt17Sql)))
 }

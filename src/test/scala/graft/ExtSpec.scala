@@ -1212,3 +1212,63 @@ class TextNormalizeSpec extends SparkSpec {
     assert(joined.filter(col("clean_text") =!= col("clean2")).count() === 0)
   }
 }
+
+class BpeSpec extends SparkSpec {
+
+  private def enc(c: org.apache.spark.sql.Column) =
+    concat(lit(" "), rtrim(regexp_replace(c, "(.)", "$1  ")), lit(" "))
+
+  test("greedy merge, frequency weighting, and overlap handling on a tiny vocab") {
+    import spark.implicits._
+    // "aaa"×3 contributes pair (a,a) weight 6 (two adjacencies); "ab"×5
+    // contributes (a,b) weight 5 → merge 1 is (a,a). GREEDY application
+    // turns "aaa" into [aa, a] (not [a, aa]), so iteration 2 sees
+    // (aa,a)=3 vs (a,b)=5 → merge 2 is (a,b); merge 3 is (aa,a).
+    val vocab = Seq((3L, "aaa"), (5L, "ab")).toDF("freq", "w")
+      .select(col("freq"), enc(col("w")).as("enc"))
+    assert(TextAnalysis.trainBpe(vocab, 3) ===
+      Seq(("a", "a", 6L), ("a", "b", 5L), ("aa", "a", 3L)))
+  }
+
+  test("tie-break is lexicographic on the pair string") {
+    import spark.implicits._
+    val vocab = Seq((2L, "xz"), (2L, "xy")).toDF("freq", "w")
+      .select(col("freq"), enc(col("w")).as("enc"))
+    assert(TextAnalysis.trainBpe(vocab, 1) === Seq(("x", "y", 2L)))
+  }
+
+  test("qt17 matches an independent JVM greedy BPE on sampled docs") {
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val merges = Registry.byName("qt16_bpe_train").run(spark, sf)
+      .orderBy("step").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(merges.length === 5 && merges.distinct.length === 5)
+    val rows = Registry.byName("qt17_bpe_apply").run(spark, sf)
+      .withColumnRenamed("n_chars", "n_chars_bpe") // documents has n_chars too
+      .join(Tables.documents(spark, sf), "doc_id")
+      .select("text", "n_tokens", "n_chars_bpe", "n_bpe_tokens")
+      .limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = r.getString(0).trim.split("\\s+").filter(_.nonEmpty)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      val expected = toks.map { t =>
+        merges.foldLeft(t.map(_.toString).toList) {
+          case (syms, (l, rr)) => applyMerge(syms, l, rr)
+        }.length
+      }.sum
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_chars_bpe") === toks.map(_.length).sum.toLong)
+      assert(r.getAs[Long]("n_bpe_tokens") === expected.toLong)
+    }
+  }
+}
