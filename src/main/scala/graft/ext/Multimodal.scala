@@ -421,11 +421,91 @@ object Multimodal {
        |      FROM documents WHERE doc_id < 64 AND length(text) >= 40)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qm07: the REAL compressed-image decode stage — each doc becomes an
+  // actual 8-bit truecolor PNG (zlib-deflated filtered scanlines via
+  // [[PngCodec]]; the JDK's Inflater supplies the zlib half, so this is
+  // the first COMPRESSED format in the suite). The encoder cycles filter
+  // types per row and every height here is ≥ 5, so each image exercises
+  // all five defilter paths (None/Sub/Up/Average/Paeth). Every output
+  // column comes from the DECODED image; beyond qm02's channel means, a
+  // position-weighted checksum Σ (k+1)·(r + 2g + 3b) pins per-PIXEL
+  // placement — a defilter bug that scrambled positions but preserved
+  // totals would still break the gate. The oracle restates the synthesis
+  // arithmetic from the text alone. (Compressed payload size is
+  // deliberately NOT gated: deflate output is a zlib-implementation
+  // detail, not a decode correctness fact.)
+  // ---------------------------------------------------------------------
+  final case class PngFeatures(
+      doc_id: Long,
+      width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      pos_checksum: Long)
+
+  /** w ∈ 3..6, h ∈ 5..7 (h ≥ 5 ⇒ all filter types), pixel k samples the
+    * text codepoints at evenly-spaced positions. */
+  private def synthPngPixels(id: Long, text: String): (Int, Int, Array[Int]) = {
+    val w = (3 + id % 4).toInt
+    val h = (5 + id % 3).toInt
+    val n = w * h
+    val cps = text.codePoints().toArray
+    val step = cps.length / n
+    val px = Array.tabulate(n) { k =>
+      val code = cps(k * step)
+      ((code % 256) << 16) | ((code * 3 % 256) << 8) | ((code + 5 * k) % 256)
+    }
+    (w, h, px)
+  }
+
+  private def qm07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 42) // >= max npix, so step >= 1
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = synthPngPixels(r.doc_id, r.text)
+        val img = PngCodec.decode(PngCodec.encode(w, h, px))
+        var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+        var k = 0
+        while (k < img.pixels.length) {
+          val p = img.pixels(k)
+          val red = (p >> 16) & 0xFF; val grn = (p >> 8) & 0xFF; val blu = p & 0xFF
+          sr += red; sg += grn; sb += blu
+          chk += (k + 1).toLong * (red + 2 * grn + 3 * blu)
+          k += 1
+        }
+        val n = img.pixels.length
+        PngFeatures(r.doc_id, img.width, img.height,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, chk)
+      }
+    }.toDF()
+  }
+
+  private val qm07Sql = {
+    def chan(f: String, alias: String) =
+      s"CAST(CAST(list_sum(list_transform(range(0, w*h), k -> $f)) AS BIGINT) AS DOUBLE) / (w*h) AS $alias"
+    val code = "unicode(substr(text, 1 + k * (length(text) // (w*h)), 1))"
+    val r = s"$code % 256"
+    val g = s"($code * 3) % 256"
+    val bb = s"($code + 5*k) % 256"
+    s"""SELECT doc_id,
+       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  ${chan(r, "mean_r")},
+       |  ${chan(g, "mean_g")},
+       |  ${chan(bb, "mean_b")},
+       |  CAST(list_sum(list_transform(range(0, w*h),
+       |    k -> (k + 1) * (($r) + 2*($g) + 3*($bb)))) AS BIGINT) AS pos_checksum
+       |FROM (SELECT doc_id, text, 3 + doc_id % 4 AS w, 5 + doc_id % 3 AS h
+       |      FROM documents WHERE length(text) >= 42)""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
     Q("qm02_decode_features", qm02, Some(qm02Sql)),
     Q("qm03_frame_sampling", qm03, Some(qm03Sql)),
     Q("qm04_audio_features", qm04, Some(qm04Sql)),
     Q("qm05_video_frame_sample", qm05, Some(qm05Sql)),
-    Q("qm06_binary_file_ingest", qm06, Some(qm06Sql)))
+    Q("qm06_binary_file_ingest", qm06, Some(qm06Sql)),
+    Q("qm07_png_decode_features", qm07, Some(qm07Sql)))
 }

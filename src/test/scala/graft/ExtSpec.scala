@@ -752,6 +752,18 @@ class CodecPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     })
   }
 
+  test("property: PNG round trip is identity for arbitrary RGB images") {
+    import graft.ext.PngCodec
+    val gen = for {
+      w <- SGen.choose(1, 12); h <- SGen.choose(1, 12) // h > 5 hits all filters
+      px <- SGen.listOfN(w * h, SGen.choose(0, 0xFFFFFF))
+    } yield (w, h, px.toArray)
+    check(Prop.forAll(gen) { case (w, h, px) =>
+      val img = PngCodec.decode(PngCodec.encode(w, h, px))
+      img.width == w && img.height == h && img.pixels.sameElements(px)
+    })
+  }
+
   test("property: Y4M round trip is identity for arbitrary C444 frame stacks") {
     val gen = for {
       w <- SGen.choose(1, 16); h <- SGen.choose(1, 16)
@@ -766,6 +778,72 @@ class CodecPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
         v.frames.length == frames.length &&
         v.frames.zip(frames).forall { case (a, b) => a.sameElements(b) }
     })
+  }
+}
+
+class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ext.PngCodec
+
+  private def img(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(k => (k * 2654435761L).toInt & 0xFFFFFF)
+
+  test("round trip exercises every filter type (h = 7 cycles 0..4)") {
+    val px = img(5, 7)
+    val out = PngCodec.decode(PngCodec.encode(5, 7, px))
+    assert(out.width === 5 && out.height === 7)
+    assert(out.pixels.toSeq === px.toSeq)
+  }
+
+  test("1x1 and single-column edges (no left/up neighbors)") {
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1))) {
+      val px = img(w, h)
+      assert(PngCodec.decode(PngCodec.encode(w, h, px)).pixels.toSeq === px.toSeq)
+    }
+  }
+
+  test("rejects bad signature, bad CRC, truncation, trailing garbage") {
+    val ok = PngCodec.encode(4, 6, img(4, 6))
+    val badSig = ok.clone(); badSig(0) = 'X'.toByte
+    intercept[IllegalArgumentException](PngCodec.decode(badSig))
+    val badCrc = ok.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    intercept[IllegalArgumentException](PngCodec.decode(badCrc))
+    intercept[IllegalArgumentException](PngCodec.decode(ok.take(ok.length - 3)))
+    intercept[IllegalArgumentException](PngCodec.decode(ok ++ Array[Byte](0)))
+  }
+
+  test("rejects unsupported color type / bit depth / interlace (CRC re-signed)") {
+    def patchIhdr(byteInIhdr: Int, v: Byte): Array[Byte] = {
+      val b = PngCodec.encode(4, 6, img(4, 6)).clone()
+      // IHDR data starts at offset 16 (8 sig + 4 len + 4 type)
+      b(16 + byteInIhdr) = v
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 4 + 13) // type + data
+      val cv = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+      System.arraycopy(cv, 0, b, 16 + 13, 4)
+      b
+    }
+    intercept[IllegalArgumentException](PngCodec.decode(patchIhdr(8, 16))) // bit depth
+    intercept[IllegalArgumentException](PngCodec.decode(patchIhdr(9, 6)))  // RGBA
+    intercept[IllegalArgumentException](PngCodec.decode(patchIhdr(12, 1))) // Adam7
+  }
+
+  test("rejects corrupt zlib body (valid CRC, garbage stream)") {
+    // hand-build a PNG whose IDAT is random non-zlib bytes with a CORRECT
+    // chunk CRC: the failure must come from the inflater, not the CRC walk
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val junk = Array.tabulate[Byte](20)(i => (i * 17 + 3).toByte)
+    val bad = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", junk) ++
+      chunk("IEND", Array.emptyByteArray)
+    intercept[IllegalArgumentException](PngCodec.decode(bad))
   }
 }
 
