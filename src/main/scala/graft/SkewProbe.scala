@@ -55,6 +55,53 @@ object SkewProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-TASK metrics (VERDICT r08 Next #1): local[32] slack absorbs a
+    * straggler at probe scale — 31 idle threads soak up the queue while
+    * one chews the hot partition, so WALL-CLOCK stays within noise. The
+    * straggler is still there, and on a busy 1000-executor cluster it is
+    * the stage's critical path. Max task duration and max per-task
+    * shuffle-read bytes make it visible regardless of scheduler slack. */
+  private final class TaskMaxListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val maxDurMs = new AtomicLong(0)
+    val maxShuffleRead = new AtomicLong(0)
+    // duration of the task that read the MOST shuffle bytes — the join
+    // straggler itself, as opposed to maxDurMs which any stage (e.g. the
+    // fact-generation explode) can own
+    val stragglerDurMs = new AtomicLong(0)
+    val nTasks = new AtomicLong(0)
+    def reset(): Unit = {
+      maxDurMs.set(0); maxShuffleRead.set(0); stragglerDurMs.set(0)
+      nTasks.set(0)
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      nTasks.incrementAndGet()
+      if (t.taskInfo != null)
+        maxDurMs.accumulateAndGet(t.taskInfo.duration, math.max)
+      if (t.taskMetrics != null) {
+        val read = t.taskMetrics.shuffleReadMetrics.totalBytesRead
+        val prev = maxShuffleRead.getAndAccumulate(read, math.max)
+        if (read > prev && t.taskInfo != null)
+          stragglerDurMs.set(t.taskInfo.duration)
+      }
+    }
+    /** Poll until the async listener bus has drained (counter holds still
+      * for 1 s; 30 s backstop). */
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = nTasks.get()
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             System.nanoTime() - stableSince < 1L * 1000 * 1000 * 1000) {
+        Thread.sleep(100)
+        val cur = nTasks.get()
+        if (cur != last) { last = cur; stableSince = System.nanoTime() }
+      }
+    }
+  }
+
   /** events ×mult via explode (no disk corpus needed — the join's shuffle,
     * not the scan, is under test), Zipf-keyed over the probe domain.
     *
@@ -131,10 +178,14 @@ object SkewProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
+    val taskMax = new TaskMaxListener
+    spark.sparkContext.addSparkListener(taskMax)
+
     def run(name: String, df: => DataFrame, skewEnabled: Boolean): Unit = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
       // best-of-2 on FRESH frames (a finalized AdaptiveSparkPlan caches its
       // result stages; re-executing the same Dataset would time a no-op)
+      taskMax.reset()
       val warm = df
       val sec1 = timed { warm.queryExecution.toRdd.foreach(_ => ()) }
       val frame = df
@@ -146,8 +197,13 @@ object SkewProbe {
       val skewMarks = "skew=true".r.findAllIn(plan).size
       val smj = "SortMergeJoin".r.findAllIn(plan).size
       val skewRead = "skewed".r.findAllIn(plan).size
+      // snapshot per-task maxima BEFORE count() pollutes the listener
+      taskMax.drain()
+      val maxTaskSec = taskMax.maxDurMs.get() / 1e3
+      val maxShufMb = taskMax.maxShuffleRead.get() / 1e6
+      val stragglerSec = taskMax.stragglerDurMs.get() / 1e3
       val rows = frame.count()
-      println(s"""{"metric":"skew_probe","variant":"$name","sec":${f"$sec%.3f"},"skew_marks":$skewMarks,"smj":$smj,"skew_reads":$skewRead,"rows":$rows}""")
+      println(s"""{"metric":"skew_probe","variant":"$name","sec":${f"$sec%.3f"},"max_task_sec":${f"$maxTaskSec%.3f"},"straggler_task_sec":${f"$stragglerSec%.3f"},"max_task_shuffle_read_mb":${f"$maxShufMb%.1f"},"skew_marks":$skewMarks,"smj":$smj,"skew_reads":$skewRead,"rows":$rows}""")
       if (sys.env.get("SPARK_GRAFT_SKEW_DEBUG").contains("1"))
         System.err.println(plan.linesIterator.take(40).mkString("\n"))
     }
