@@ -644,6 +644,51 @@ object StreamingQueries {
        |FROM kept GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qst23: state-store reader over CUSTOM transformWithState state
+  // (VERDICT r08 Next #5) — qst20 reads a built-in streaming AGG's state;
+  // this reads a custom processor's named state variable, which is what a
+  // production audit of one of the five transformWithState operators
+  // actually needs. The run: qst16's block-dedup stream with a checkpoint;
+  // after it drains, the keeper ValueState holds, per block hash, the
+  // corpus-wide min (doc_id, blk) — BY CONSTRUCTION the final keeper set,
+  // independent of the demote/re-emit traffic that flowed through the
+  // sink. The gate rebuilds qst16's per-doc kept-block counts FROM THE
+  // CHECKPOINT ALONE (`stateVarName` = "keeper"; key.value = the
+  // groupByKey string, value._1/._2 = the tuple ValueState) and must
+  // match qst16's oracle verbatim — "the checkpoint holds the state you
+  // think it holds", now for user-defined state. The reader remains a
+  // partition-parallel DSv2 scan; no driver-side state download.
+  // ---------------------------------------------------------------------
+  private def qst23(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckptPath = java.nio.file.Files.createTempDirectory("graft-qst23-ckpt-")
+      deleteOnExit(ckptPath)
+      val ckpt = ckptPath.toString
+      val path = s"$d/documents.parquet"
+      val schema: StructType = s.read.parquet(path).schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val name = s"graft_statereader_${counter.incrementAndGet()}"
+      val q = BlockDedup.flagBlocks(docs)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      // per-doc keeper counts from the CHECKPOINT, not the sink
+      s.read.format("statestore").option("stateVarName", "keeper").load(ckpt)
+        .select(col("value._1").as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept_blocks"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // qst17: streaming cohort retention — qw08's grid as an ingest stream
   // (see CohortRetention). A user's cohort day is a running MIN, so a
   // late-arriving earlier event re-cohorts the user; the processor
@@ -867,5 +912,8 @@ object StreamingQueries {
     // qs02's oracle verbatim: same bucket algebra, same candidates, same
     // deterministic ranking — the streaming path must reproduce it exactly
     Q("qst22_stream_ann", qst22,
-      Some(graft.ext.Similarity.qs02SqlShared)))
+      Some(graft.ext.Similarity.qs02SqlShared)),
+    // qst16's oracle verbatim: the keeper ValueState read back from the
+    // checkpoint must BE the batch keeper rule's kept set
+    Q("qst23_state_reader_tws", qst23, Some(qst16Sql)))
 }
