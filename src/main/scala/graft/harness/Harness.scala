@@ -175,8 +175,11 @@ object LatencySweep {
     val runMs = args.lift(1).map(_.toLong).getOrElse(45000L)
     // 50/100 ms extend the curve below the r08 floor to find the knee —
     // the point where per-batch fixed cost stops amortizing and sustained
-    // throughput first drops under the target (VERDICT r08 Next #4)
-    val triggers = Seq(50L, 100L, 250L, 500L, 1000L, 2000L, 5000L)
+    // throughput first drops under the target (VERDICT r08 Next #4).
+    // SPARK_GRAFT_SWEEP_TRIGGERS overrides for targeted knee hunts.
+    val triggers = sys.env.get("SPARK_GRAFT_SWEEP_TRIGGERS")
+      .map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(50L, 100L, 250L, 500L, 1000L, 2000L, 5000L))
     val rows = triggers.map { t =>
       System.gc()
       val cfg = YsbConfig(recordsPerSecond = rps, rampUpSeconds = 5,
