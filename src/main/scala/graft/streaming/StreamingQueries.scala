@@ -27,6 +27,21 @@ object StreamingQueries {
 
   private val counter = new AtomicInteger(0)
 
+  /** Streaming source for `$dir/$table.parquet` under BOTH layouts: the
+    * driver's testdata keeps one parquet FILE per table (the file stream
+    * source needs a directory, so stream the sf dir glob-filtered to that
+    * file), while Spark-written corpora (soak tiers) are DIRECTORIES of
+    * part files, streamed directly. */
+  private[graft] def streamTable(spark: SparkSession, dir: String,
+      table: String, schema: StructType): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    if (new java.io.File(path).isDirectory)
+      spark.readStream.schema(schema).parquet(path)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Stream `table` from sfDir through `transform`, collect the final result
     * in a memory sink, return it as a batch DataFrame. */
   def runBounded(spark: SparkSession, dir: String, table: String,
@@ -34,11 +49,7 @@ object StreamingQueries {
     val path = s"$dir/$table.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = spark.read.parquet(path).schema
-    // the file streaming source requires a directory: stream the sf dir
-    // filtered down to this table's single parquet file
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", s"$table.parquet")
-      .parquet(dir)
+    val raw = streamTable(spark, dir, table, schema)
     val src = if (table == "events") Tables.normalizeEvents(raw) else raw
     val name = s"graft_${table}_${counter.incrementAndGet()}"
     val q = transform(src).writeStream
@@ -581,8 +592,7 @@ object StreamingQueries {
     try {
       val path = s"$d/documents.parquet"
       val schema: StructType = s.read.parquet(path).schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents", schema)
       val name = s"graft_blockdedup_${counter.incrementAndGet()}"
       val q = BlockDedup.flagBlocks(docs, ttl)
         .writeStream.outputMode("update").format("memory").queryName(name).start()
@@ -669,8 +679,7 @@ object StreamingQueries {
       val ckpt = ckptPath.toString
       val path = s"$d/documents.parquet"
       val schema: StructType = s.read.parquet(path).schema
-      val docs = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents", schema)
       val name = s"graft_statereader_${counter.incrementAndGet()}"
       val q = BlockDedup.flagBlocks(docs)
         .writeStream.outputMode("update").format("memory").queryName(name)
