@@ -304,11 +304,30 @@ object TextAnalysis {
     s"WITH ${bpeTrainCtes(BpeIters)}\n$sel"
   }
 
-  private def qt17(s: SparkSession, d: String): DataFrame = {
-    val merges = trainBpe(bpeVocab(s, d), BpeIters)
-    val applied = merges.foldLeft(bpeEnc(col("w"))) { case (c, (l, r, _)) =>
+  /** Default-config trained merges for this dataset — the BPE artifact
+    * downstream operators (qt17, qx14) encode with. */
+  private[graft] def bpeDefaultMerges(s: SparkSession, d: String): Seq[(String, String, Long)] =
+    trainBpe(bpeVocab(s, d), BpeIters)
+
+  /** Fold `merges` IN ORDER into the encoded form of word column `w`. */
+  private[graft] def bpeApplied(w: Column, merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(bpeEnc(w)) { case (c, (l, r, _)) =>
       replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }
+
+  /** Post-merge symbol count for one (possibly empty) token column —
+    * usable inside a higher-order lambda, so per-doc totals need no
+    * explode/shuffle. */
+  private[graft] def bpeTokenCount(t: Column, merges: Seq[(String, String, Long)]): Column = {
+    val w = lower(t)
+    when(length(w) > 0,
+      size(split(trim(bpeApplied(w, merges)), "  ")).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  private def qt17(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeDefaultMerges(s, d)
+    val applied = bpeApplied(col("w"), merges)
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(toksExpr)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
@@ -321,7 +340,10 @@ object TextAnalysis {
         sum(col("n_sym")).as("n_bpe_tokens"))
   }
 
-  private val qt17Sql = {
+  /** Shared DuckDB CTE chain ending in app(doc_id, n_chars_tok, n_sym):
+    * the full train→apply pass — qt17 aggregates it per doc; qx14 feeds
+    * the per-doc sums into the packing arithmetic. */
+  private[graft] val bpeApplySqlCtes: String = {
     val mcols = (1 to BpeIters)
       .map(i => s"p$i.lhs AS l$i, p$i.rhs AS r$i").mkString(", ")
     val msrc = (1 to BpeIters).map(i => s"p$i").mkString(" CROSS JOIN ")
@@ -329,7 +351,7 @@ object TextAnalysis {
       """' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '""") {
       (c, i) => s"replace($c, ' ' || l$i || '  ' || r$i || ' ', ' ' || l$i || r$i || ' ')"
     }
-    s"""WITH ${bpeTrainCtes(BpeIters)},
+    s"""${bpeTrainCtes(BpeIters)},
        |m AS (SELECT $mcols FROM $msrc),
        |tok AS (
        |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
@@ -337,12 +359,15 @@ object TextAnalysis {
        |app AS (
        |  SELECT doc_id, length(w) AS n_chars_tok,
        |    len(string_split(trim($applied), '  ')) AS n_sym
-       |  FROM tok CROSS JOIN m WHERE length(w) > 0)
+       |  FROM tok CROSS JOIN m WHERE length(w) > 0)""".stripMargin
+  }
+
+  private val qt17Sql =
+    s"""WITH $bpeApplySqlCtes
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_chars_tok) AS BIGINT) AS n_chars,
        |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
        |FROM app GROUP BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // qt06: TF-IDF — per (doc, token) with tf ≥ 3: tf · ln((N+1)/(df+1)),

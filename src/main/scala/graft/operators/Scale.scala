@@ -203,7 +203,14 @@ object Scale {
 
   /** (doc_id, source, nt, bin) with bin from the doc_id-ordered per-source
     * token cumsum, computed shard-wise. Package-private for ScaleSpec. */
-  private[graft] def packedDocs(docs: DataFrame): DataFrame = {
+  private[graft] def packedDocs(docs: DataFrame): DataFrame =
+    packedDocsFrom(docs.select(col("doc_id"), col("source"),
+      size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt")))
+
+  /** The packing arithmetic over precomputed per-doc token counts
+    * (doc_id, source, nt) — qx05 feeds whitespace counts, qx14 real BPE
+    * tokenizer counts; the sub-sharded window composition is identical. */
+  private[graft] def packedDocsFrom(counted: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val shardW = W.partitionBy(col("source"), col("shard"))
       .orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, 0)
@@ -211,9 +218,7 @@ object Scale {
     // shifted by one shard (current shard's docs excluded)
     val offW = W.partitionBy(col("source")).orderBy(col("shard"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val sharded = docs
-      .select(col("doc_id"), col("source"),
-        size(expr("split(trim(text), '\\\\s+')")).cast("long").as("nt"))
+    val sharded = counted
       .withColumn("shard", expr(s"doc_id div $ShardSize"))
     val shardOffsets = sharded
       .groupBy(col("source"), col("shard"))
@@ -656,6 +661,53 @@ object Scale {
       |        CAST('0x' || substr(md5('split:' || md5(text)), 1, 15) AS BIGINT) % 1000 AS bucket
       |      FROM documents)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx14: sequence packing on REAL tokenizer counts — qx05's packing
+  // arithmetic with the per-doc budget measured by the trained BPE
+  // vocabulary (qt16's merges applied qt17-style) instead of the
+  // whitespace stand-in. This is the form a training pipeline actually
+  // runs: context windows are budgeted in TOKENIZER tokens, and a
+  // whitespace proxy misbudgets by exactly the compression the merges
+  // buy. The count is a higher-order lambda over the token array (one
+  // codegen'd projection per doc — no explode, no shuffle beyond
+  // training's N vocab-sized groupBys and the packing windows), so the
+  // scale shape is qx05's: sub-sharded cumsum windows, merge-pinned
+  // offsets join. Oracle: the shared train→apply CTE chain feeding the
+  // qx05 packing SQL, with empty-token docs entering at nt = 0.
+  // ---------------------------------------------------------------------
+  private def qx14(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val merges = TextAnalysis.bpeDefaultMerges(s, d)
+    val counted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        aggregate(
+          transform(expr("split(trim(text), '\\\\s+')"),
+            t => TextAnalysis.bpeTokenCount(t, merges)),
+          lit(0L), (a, b) => a + b).as("nt"))
+    packedDocsFrom(counted)
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .withColumn("fill_rate",
+        expr(s"cast(least(n_tokens, $SeqLen) as double) / $SeqLen"))
+  }
+
+  private def qx14Sql =
+    s"""WITH ${graft.ext.TextAnalysis.bpeApplySqlCtes},
+       |bpedocs AS (
+       |  SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS nt FROM app GROUP BY doc_id),
+       |docs AS (
+       |  SELECT d.doc_id, d.source, coalesce(b.nt, 0) AS nt
+       |  FROM documents d LEFT JOIN bpedocs b USING (doc_id)),
+       |binned AS (
+       |  SELECT source, doc_id, nt,
+       |    (sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |                   ROWS UNBOUNDED PRECEDING) - nt) // $SeqLen AS bin
+       |  FROM docs)
+       |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(least(CAST(sum(nt) AS BIGINT), $SeqLen) AS DOUBLE) / $SeqLen AS fill_rate
+       |FROM binned GROUP BY source, bin""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -669,5 +721,6 @@ object Scale {
     Q("qx10_bloom_join", qx10, Some(qx10Sql)),
     Q("qx11_skew_join", qx11, Some(qx11Sql)),
     Q("qx12_rebalance_output", qx12, Some(qx12Sql)),
-    Q("qx13_dataset_split", qx13, Some(qx13Sql)))
+    Q("qx13_dataset_split", qx13, Some(qx13Sql)),
+    Q("qx14_bpe_packing", qx14, Some(qx14Sql)))
 }

@@ -282,4 +282,26 @@ class PlanLintSpec extends SparkSpec {
     assert(!plan.contains("BroadcastExchange"),
       "corpus-sized frame broadcast in qx10")
   }
+
+  test("qx14 BPE counts fold into one projection: no explode, merges as literals") {
+    val plan = Registry.byName("qx14_bpe_packing").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-doc tokenizer count is a higher-order lambda, not a
+    // token-explode: a Generate here would mean a corpus-tokens-sized
+    // intermediate plus a re-agg shuffle that the lambda avoids
+    assert(!plan.contains("Generate"),
+      s"unexpected explode in qx14 plan:\n${plan.take(600)}")
+    // trained merges are driver-side literals inside the projection —
+    // no join or broadcast ships the vocabulary
+    assert(plan.contains("replace("), "merge-apply replace chain missing")
+  }
+
+  test("qt17 BPE apply: chained merge replaces stay in the projection, no extra join") {
+    val plan = Registry.byName("qt17_bpe_apply").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("replace("), "merge-apply replace chain missing")
+    // one explode (per-token rows) + one agg shuffle; the vocabulary
+    // itself must never appear as a join side
+    assert(!plan.contains("Join"), s"unexpected join in qt17 plan")
+  }
 }
