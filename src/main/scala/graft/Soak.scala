@@ -188,7 +188,12 @@ object Soak {
         "qs04_quantized_rerank",
         // q31's full-outer agg merge joins two corpus-growing keyed frames —
         // the soak pins that both sides stay merge SMJs (never broadcast)
-        "q31_incremental_agg")
+        "q31_incremental_agg",
+        // round-9 BPE operators: training's per-iteration groupBy is
+        // vocab-sized (Heaps-law sublinear — the rotation cycle even caps
+        // it), apply + packing are corpus-linear projections; the soak
+        // pins both ratios
+        "qt17_bpe_apply", "qx14_bpe_packing")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

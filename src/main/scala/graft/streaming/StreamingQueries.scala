@@ -233,8 +233,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = s.read.parquet(path).schema
     def stream(): DataFrame = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      streamTable(s, d, "events", schema))
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
         col("ts").as("l_ts"))
@@ -275,8 +274,7 @@ object StreamingQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = s.read.parquet(path).schema
     def stream(): DataFrame = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      streamTable(s, d, "events", schema))
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
         col("ts").as("l_ts"))
@@ -340,8 +338,7 @@ object StreamingQueries {
       val path = s"$d/events.parquet"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema: StructType = s.read.parquet(path).schema
-      val keys = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val keys = streamTable(s, d, "events", schema)
         .select(col("user_id")).as(org.apache.spark.sql.Encoders.scalaLong)
       val name = s"graft_counters_${counter.incrementAndGet()}"
       val q = RunningCounters.countByKey(keys).toDF()
@@ -387,15 +384,7 @@ object StreamingQueries {
     try {
       val path = s"$d/documents.parquet"
       val schema: StructType = s.read.parquet(path).schema
-      // testdata ships documents.parquet as a single FILE in d (filter by
-      // name); Spark-written corpora (Soak) make it a DIRECTORY of parts
-      // (read it directly) — pathGlobFilter matches filenames only, so the
-      // directory layout needs the direct path or the stream is empty
-      val docs =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val docs = streamTable(s, d, "documents", schema)
       val sim = graft.ext.Dedup.withSimhash(docs)
       val name = s"graft_neardup_${counter.incrementAndGet()}"
       val acc = s.sparkContext.longAccumulator("qst10_neardup_evictions")
@@ -468,8 +457,7 @@ object StreamingQueries {
       s.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < evalN))
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     val schema: StructType = s.read.parquet(s"$d/documents.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    val stream = streamTable(s, d, "documents", schema)
       .filter(col("doc_id") >= evalN)
     val name = s"graft_contam_${counter.incrementAndGet()}"
     val q = gramsOf(stream)
@@ -492,8 +480,7 @@ object StreamingQueries {
   /** Documents as a bounded file stream (schema from the batch read). */
   private def docStream(s: SparkSession, d: String): DataFrame = {
     val schema: StructType = s.read.parquet(s"$d/documents.parquet").schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    streamTable(s, d, "documents", schema)
   }
 
   /** Run a STATELESS per-row transform of the document stream to a memory
@@ -791,10 +778,7 @@ object StreamingQueries {
     val path = s"$d/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema: StructType = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-    val ev = Tables.normalizeEvents(raw)
+    val ev = Tables.normalizeEvents(streamTable(s, d, "events", schema))
     val name = s"graft_events_${counter.incrementAndGet()}"
     val q = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("uid_sum"))
