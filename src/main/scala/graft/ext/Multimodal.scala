@@ -500,6 +500,82 @@ object Multimodal {
        |      FROM documents WHERE length(text) >= 42)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qm08: compressed media through the ARRIVAL path — qm06's
+  // directory-of-files ingest with qm07's PNG codec: real .png files on
+  // disk (deflate-compressed, CRC'd chunks), a binaryFile scan, per-file
+  // decode, features from decoded pixels. Compressed payload size is a
+  // deflate detail, so unlike qm06 the file length is NOT gated — the
+  // gate is the decoded geometry + channel means + position checksum
+  // (qm07's oracle arithmetic over the qm06 id range). Same 100 TB shape:
+  // the source partitions by files; decode is per-file executor work.
+  // ---------------------------------------------------------------------
+  private def pngDir(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-pngfiles-" + Integer.toHexString(d.hashCode) +
+      "-p" + ProcessHandle.current().pid()
+
+  private def qm08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = pngDir(d)
+    val dirF = new java.io.File(dir)
+    dirF.mkdirs()
+    Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png")).foreach(_.delete())
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 64 && length(col("text")) >= 42)
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    docs.foreachPartition { rows: Iterator[MediaRow] =>
+      rows.foreach { r =>
+        val (w, h, px) = synthPngPixels(r.doc_id, r.text)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"doc_${r.doc_id}.png"),
+          PngCodec.encode(w, h, px))
+      }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = PngCodec.decode(payload)
+          var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val p = img.pixels(k)
+            val red = (p >> 16) & 0xFF; val grn = (p >> 8) & 0xFF; val blu = p & 0xFF
+            sr += red; sg += grn; sb += blu
+            chk += (k + 1).toLong * (red + 2 * grn + 3 * blu)
+            k += 1
+          }
+          val n = img.pixels.length
+          PngFeatures(id, img.width, img.height,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, chk)
+        }
+      }.toDF()
+  }
+
+  private val qm08Sql = {
+    def chan(f: String, alias: String) =
+      s"CAST(CAST(list_sum(list_transform(range(0, w*h), k -> $f)) AS BIGINT) AS DOUBLE) / (w*h) AS $alias"
+    val code = "unicode(substr(text, 1 + k * (length(text) // (w*h)), 1))"
+    val r = s"$code % 256"
+    val g = s"($code * 3) % 256"
+    val bb = s"($code + 5*k) % 256"
+    s"""SELECT doc_id,
+       |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  ${chan(r, "mean_r")},
+       |  ${chan(g, "mean_g")},
+       |  ${chan(bb, "mean_b")},
+       |  CAST(list_sum(list_transform(range(0, w*h),
+       |    k -> (k + 1) * (($r) + 2*($g) + 3*($bb)))) AS BIGINT) AS pos_checksum
+       |FROM (SELECT doc_id, text, 3 + doc_id % 4 AS w, 5 + doc_id % 3 AS h
+       |      FROM documents WHERE doc_id < 64 AND length(text) >= 42)""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
     Q("qm02_decode_features", qm02, Some(qm02Sql)),
@@ -507,5 +583,6 @@ object Multimodal {
     Q("qm04_audio_features", qm04, Some(qm04Sql)),
     Q("qm05_video_frame_sample", qm05, Some(qm05Sql)),
     Q("qm06_binary_file_ingest", qm06, Some(qm06Sql)),
-    Q("qm07_png_decode_features", qm07, Some(qm07Sql)))
+    Q("qm07_png_decode_features", qm07, Some(qm07Sql)),
+    Q("qm08_png_file_ingest", qm08, Some(qm08Sql)))
 }
