@@ -25,6 +25,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streamTable handles directory-layout corpora (Spark-written tables)") {
+    // testdata ships one parquet FILE per table; Spark-written corpora
+    // (soak tiers) are DIRECTORIES of part files. The same runBounded
+    // query must produce the identical result over both layouts.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dirlayout-").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf).limit(500)
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val streamed = StreamingQueries.runBounded(spark, tmp, "documents", "complete") {
+        d => d.groupBy(col("source")).agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"))
+      }
+      val batch = spark.read.parquet(s"$tmp/documents.parquet")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(streamed).count() === 0)
+    } finally {
+      import java.nio.file._
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("watermark drops late data in append mode (W3/W4)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String)]
