@@ -241,6 +241,45 @@ object FileSources {
         md5(concat_ws("|", sort_array(collect_list(md5(col("text")))))).as("content_hash"))
   }
 
+  private def gensDir(d: String): String = scratchDir("gens-docs", d)
+
+  /** qf08: schema-evolution ingest (mergeSchema) — the drift a years-long
+    * 100 TB ingest tier accumulates: an early generation wrote
+    * (doc_id, text); a later one added `lang`. One mergeSchema read over
+    * the generation-partitioned dir reconciles the UNION schema (new
+    * column null for old rows — no backfill rewrite of petabytes), and
+    * the gate aggregates per generation: row counts, non-null counts in
+    * the added column (exactly 0 for gen 1, all rows for gen 2), and
+    * content sums proving both generations' payloads survive the merge.
+    * Schema merging is a FOOTER-level planning operation (per-file footer
+    * reads, no data scan), so it costs file-listing time, not data time,
+    * at any corpus size; the per-row null-fill is free in the columnar
+    * reader. The oracle restates the generation rule from `documents`. */
+  private def qf08(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = gensDir(d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n"),
+        count(col("lang")).as("n_lang"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(length(col("text"))).as("chars"))
+  }
+
+  private val qf08Sql =
+    """SELECT CAST(1 + doc_id % 2 AS INT) AS gen,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_lang,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars
+      |FROM documents GROUP BY 1""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qf01_csv_roundtrip", qf01, Some(qf01Sql)),
     Q("qf02_jsonl_roundtrip", qf02, Some(qf02Sql)),
@@ -249,5 +288,6 @@ object FileSources {
     Q("qf05_text_roundtrip", qf05, Some(qf05Sql)),
     Q("qf06_corrupt_tolerant", qf06, Some(qf06Sql)),
     // same aggregate shape as qf05, so the oracle is reused verbatim
-    Q("qf07_compressed_roundtrip", qf07, Some(qf05Sql)))
+    Q("qf07_compressed_roundtrip", qf07, Some(qf05Sql)),
+    Q("qf08_merge_schema", qf08, Some(qf08Sql)))
 }
