@@ -1013,6 +1013,55 @@ object Dedup {
        |FROM events
        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd17: blocked edit-distance near-dup — the Levenshtein member of the
+  // dedup family (typo-level/OCR-noise duplicates that token- and
+  // hash-based measures miss). Classic blocked shape: candidates must
+  // share a (length-band, normalized-prefix) block key — one shuffle on
+  // the block key, pair work confined within blocks — then the exact
+  // codegen'd `levenshtein` on a bounded 120-char prefix caps the DP at
+  // ~14k cells/pair regardless of document length (the per-pair budget
+  // rule that keeps O(L²) work constant-bounded at 100 TB). Both engines
+  // implement the identical unweighted Levenshtein DP, so the distances
+  // hash-match exactly. Oversized blocks would get qd03's BucketCap
+  // treatment; at these block keys (16-char length bands × 8-char
+  // prefix) natural block sizes stay single-digit.
+  // ---------------------------------------------------------------------
+  private val EditBlockBand = 16
+  private val EditPrefix = 8
+  private val EditCmpLen = 120
+  private val EditMaxDist = 20
+
+  private def qd17(s: SparkSession, d: String): DataFrame = {
+    val blocked = Tables.documents(s, d).select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")).as("n"))
+      .select(col("doc_id"), col("n"),
+        expr(s"length(n) div $EditBlockBand").as("lb"),
+        substring(col("n"), 1, EditPrefix).as("pfx"))
+    val a = blocked.select(col("lb"), col("pfx"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = blocked.select(col("lb"), col("pfx"), col("doc_id").as("b_id"), col("n").as("b_n"))
+    a.join(b, Seq("lb", "pfx")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(substring(col("a_n"), 1, EditCmpLen),
+          substring(col("b_n"), 1, EditCmpLen)).as("edit_dist"))
+      .filter(col("edit_dist") <= EditMaxDist)
+  }
+
+  private val qd17Sql =
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS n
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, n, length(n) // $EditBlockBand AS lb,
+       |    substr(n, 1, $EditPrefix) AS pfx
+       |  FROM norm)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(levenshtein(substr(a.n, 1, $EditCmpLen), substr(b.n, 1, $EditCmpLen)) AS INT) AS edit_dist
+       |FROM blocked a JOIN blocked b
+       |  ON a.lb = b.lb AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+       |WHERE levenshtein(substr(a.n, 1, $EditCmpLen), substr(b.n, 1, $EditCmpLen)) <= $EditMaxDist""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd01_dedup_exact", qd01, Some(qd01Sql)),
     Q("qd02_minhash_sigs", qd02, Some(qd02Sql), headline = true),
@@ -1041,5 +1090,6 @@ object Dedup {
     Q("qd09_graph_rank", qd09, Some(qd09Sql)),
     Q("qd10_cdc_chunks", qd10, Some(qd10Sql)),
     Q("qd14_event_dedup", qd14, Some(qd14Sql)),
-    Q("qd16_component_keep_best", qd16, Some(qd16Sql)))
+    Q("qd16_component_keep_best", qd16, Some(qd16Sql)),
+    Q("qd17_edit_distance_dup", qd17, Some(qd17Sql)))
 }
