@@ -652,6 +652,34 @@ object Relational {
       |GROUP BY c_mktsegment, o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q32: correlated LATERAL join — the per-row-subquery face of the SQL
+  // frontend (top-2 suppliers per nation by account balance). Catalyst
+  // DECORRELATES the lateral subquery: the plan is a ranked window over
+  // suppliers joined back to nation, not a per-row re-execution — which
+  // is why the construct survives 100 TB (a naive nested-loop lateral
+  // would be O(|nation| · |supplier|)). The oracle runs the identical
+  // LATERAL text in DuckDB; the deterministic (acctbal DESC, suppkey)
+  // order makes top-2 exact.
+  // ---------------------------------------------------------------------
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("g32_nation")
+    Tables.supplier(s, d).createOrReplaceTempView("g32_supplier")
+    s.sql(
+      """SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+        |FROM g32_nation,
+        |LATERAL (SELECT s_name, s_acctbal FROM g32_supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2)""".stripMargin)
+  }
+
+  private val q32Sql =
+    """SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+      |FROM nation,
+      |LATERAL (SELECT s_name, s_acctbal FROM supplier
+      |         WHERE s_nationkey = n_nationkey
+      |         ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 2)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q29: table profile — the ANALYZE/summary face: per-column non-null
   // count, exact distinct count, min and max in ONE aggregation pass over
   // lineitem (Spark plans multi-count-distinct via a single Expand — one
@@ -883,6 +911,7 @@ object Relational {
     Q("q26_grouping_sets", q26, Some(q26Sql)),
     Q("q27_scalar_subquery", q27, Some(q27Sql)),
     Q("q28_sql_frontend", q28, Some(q28Sql)),
+    Q("q32_lateral_join", q32, Some(q32Sql)),
     Q("q29_table_profile", q29, Some(q29Sql)),
     Q("q29b_profile_hll", q29b, Some(q29bSql)),
     Q("q30_merge_apply", q30, Some(q30Sql)),
