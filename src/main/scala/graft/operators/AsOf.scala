@@ -122,7 +122,62 @@ object AsOf {
       |  ON o_totalprice >= lo AND o_totalprice <= hi
       |GROUP BY band_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qa03: SCD2 point-in-time join — the slowly-changing-dimension lookup
+  // every warehouse fact load runs: each lineitem joins the supplier
+  // VERSION valid at its ship date (equi-join on the key + half-open
+  // validity-interval containment). The dimension is synthesized
+  // deterministically: three versions per supplier partitioning
+  // [1900, 2100) at 1994/1996 boundaries, attr = (s_suppkey·31 + v) % 5.
+  // Scale shape: the interval predicate rides the EQUI-join on
+  // l_suppkey as a post-join filter — versions-per-key is bounded (3),
+  // so there is no range blow-up; the dim is |suppliers|×3 and
+  // broadcast-eligible, else it shuffles on the same key as the fact.
+  // The half-open [from, to) convention makes boundary dates land in
+  // exactly one version — the correctness trap SCD2 loads hit.
+  // ---------------------------------------------------------------------
+  private def qa03(s: SparkSession, d: String): DataFrame = {
+    val versions = Tables.supplier(s, d).select(col("s_suppkey"))
+      .withColumn("version", explode(expr("sequence(1, 3)")))
+      .select(col("s_suppkey"), col("version"),
+        expr("""CASE version WHEN 1 THEN TIMESTAMP '1900-01-01'
+               |     WHEN 2 THEN TIMESTAMP '1994-01-01'
+               |     ELSE TIMESTAMP '1996-01-01' END""".stripMargin.replace("\n", " "))
+          .as("valid_from"),
+        expr("""CASE version WHEN 1 THEN TIMESTAMP '1994-01-01'
+               |     WHEN 2 THEN TIMESTAMP '1996-01-01'
+               |     ELSE TIMESTAMP '2100-01-01' END""".stripMargin.replace("\n", " "))
+          .as("valid_to"),
+        expr("(s_suppkey * 31 + version) % 5").as("tier"))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"))
+      .join(versions, col("l_suppkey") === col("s_suppkey") &&
+        col("l_shipdate") >= col("valid_from") && col("l_shipdate") < col("valid_to"))
+      .groupBy(col("version"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+  }
+
+  private val qa03Sql =
+    """WITH versions AS (
+      |  SELECT s_suppkey, CAST(v AS INT) AS version,
+      |    CASE v WHEN 1 THEN TIMESTAMP '1900-01-01'
+      |         WHEN 2 THEN TIMESTAMP '1994-01-01'
+      |         ELSE TIMESTAMP '1996-01-01' END AS valid_from,
+      |    CASE v WHEN 1 THEN TIMESTAMP '1994-01-01'
+      |         WHEN 2 THEN TIMESTAMP '1996-01-01'
+      |         ELSE TIMESTAMP '2100-01-01' END AS valid_to,
+      |    (s_suppkey * 31 + v) % 5 AS tier
+      |  FROM supplier, (SELECT unnest(range(1, 4)) AS v))
+      |SELECT version, tier, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem l JOIN versions s
+      |  ON l.l_suppkey = s.s_suppkey
+      |  AND l.l_shipdate >= s.valid_from AND l.l_shipdate < s.valid_to
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qa01_asof_join", qa01, Some(qa01Sql)),
-    Q("qa02_range_join", qa02, Some(qa02Sql)))
+    Q("qa02_range_join", qa02, Some(qa02Sql)),
+    Q("qa03_scd2_join", qa03, Some(qa03Sql)))
 }
