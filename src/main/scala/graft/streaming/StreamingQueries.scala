@@ -855,6 +855,28 @@ object StreamingQueries {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
   }
 
+  // ---------------------------------------------------------------------
+  // qst24: streaming top-k — sort+limit over a streaming aggregation
+  // (complete mode, the only mode that permits it: the rank is a property
+  // of the WHOLE result, so every trigger re-emits the current top-k from
+  // aggregation state). The per-trigger sort is over the AGGREGATED
+  // key-space (|users|), never the raw stream, and plans as TakeOrdered —
+  // the leaderboard/heavy-hitters shape. Deterministic (n DESC, user_id
+  // ASC) total order; oracle is the batch top-k verbatim.
+  // ---------------------------------------------------------------------
+  private def qst24(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_seen"))
+        .orderBy(col("n").desc, col("user_id").asc)
+        .limit(10)
+    }
+
+  private val qst24Sql =
+    """SELECT user_id, count(*) AS n, max(ts) AS last_seen
+      |FROM events GROUP BY user_id
+      |ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin
+
   private def qst21(s: SparkSession, d: String): DataFrame = {
     val streamed = runBounded(s, d, "events", "complete") { ev =>
       ev.groupBy(col("event_type"))
@@ -908,5 +930,6 @@ object StreamingQueries {
       Some(graft.ext.Similarity.qs02SqlShared)),
     // qst16's oracle verbatim: the keeper ValueState read back from the
     // checkpoint must BE the batch keeper rule's kept set
-    Q("qst23_state_reader_tws", qst23, Some(qst16Sql)))
+    Q("qst23_state_reader_tws", qst23, Some(qst16Sql)),
+    Q("qst24_stream_topk", qst24, Some(qst24Sql)))
 }
