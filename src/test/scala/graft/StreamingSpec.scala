@@ -306,6 +306,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state reader over ListState: bucket membership audited from a checkpoint") {
+    // qst23 reads a ValueState variable; this pins the LIST-state face —
+    // the per-bucket candidate lists a production audit of qst10's
+    // processor actually inspects. flattenCollectionTypes explodes each
+    // list into one row per element, so the audit stays a parallel scan.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-liststate-").toString
+      val flags = graft.streaming.NearDupDedup.flagNearDuplicates(
+        ms.toDF().toDF("doc_id", "simhash"))
+      val q = flags.writeStream.outputMode("update")
+        .format("memory").queryName("ndd_statereader")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        ms.addData((1L, 0x0F0FL), (2L, 0xF0F0L))
+        q.processAllAvailable()
+      } finally q.stop()
+      try {
+        val st = spark.read.format("statestore")
+          .option("stateVarName", "seen")
+          .option("flattenCollectionTypes", "true")
+          .load(ckpt)
+        // each doc registers in 4 chunk buckets → 8 list entries total;
+        // per-doc entries carry the doc's simhash verbatim
+        val entries = st.selectExpr("list_element._1 AS docId",
+          "list_element._2 AS sim").collect()
+        assert(entries.length === 8)
+        val byDoc = entries.groupBy(_.getLong(0))
+        assert(byDoc.keySet === Set(1L, 2L))
+        assert(byDoc(1L).length === 4 && byDoc(1L).forall(_.getLong(1) === 0x0F0FL))
+        assert(byDoc(2L).length === 4 && byDoc(2L).forall(_.getLong(1) === 0xF0F0L))
+      } finally {
+        import java.nio.file._
+        Files.walk(Paths.get(ckpt)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("near-dup out-of-order arrival still matches the doc_id-ordered rule") {
     // doc 20 arrives in trigger 1 and is emitted dup=0; doc 10 with an
     // IDENTICAL simhash arrives in trigger 2 — under the doc_id-ordered
