@@ -193,7 +193,11 @@ object Soak {
         // vocab-sized (Heaps-law sublinear — the rotation cycle even caps
         // it), apply + packing are corpus-linear projections; the soak
         // pins both ratios
-        "qt17_bpe_apply", "qx14_bpe_packing")
+        "qt17_bpe_apply", "qx14_bpe_packing",
+        // qd17's within-block pair work is the quadratic face EditBlockCap
+        // bounds — the Zipf tier (verbatim duplicates concentrated in one
+        // block) is exactly the corpus that would blow it up uncapped
+        "qd17_edit_distance_dup")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

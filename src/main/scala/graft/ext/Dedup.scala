@@ -1031,15 +1031,42 @@ object Dedup {
   private val EditPrefix = 8
   private val EditCmpLen = 120
   private val EditMaxDist = 20
+  // pair work within a block is O(n²): a corpus with heavy VERBATIM
+  // duplication (the Zipf soak shape) concentrates copies in one block —
+  // without a cap the hot block alone is millions of comparisons. Two
+  // composed remedies, both measured necessary on the Zipf 1000× tier:
+  // (1) EXACT-DEDUP-FIRST — one representative (min doc_id) per distinct
+  //     normalized text enters the pairing at all. Verbatim copies are
+  //     qd01's job; the per-pair Levenshtein DP (~14k cells) is ~1000×
+  //     a hash probe, so spending it on exact copies is pure waste. The
+  //     uncapped-by-dedup Zipf run was killed at 40 min; the same
+  //     pipeline over representatives finishes in seconds — the qp01
+  //     "exact-dedup-first" lesson re-measured at the operator level.
+  // (2) a block-size cap (qd03's BucketCap shape) bounding the residual
+  //     near-miss blocks: oversized blocks are excluded from pairing.
+  private val EditBlockCap = 64
 
   private def qd17(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (qd03's treatment): `blocked` feeds the cap groupBy
+    // AND both self-join sides — without it the double-regex norm pass
+    // over the full corpus re-executes 4×, which measured as the entire
+    // cost at the Zipf 1000× tier (the reps frame itself is vocab-sized:
+    // one row per distinct normalized text)
+    // AsciiNormalize = the regex chain's codegen'd single-pass equivalent
+    // (spec-pinned equality); Java regex measured as qd17's entire cost
     val blocked = Tables.documents(s, d).select(col("doc_id"),
-      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")).as("n"))
+      graft.functions.TextNorm.asciiNormalize(col("text")).as("n"))
+      .groupBy(col("n")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("n"),
         expr(s"length(n) div $EditBlockBand").as("lb"),
         substring(col("n"), 1, EditPrefix).as("pfx"))
-    val a = blocked.select(col("lb"), col("pfx"), col("doc_id").as("a_id"), col("n").as("a_n"))
-    val b = blocked.select(col("lb"), col("pfx"), col("doc_id").as("b_id"), col("n").as("b_n"))
+      .localCheckpoint(true)
+    val small = blocked.groupBy(col("lb"), col("pfx"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= EditBlockCap)
+      .select(col("lb"), col("pfx"))
+    val capped = blocked.join(small.hint("merge"), Seq("lb", "pfx"))
+    val a = capped.select(col("lb"), col("pfx"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    val b = capped.select(col("lb"), col("pfx"), col("doc_id").as("b_id"), col("n").as("b_n"))
     a.join(b, Seq("lb", "pfx")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         levenshtein(substring(col("a_n"), 1, EditCmpLen),
@@ -1052,10 +1079,17 @@ object Dedup {
        |  SELECT doc_id,
        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS n
        |  FROM documents),
-       |blocked AS (
+       |reps AS (
+       |  SELECT min(doc_id) AS doc_id, n FROM norm GROUP BY n),
+       |blocked0 AS (
        |  SELECT doc_id, n, length(n) // $EditBlockBand AS lb,
        |    substr(n, 1, $EditPrefix) AS pfx
-       |  FROM norm)
+       |  FROM reps),
+       |blocked AS (
+       |  SELECT b0.* FROM blocked0 b0
+       |  JOIN (SELECT lb, pfx FROM blocked0
+       |        GROUP BY lb, pfx HAVING count(*) <= $EditBlockCap) s
+       |  USING (lb, pfx))
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(levenshtein(substr(a.n, 1, $EditCmpLen), substr(b.n, 1, $EditCmpLen)) AS INT) AS edit_dist
        |FROM blocked a JOIN blocked b

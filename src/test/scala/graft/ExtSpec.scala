@@ -781,6 +781,36 @@ class CodecPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class TextNormSpec extends SparkSpec {
+
+  private def regexNorm =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  test("AsciiNormalize equals the regex chain on real corpus text") {
+    val diff = Tables.documents(spark, sf)
+      .select(regexNorm.as("r"),
+        graft.functions.TextNorm.asciiNormalize(col("text")).as("a"))
+      .filter(col("r") =!= col("a")).count()
+    assert(diff === 0)
+  }
+
+  test("AsciiNormalize equals the regex chain on crafted edge strings") {
+    import spark.implicits._
+    val cases = Seq(
+      "", " ", "   ", "a", "A", "  Hello,  World!  ", "a!b", "a ! b",
+      "tabs\tand\nnewlines\r\nandvtab\fformfeed",
+      "MiXeD CaSe 123 #$%^&*()", "ünïcödé gets déleted", "中文 mixed ascii",
+      "!!!", "a" * 500, ("x y " * 100) + "!")
+    val df = cases.toDF("text")
+      .select(col("text"), regexNorm.as("r"),
+        graft.functions.TextNorm.asciiNormalize(col("text")).as("a"))
+    df.collect().foreach { row =>
+      assert(row.getString(2) === row.getString(1),
+        s"mismatch for input '${row.getString(0).take(40)}'")
+    }
+  }
+}
+
 class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.ext.PngCodec
 
