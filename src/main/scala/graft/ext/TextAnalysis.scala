@@ -119,12 +119,16 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------------
   // qt04: document fingerprinting — md5 over whitespace/punctuation-
-  // normalized text (near-exact dedup key).
+  // normalized text (near-exact dedup key). The normalizer is the
+  // codegen'd AsciiNormalize (single byte-wise pass — the round-9 qd17
+  // profile measured the regex chain at ~15 ms/doc, the whole operator
+  // cost at soak tiers); the oracle keeps the regex formulation, and
+  // TextNormSpec pins their equality, so this gate doubles as the
+  // cross-engine check of the fast path.
   // ---------------------------------------------------------------------
   private def qt04(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("norm",
-        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+      .withColumn("norm", graft.functions.TextNorm.asciiNormalize(col("text")))
       .select(col("doc_id"), md5(col("norm")).as("fingerprint"),
         substring(md5(col("norm")), 1, 8).as("fp_prefix"))
 
