@@ -96,4 +96,30 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(back === rows.toMap)
   }
+
+  test("mergeSchema: added columns null-fill; incompatible type drift fails loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mergeschema-").toString
+    try {
+      // compatible drift: gen 2 adds a column → union schema, null-fill
+      Seq((1L, "a")).toDF("id", "text").write.parquet(s"$tmp/ok/gen=1")
+      Seq((2L, "b", "en")).toDF("id", "text", "lang").write.parquet(s"$tmp/ok/gen=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/ok")
+      assert(merged.columns.toSet === Set("id", "text", "lang", "gen"))
+      assert(merged.filter(col("gen") === 1 && col("lang").isNull).count() === 1)
+      // incompatible drift: same column, conflicting physical types — the
+      // footer merge must THROW, not coerce silently (a reader that
+      // guessed would corrupt every pre-drift file's column)
+      Seq(Tuple1(1)).toDF("v").write.parquet(s"$tmp/bad/gen=1")      // int
+      Seq(Tuple1("x")).toDF("v").write.parquet(s"$tmp/bad/gen=2")    // string
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.option("mergeSchema", "true").parquet(s"$tmp/bad").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("merge"))
+    } finally {
+      import java.nio.file._
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
