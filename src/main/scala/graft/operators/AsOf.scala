@@ -136,8 +136,9 @@ object AsOf {
   // The half-open [from, to) convention makes boundary dates land in
   // exactly one version — the correctness trap SCD2 loads hit.
   // ---------------------------------------------------------------------
-  private def qa03(s: SparkSession, d: String): DataFrame = {
-    val versions = Tables.supplier(s, d).select(col("s_suppkey"))
+  /** The synthesized SCD2 dimension — shared with qst25's streaming face. */
+  private[graft] def scd2Versions(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(col("s_suppkey"))
       .withColumn("version", explode(expr("sequence(1, 3)")))
       .select(col("s_suppkey"), col("version"),
         expr("""CASE version WHEN 1 THEN TIMESTAMP '1900-01-01'
@@ -149,16 +150,22 @@ object AsOf {
                |     ELSE TIMESTAMP '2100-01-01' END""".stripMargin.replace("\n", " "))
           .as("valid_to"),
         expr("(s_suppkey * 31 + version) % 5").as("tier"))
-    Tables.lineitem(s, d)
+
+  /** The point-in-time join + per-version rollup over a lineitem frame —
+    * batch (qa03) and streaming (qst25) run the identical shape. */
+  private[graft] def scd2Rollup(lineitem: DataFrame, versions: DataFrame): DataFrame =
+    lineitem
       .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"))
       .join(versions, col("l_suppkey") === col("s_suppkey") &&
         col("l_shipdate") >= col("valid_from") && col("l_shipdate") < col("valid_to"))
       .groupBy(col("version"), col("tier"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
-  }
 
-  private val qa03Sql =
+  private def qa03(s: SparkSession, d: String): DataFrame =
+    scd2Rollup(Tables.lineitem(s, d), scd2Versions(s, d))
+
+  private[graft] val qa03Sql =
     """WITH versions AS (
       |  SELECT s_suppkey, CAST(v AS INT) AS version,
       |    CASE v WHEN 1 THEN TIMESTAMP '1900-01-01'

@@ -877,6 +877,24 @@ object StreamingQueries {
       |FROM events GROUP BY user_id
       |ORDER BY n DESC, user_id ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst25: streaming SCD2 enrichment — qa03's point-in-time dimension
+  // lookup on the ingest path: facts ARRIVE AS A STREAM and join the
+  // broadcast versioned dimension (equi-key + half-open validity-interval
+  // filter riding the stream-static join), then the per-version rollup
+  // runs as a streaming aggregation in complete mode. This is the
+  // warehouse-load shape at ingest time: enrich each arriving fact with
+  // the dimension version valid AT ITS OWN event time — not the current
+  // version — so late-arriving facts classify correctly by construction.
+  // Oracle: qa03's SQL verbatim (streaming/batch consistency contract).
+  // ---------------------------------------------------------------------
+  private def qst25(s: SparkSession, d: String): DataFrame = {
+    val versions = graft.operators.AsOf.scd2Versions(s, d)
+    runBounded(s, d, "lineitem", "complete") { li =>
+      graft.operators.AsOf.scd2Rollup(li, broadcast(versions))
+    }
+  }
+
   private def qst21(s: SparkSession, d: String): DataFrame = {
     val streamed = runBounded(s, d, "events", "complete") { ev =>
       ev.groupBy(col("event_type"))
@@ -931,5 +949,8 @@ object StreamingQueries {
     // qst16's oracle verbatim: the keeper ValueState read back from the
     // checkpoint must BE the batch keeper rule's kept set
     Q("qst23_state_reader_tws", qst23, Some(qst16Sql)),
-    Q("qst24_stream_topk", qst24, Some(qst24Sql)))
+    Q("qst24_stream_topk", qst24, Some(qst24Sql)),
+    // qa03's oracle verbatim: the streamed enrichment must reproduce the
+    // batch point-in-time rollup exactly
+    Q("qst25_stream_scd2", qst25, Some(graft.operators.AsOf.qa03Sql)))
 }
