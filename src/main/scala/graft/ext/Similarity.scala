@@ -168,20 +168,25 @@ object Similarity {
     * per query, top-`topK` returned. The gated qs03 uses
     * (k = 16, nprobe = 2, topK = 3); SimilaritySpec measures recall@3 vs the
     * exact baseline across the (k, nprobe) grid. */
+  /** Nearest `keep` centroids per vector (cosine, tie-break c_id) — the
+    * IVF assignment step, shared by qs03 and the composed qs05. */
+  private def cellsOf(cents: DataFrame, v: DataFrame,
+      idCol: String, embCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    v.crossJoin(broadcast(cents))
+      .select(col(idCol), col(embCol),
+        col("c_id"), Vectors.fastCosine(col(embCol), col("c_emb")).as("c_sim"))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= keep)
+  }
+
   def ivfAnn(s: SparkSession, d: String, nprobe: Int = 2, topK: Int = 3,
       k: Int = IvfK): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, k)
-    // nearest `keep` centroids per vector (cosine, tie-break c_id)
-    def cellsFor(v: DataFrame, idCol: String, embCol: String, keep: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_sim").desc, col("c_id").asc)
-      v.crossJoin(broadcast(cents))
-        .select(col(idCol), col(embCol),
-          col("c_id"), Vectors.fastCosine(col(embCol), col("c_emb")).as("c_sim"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-    }
+    def cellsFor(v: DataFrame, idCol: String, embCol: String, keep: Int) =
+      cellsOf(cents, v, idCol, embCol, keep)
     val corpusCells = cellsFor(
       e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
@@ -308,6 +313,111 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs05: composed IVF + quantized coarse + exact rerank — the full FAISS
+  // IVFPQ-style serving stack assembled from the suite's own stages:
+  // (1) qs03's inverted file restricts each query's search to its nprobe
+  //     nearest cells (corpus partition-prune: at 100 TB the cell id is
+  //     the partition key, so non-probed cells are never read);
+  // (2) within probed cells, qs04's int8 asymmetric score (4× smaller at
+  //     rest, integer dot) ranks candidates and keeps top-C per query —
+  //     the cheap pass touches only quantized codes;
+  // (3) only the C survivors are reranked with exact float cosine.
+  // Each stage's determinism argument is inherited from its source gate
+  // (exact integer coarse dot, bit-equal fastCosine/cosineSql rerank,
+  // c_id/n_id tie-breaks), so the composition stays hash-exact. The
+  // recall trade compounds (cell miss × coarse miss) — that is the
+  // honest cost of the serving stack, and the oracle states the SAME
+  // composition, so the gate pins the semantics, not a recall claim.
+  // ---------------------------------------------------------------------
+  private def qs05(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, IvfK)
+    val quant = Embeddings.quantArr(e)
+    val corpusCells = cellsOf(cents,
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", keep = 1)
+      .select(col("n_id"), col("c_id"))
+    val queryCells = cellsOf(cents,
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", keep = 2)
+      .select(col("q_id"), col("c_id"))
+    val corpQ = quant.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("qscale").as("n_scale"),
+        col("qarr").as("n_arr"))
+      .join(corpusCells, Seq("n_id"))
+    val qQ = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qscale").as("q_scale"),
+        col("qarr").as("q_arr"))
+      .join(broadcast(queryCells), Seq("q_id"))
+    val dotInt = expr(
+      "aggregate(zip_with(q_arr, n_arr, (a, b) -> cast(a as bigint) * b), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)")
+    val wc = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    // corpus cell keep=1 ⇒ a (q, n) pair appears via at most one cell
+    val cands = corpQ.join(broadcast(qQ), Seq("c_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("q_scale") * col("n_scale") * dotInt).as("score"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= CoarseC)
+      .select(col("q_id"), col("n_id"))
+    val qEmb = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands.join(broadcast(qEmb), Seq("q_id"))), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs05Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""WITH ${Embeddings.quantSqlCte},
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfK),
+       |corpus_cells AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT v.vec_id AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 10)
+       |  WHERE r <= 1),
+       |query_cells AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT v.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN cents c WHERE v.vec_id < 10)
+       |  WHERE r <= 2),
+       |coarse AS (
+       |  SELECT qc.q_id, cc.n_id,
+       |    q.qscale * cp.qscale *
+       |      list_sum(list_transform(list_zip(q.qarr, cp.qarr),
+       |        p -> CAST(p[1] AS BIGINT) * p[2])) AS score
+       |  FROM query_cells qc JOIN corpus_cells cc USING (c_id)
+       |  JOIN quant q ON q.vec_id = qc.q_id
+       |  JOIN quant cp ON cp.vec_id = cc.n_id),
+       |cands AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, n_id ASC) AS crank
+       |    FROM coarse) WHERE crank <= $CoarseC)
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT k.q_id, k.n_id, $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY k.q_id
+       |      ORDER BY $cos DESC, k.n_id ASC) AS rank
+       |  FROM cands k
+       |  JOIN embeddings q ON q.vec_id = k.q_id
+       |  JOIN embeddings c ON c.vec_id = k.n_id)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     // SMALL-SF ONLY corpus side: exact brute-force baseline — queries are
     // broadcast (bounded) but the corpus scan is O(N·|queries|); at real
@@ -321,5 +431,6 @@ object Similarity {
     Q("qs03_ann_ivf", qs03, Some(qs03Sql)),
     // coarse pass is SMALL-SF brute over codes here; at 100 TB the coarse
     // stage composes with qs02/qs03 bucketing — the rerank shape is the point
-    Q("qs04_quantized_rerank", qs04, Some(qs04Sql)))
+    Q("qs04_quantized_rerank", qs04, Some(qs04Sql)),
+    Q("qs05_ivf_quant_rerank", qs05, Some(qs05Sql)))
 }
