@@ -82,9 +82,15 @@ object SkewProbe {
         maxDurMs.accumulateAndGet(t.taskInfo.duration, math.max)
       if (t.taskMetrics != null) {
         val read = t.taskMetrics.shuffleReadMetrics.totalBytesRead
-        val prev = maxShuffleRead.getAndAccumulate(read, math.max)
-        if (read > prev && t.taskInfo != null)
-          stragglerDurMs.set(t.taskInfo.duration)
+        // (read, duration) must move as a pair: two concurrent onTaskEnd
+        // events interleaving a CAS on maxShuffleRead with a separate
+        // stragglerDurMs.set could leave the duration of a NON-max task.
+        this.synchronized {
+          if (read > maxShuffleRead.get()) {
+            maxShuffleRead.set(read)
+            if (t.taskInfo != null) stragglerDurMs.set(t.taskInfo.duration)
+          }
+        }
       }
     }
     /** Poll until the async listener bus has drained (counter holds still

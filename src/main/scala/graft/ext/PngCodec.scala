@@ -133,7 +133,7 @@ object PngCodec {
     while (!sawIend) {
       require(b.remaining() >= 8, "truncated chunk header")
       val len = b.getInt()
-      require(len >= 0 && b.remaining() >= len + 8,
+      require(len >= 0 && b.remaining().toLong >= len.toLong + 8,
         s"truncated chunk: declared $len, ${b.remaining()} left")
       val typBytes = new Array[Byte](4); b.get(typBytes)
       val typ = new String(typBytes, "US-ASCII")
@@ -173,7 +173,12 @@ object PngCodec {
     try {
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        require(n > 0 || !inflater.needsInput(), "truncated zlib stream")
+        require(!inflater.needsDictionary,
+          "preset-dictionary zlib (FDICT) unsupported")
+        // n==0 without finishing means the stream can make no progress:
+        // either it wants more input (truncated) or it is stuck (corrupt).
+        // Either way, IllegalArgumentException — never a spin.
+        require(n > 0 || inflater.finished(), "truncated zlib stream")
         off += n
       }
       require(off == raw.length && inflater.finished() &&

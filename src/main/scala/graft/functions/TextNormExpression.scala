@@ -23,10 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * (space/\t/\n/\x0B/\f/\r) runs collapse to one space; everything else —
   * including every byte ≥ 0x80, i.e. all non-ASCII codepoints, which the
   * regex chain also deletes — is dropped; leading/trailing space trimmed.
-  * (Known non-ASCII divergence: codepoints whose Unicode lowercase
-  * DECOMPOSES into an ASCII letter + combining mark, e.g. İ → i̇, keep the
-  * ASCII letter under the regex chain but are dropped here. The corpus
-  * contract is ASCII; the oracle regex and this expression agree there.)
+  * (Known non-ASCII divergences — both directions are spec-pinned in
+  * TextNormSpec: (a) codepoints whose Unicode lowercase DECOMPOSES into an
+  * ASCII letter + combining mark, e.g. İ → i̇, keep the ASCII letter under
+  * the regex chain but are dropped here; (b) codepoints whose SIMPLE
+  * lowercase mapping is itself an ASCII letter, e.g. U+212A KELVIN SIGN
+  * → 'k', likewise survive `lower()` into [a-z] under the regex chain but
+  * are dropped here. The corpus contract is ASCII; the oracle regex and
+  * this expression agree there. A multilingual corpus should use the
+  * Unicode face, [[graft.ext.TextAnalysis]] unicodeNormalize / qt18.)
   */
 case class AsciiNormalize(child: Expression) extends UnaryExpression {
 

@@ -249,7 +249,9 @@ object FileSources {
     * the generation-partitioned dir reconciles the UNION schema (new
     * column null for old rows — no backfill rewrite of petabytes), and
     * the gate aggregates per generation: row counts, non-null counts in
-    * the added column (exactly 0 for gen 1, all rows for gen 2), and
+    * the added column (exactly 0 for gen 1 — merge-filled nulls — and the
+    * corpus's own non-null `lang` count for gen 2, so the gate holds even
+    * if the corpus ever carries null langs), and
     * content sums proving both generations' payloads survive the merge.
     * Schema merging is a FOOTER-level planning operation (per-file footer
     * reads, no data scan), so it costs file-listing time, not data time,
@@ -275,7 +277,7 @@ object FileSources {
   private val qf08Sql =
     """SELECT CAST(1 + doc_id % 2 AS INT) AS gen,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_lang,
+      |  CAST(count(lang) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_lang,
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
       |  CAST(sum(length(text)) AS BIGINT) AS chars
       |FROM documents GROUP BY 1""".stripMargin

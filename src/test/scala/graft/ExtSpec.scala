@@ -849,6 +849,26 @@ class TextNormSpec extends SparkSpec {
         s"mismatch for input '${row.getString(0).take(40)}'")
     }
   }
+
+  test("known non-ASCII divergences from the regex chain are exactly as documented") {
+    import spark.implicits._
+    // Two pinned divergence classes (see AsciiNormalize scaladoc):
+    // (a) İ (U+0130): lower() decomposes to 'i' + U+0307 — regex keeps 'i'
+    // (b) U+212A KELVIN SIGN: SIMPLE lowercase maps to ASCII 'k' — regex keeps 'k'
+    // AsciiNormalize drops both (every byte >= 0x80 is dropped by contract).
+    val cases = Seq(
+      ("İstanbul", "istanbul", "stanbul"),
+      ("300K hot", "300k hot", "300 hot"),
+      ("K", "k", ""))
+    val rows = cases.map(_._1).toDF("text")
+      .select(col("text"), regexNorm.as("r"),
+        graft.functions.TextNorm.asciiNormalize(col("text")).as("a"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.foreach { case (in, wantRegex, wantAscii) =>
+      assert(rows(in)._1 === wantRegex, s"regex chain for '$in'")
+      assert(rows(in)._2 === wantAscii, s"AsciiNormalize for '$in'")
+    }
+  }
 }
 
 class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -914,6 +934,42 @@ class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     val bad = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", junk) ++
       chunk("IEND", Array.emptyByteArray)
     intercept[IllegalArgumentException](PngCodec.decode(bad))
+  }
+
+  test("rejects adversarial chunk length near Int.MaxValue (no overflow, no allocation)") {
+    // len + 8 would overflow Int and pass a naive remaining() check; the
+    // decoder must compare in Long and throw, not allocate ~2 GB or
+    // BufferUnderflow
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    val evil = sig ++ java.nio.ByteBuffer.allocate(16)
+      .putInt(0x7FFFFFFC).put("IDAT".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).array()
+    val e = intercept[IllegalArgumentException](PngCodec.decode(evil))
+    assert(e.getMessage.contains("truncated chunk"))
+  }
+
+  test("rejects preset-dictionary (FDICT) zlib stream instead of spinning") {
+    // zlib header CMF=0x78 FLG=0x20: FDICT bit set, (0x78*256+0x20)%31==0
+    // → Inflater returns 0 with needsDictionary()==true forever unless
+    // guarded
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, // header + DICTID
+      0x0B.toByte, 0x42.toByte, 0x00.toByte, 0x11.toByte) // arbitrary body
+    val bad = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdict) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e.getMessage.contains("preset-dictionary") ||
+      e.getMessage.contains("corrupt zlib") ||
+      e.getMessage.contains("truncated zlib"))
   }
 }
 
