@@ -910,6 +910,85 @@ object StreamingQueries {
           <= col("exact_users") * lit(0.15)).as("approx_within_bound"))
   }
 
+  // ---------------------------------------------------------------------
+  // qst26: streaming approximate heavy hitters with BOUNDED state
+  // (VERDICT r09 Next #1) — qst24's leaderboard re-expressed as a
+  // SpaceSaving sketch in transformWithState: state is exactly
+  // shards × capacity counters, INDEPENDENT of the distinct-key count
+  // (qst24 holds one agg row per key). The gate key is a skewed derived
+  // key both engines can compute: half the events concentrate on 10 hot
+  // keys (~5% of the corpus each), the other half spread over per-event
+  // unique keys — so the true top-10 is the hot set and the tail universe
+  // grows with the corpus while the sketch does not (state-curve row in
+  // BASELINE.md shows the plateau vs the one-row-per-key line).
+  //
+  // The gate is q18/qst21's property pattern, per exact-top-10 key:
+  //   tracked  — the key is in the final summary. GUARANTEED: a key with
+  //              count > n_shard/capacity is always tracked (SpaceSaving
+  //              invariant 3); hot keys carry ~5% of N against a threshold
+  //              of N/(shards·capacity) ≈ 1.6% — a 3× margin.
+  //   bound_ok — est ≥ n_exact ≥ est − err (invariant 1).
+  // Both are arrival-order-independent theorems, so the gate is
+  // deterministic under any micro-batch split; the oracle states them as
+  // literals next to the exact counts it computes itself. The final
+  // summary is read from the checkpoint's ListState (qst23's reader path)
+  // — the sketch IS the state, no sink-side reduction needed.
+  // ---------------------------------------------------------------------
+  private val HhShards = 4
+  private val HhCapacity = 16
+
+  /** 10 hot keys get ~half the mass (one residue mod 20 each — see oracle);
+    * every other event keys by its own unique event_id. */
+  private def hhKey = when(col("event_id") % 4 < 2, col("event_id") % 10)
+    .otherwise(col("event_id"))
+
+  private def qst26(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckptPath = java.nio.file.Files.createTempDirectory("graft-qst26-ckpt-")
+      deleteOnExit(ckptPath)
+      val ckpt = ckptPath.toString
+      val path = s"$d/events.parquet"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema: StructType = s.read.parquet(path).schema
+      val ev = streamTable(s, d, "events", schema)
+      val name = s"graft_hh_${counter.incrementAndGet()}"
+      val q = graft.streaming.HeavyHitters
+        .sketch(ev.select(hhKey.as("key")), HhShards, HhCapacity)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val cands = s.read.format("statestore")
+        .option("stateVarName", "summary")
+        .option("flattenCollectionTypes", "true")
+        .load(ckpt)
+        .select(col("list_element._1").as("key"),
+          col("list_element._2").as("est"), col("list_element._3").as("err"))
+      val exact = Tables.events(s, d)
+        .select(hhKey.as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key").asc).limit(10)
+      exact.join(cands, Seq("key"), "left")
+        .select(col("key"), col("n"),
+          col("est").isNotNull.as("tracked"),
+          (col("est").isNotNull && col("est") >= col("n") &&
+            col("est") - col("err") <= col("n")).as("bound_ok"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val qst26Sql =
+    """SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |  true AS tracked, true AS bound_ok
+      |FROM (SELECT CASE WHEN event_id % 4 < 2 THEN event_id % 10
+      |             ELSE event_id END AS key FROM events)
+      |GROUP BY key ORDER BY n DESC, key ASC LIMIT 10""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -952,5 +1031,8 @@ object StreamingQueries {
     Q("qst24_stream_topk", qst24, Some(qst24Sql)),
     // qa03's oracle verbatim: the streamed enrichment must reproduce the
     // batch point-in-time rollup exactly
-    Q("qst25_stream_scd2", qst25, Some(graft.operators.AsOf.qa03Sql)))
+    Q("qst25_stream_scd2", qst25, Some(graft.operators.AsOf.qa03Sql)),
+    // property gate: tracked/bound_ok are SpaceSaving theorems (arrival-
+    // order-independent), exact counts computed by both engines
+    Q("qst26_stream_heavy_hitters", qst26, Some(qst26Sql)))
 }

@@ -926,6 +926,94 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(streamed("b") - 75L) <= 12)
     } finally q.stop()
   }
+
+  test("SpaceSaving heavy hitters: eviction bookkeeping pinned across two batches") {
+    // capacity 2, one shard: batch 1 fills the summary, batch 2 forces an
+    // eviction THROUGH the state store — the newcomer inherits the evicted
+    // min-est as its error bound (the SpaceSaving replacement rule)
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-pin-").toString
+      val q = graft.streaming.HeavyHitters
+        .sketch(ms.toDF().toDF("key"), shards = 1, m = 2)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("hh_pin").option("checkpointLocation", ckpt).start()
+      try {
+        ms.addData(1L, 1L, 2L)
+        q.processAllAvailable()
+        ms.addData(3L, 1L)
+        q.processAllAvailable()
+      } finally q.stop()
+      try {
+        val st = spark.read.format("statestore")
+          .option("stateVarName", "summary")
+          .option("flattenCollectionTypes", "true").load(ckpt)
+          .selectExpr("list_element._1 AS key", "list_element._2 AS est",
+            "list_element._3 AS err")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // batch 1: {1:(2,0), 2:(1,0)}; batch 2: 3 evicts 2 (min est 1) →
+        // 3:(2,1); 1 increments → 1:(3,0)
+        assert(st === Map(1L -> (3L, 0L), 3L -> (2L, 1L)))
+      } finally {
+        import java.nio.file._
+        Files.walk(Paths.get(ckpt)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("SpaceSaving invariants hold on a skewed open-keyspace corpus across batches") {
+    // 7 hot keys carry 2/3 of 4500 rows; the tail is per-row unique.
+    // shards=2, m=8 → 16 counters vs ~1507 distinct keys. Checked:
+    // (1) est ≥ true ≥ est−err for every summary entry;
+    // (2) err ≤ n_shard/m;
+    // (3) every key with true count > n_shard/m is tracked.
+    withRocksDB {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-inv-").toString
+      val keys = (0 until 4500).map(i =>
+        if (i % 3 != 0) (i % 7).toLong else 1000L + i)
+      val q = graft.streaming.HeavyHitters
+        .sketch(ms.toDF().toDF("key"), shards = 2, m = 8)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("hh_inv").option("checkpointLocation", ckpt).start()
+      try {
+        keys.grouped(1500).foreach { chunk =>
+          ms.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      try {
+        val entries = spark.read.format("statestore")
+          .option("stateVarName", "summary")
+          .option("flattenCollectionTypes", "true").load(ckpt)
+          .selectExpr("list_element._1 AS key", "list_element._2 AS est",
+            "list_element._3 AS err")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val trueCount = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val shardN = keys.groupBy(_ % 2).view.mapValues(_.size.toLong).toMap
+        assert(entries.length <= 16)
+        entries.foreach { case (k, est, err) =>
+          val t = trueCount(k)
+          assert(est >= t && est - err <= t, s"bound violated for key $k")
+          assert(err <= shardN(k % 2) / 8, s"err cap violated for key $k")
+        }
+        val tracked = entries.map(_._1).toSet
+        trueCount.foreach { case (k, t) =>
+          if (t > shardN(k % 2) / 8)
+            assert(tracked.contains(k), s"guaranteed key $k not tracked")
+        }
+        // the 7 hot keys (~428 each vs threshold ~281) must all be present
+        assert((0L until 7L).forall(tracked.contains))
+      } finally {
+        import java.nio.file._
+        Files.walk(Paths.get(ckpt)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
