@@ -148,6 +148,13 @@ object PngCodec {
           val h = java.nio.ByteBuffer.wrap(data)
           width = h.getInt(); height = h.getInt()
           require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+          // (stride+1)*height below must not overflow Int (a hostile
+          // IHDR like 715m×3 would otherwise turn into a negative-size
+          // or multi-GB allocation instead of this decoder's
+          // IllegalArgumentException contract). 1 GiB of raw scanline
+          // bytes is far beyond any thumbnail this path serves.
+          require((width.toLong * 3 + 1) * height.toLong <= (1L << 30),
+            s"image too large to decode: ${width}x$height")
           require(h.get() == 8, "unsupported bit depth (8-bit only)")
           require(h.get() == 2, "unsupported color type (truecolor RGB only)")
           require(h.get() == 0, "unknown compression method")

@@ -843,6 +843,93 @@ object TextAnalysis {
       |SELECT doc_id, n_raw, CAST(len(clean_text) AS BIGINT) AS n_clean, clean_text
       |FROM cleaned""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt18: Unicode-aware normalization — the multilingual face of qt14 /
+  // AsciiNormalize. The ASCII contract (functions/TextNormExpression)
+  // deletes every byte ≥ 0x80, so a multilingual corpus would dedup on
+  // EMPTY keys; this face case-folds and strips punctuation while
+  // PRESERVING non-ASCII letters and digits (\p{L}\p{N} — tables both
+  // Java regex and DuckDB's RE2 implement), then collapses whitespace
+  // and trims, and derives the dedup key (md5 of the normalized UTF-8
+  // bytes — both engines hash the same byte sequence).
+  //
+  // The test corpus is pure ASCII (checked: 0 of 500 sf0.01 docs contain
+  // a byte ≥ 0x80), so like qt14 the query plants deterministic
+  // multilingual suffixes (Latin-1 accents, ß, Cyrillic, Greek, CJK +
+  // CJK punctuation) keyed by doc_id % 6 IN BOTH ENGINES — the gate
+  // exercises genuine non-ASCII case mapping, \p{L} preservation and
+  // \p{P} deletion, hash-exactly.
+  //
+  // Engine-equivalence contract (spec-pinned in TextNormSpec): Spark
+  // lowercases via java.lang.String.toLowerCase (full, context-sensitive
+  // mappings); DuckDB via utf8proc (per-codepoint simple mappings). Most
+  // raw-lower() divergences WASH OUT under this normalize — İ U+0130
+  // (Java → i + combining U+0307; the U+0307 is \p{Mn}, not \p{L}, so
+  // it is stripped), U+212A KELVIN and ẞ U+1E9E (both engines reach the
+  // same letter) — all spec-pinned as convergent. The one class that
+  // SURVIVES is context-sensitive final sigma (Java lowers trailing Σ
+  // to ς, utf8proc always σ), so capital Σ is excluded from the planted
+  // set and spec-pinned as divergent. The whitespace class is spelled
+  // explicitly as [ \t\n\r\f] because Java's \s includes \x0B while
+  // RE2's does not.
+  // Pure per-row projection: zero shuffle, codegen'd, 100 TB-linear.
+  // ---------------------------------------------------------------------
+
+  /** Unicode-aware normalization: lower-case, keep letters/digits/space,
+    * collapse whitespace, trim. The multilingual counterpart of
+    * [[graft.functions.TextNorm.normalize]] — see the qt18 header for the
+    * engine-equivalence contract. */
+  def unicodeNormalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N} \\t\\n\\r\\f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
+
+  /** Planted multilingual suffixes, index = doc_id % 6 — mirrored verbatim
+    * in the oracle's CASE. Each exercises a distinct script family. */
+  private val MlSuffixes = Seq(
+    "Père—Noël,   CAFÉ!?",          // Latin-1 accents + punctuation runs
+    "Straße GRÜSSE aus München",     // ß (lowercase fixed point) + umlauts
+    "МОСКВА — Россия",               // Cyrillic upper→lower
+    "北京市、東京都。",                // CJK ideographs + CJK punctuation
+    "Ελλάδα και κύπρος",             // Greek (no capital sigma — see header)
+    "naïve FAÇADE œuvre élevée")     // ligature œ + accents
+
+  private def qt18(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("utext",
+        concat(col("text"), lit("  \t"),
+          element_at(array(MlSuffixes.map(lit): _*),
+            (col("doc_id") % 6 + 1).cast("int"))))
+      .select(col("doc_id"),
+        length(col("utext")).cast("long").as("n_raw"),
+        unicodeNormalize(col("utext")).as("norm_text"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm_text")).cast("long").as("n_norm"),
+        md5(col("norm_text")).as("ukey"),
+        col("norm_text"))
+
+  private val qt18Sql =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || '  ' || chr(9) ||
+      |    CASE CAST(doc_id % 6 AS INTEGER)
+      |      WHEN 0 THEN 'Père—Noël,   CAFÉ!?'
+      |      WHEN 1 THEN 'Straße GRÜSSE aus München'
+      |      WHEN 2 THEN 'МОСКВА — Россия'
+      |      WHEN 3 THEN '北京市、東京都。'
+      |      WHEN 4 THEN 'Ελλάδα και κύπρος'
+      |      ELSE 'naïve FAÇADE œuvre élevée' END AS utext
+      |  FROM documents),
+      |normed AS (
+      |  SELECT doc_id, CAST(length(utext) AS BIGINT) AS n_raw,
+      |    trim(regexp_replace(
+      |      regexp_replace(lower(utext), '[^\p{L}\p{N} \t\n\r\f]', '', 'g'),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+      |  FROM planted)
+      |SELECT doc_id, n_raw, CAST(length(norm_text) AS BIGINT) AS n_norm,
+      |  md5(norm_text) AS ukey, norm_text
+      |FROM normed""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -860,5 +947,6 @@ object TextAnalysis {
     Q("qt14_text_normalize", qt14, Some(qt14Sql)),
     Q("qt15_bpe_pairs", qt15, Some(qt15Sql)),
     Q("qt16_bpe_train", qt16, Some(qt16Sql)),
-    Q("qt17_bpe_apply", qt17, Some(qt17Sql)))
+    Q("qt17_bpe_apply", qt17, Some(qt17Sql)),
+    Q("qt18_unicode_normalize", qt18, Some(qt18Sql)))
 }

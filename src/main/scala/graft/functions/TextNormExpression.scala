@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * → 'k', likewise survive `lower()` into [a-z] under the regex chain but
   * are dropped here. The corpus contract is ASCII; the oracle regex and
   * this expression agree there. A multilingual corpus should use the
-  * Unicode face, [[graft.ext.TextAnalysis]] unicodeNormalize / qt18.)
+  * Unicode face, [[graft.ext.TextAnalysis.unicodeNormalize]] — gated as
+  * qt18_unicode_normalize, which preserves \p{L}\p{N} while case-folding.)
   */
 case class AsciiNormalize(child: Expression) extends UnaryExpression {
 

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Q
 import graft.sources.Tables
@@ -673,7 +673,12 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       q.stop()
-      // per-doc keeper counts from the CHECKPOINT, not the sink
+      // per-doc keeper counts from the CHECKPOINT, not the sink.
+      // NOTE: this DataFrame is lazy and executes after the finally block
+      // restores the provider conf — that is safe because the statestore
+      // reader resolves the provider from the checkpoint's OperatorStateMetadata,
+      // not from the session conf at execution time (the conf only needs to
+      // be held while the WRITING query runs).
       s.read.format("statestore").option("stateVarName", "keeper").load(ckpt)
         .select(col("value._1").as("doc_id"))
         .groupBy(col("doc_id"))
@@ -925,8 +930,16 @@ object StreamingQueries {
   // The gate is q18/qst21's property pattern, per exact-top-10 key:
   //   tracked  — the key is in the final summary. GUARANTEED: a key with
   //              count > n_shard/capacity is always tracked (SpaceSaving
-  //              invariant 3); hot keys carry ~5% of N against a threshold
-  //              of N/(shards·capacity) ≈ 1.6% — a 3× margin.
+  //              invariant 3). The per-shard mass is NOT uniform for this
+  //              key derivation: tail events (event_id % 4 ∈ {2,3}) key by
+  //              event_id, so shard = key % shards routes ALL tail mass to
+  //              shards 2–3 (n_shard ≈ N/2 + hot share there), while
+  //              shards 0–1 carry only their hot keys. Worst case is a hot
+  //              key on shards 2–3: threshold ≈ n_shard/16 ≈ 2.2% of N
+  //              against the key's ~5% of N — a ~2.3× margin (not the
+  //              uniform-shard 3×). Still a theorem, just a thinner one;
+  //              a production variant hashing the tail key would restore
+  //              uniform shard mass and tail-side parallelism.
   //   bound_ok — est ≥ n_exact ≥ est − err (invariant 1).
   // Both are arrival-order-independent theorems, so the gate is
   // deterministic under any micro-batch split; the oracle states them as
@@ -961,12 +974,25 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
       q.stop()
-      val cands = s.read.format("statestore")
+      // Materialize the statestore scan HERE, while the RocksDB provider
+      // conf is still held — the returned DataFrame is lazy and would
+      // otherwise execute after the finally block restores the conf.
+      // (The reader resolves the provider from checkpoint metadata, but
+      // relying on that would make the try/finally misleading.) The
+      // summary is ≤ shards×capacity rows by construction, so localizing
+      // it is constant-size, not a data-path collect.
+      val candRows = s.read.format("statestore")
         .option("stateVarName", "summary")
         .option("flattenCollectionTypes", "true")
         .load(ckpt)
         .select(col("list_element._1").as("key"),
           col("list_element._2").as("est"), col("list_element._3").as("err"))
+        .collect().toSeq
+      val cands = s.createDataFrame(
+        s.sparkContext.parallelize(candRows, 1),
+        StructType(Seq(
+          StructField("key", LongType), StructField("est", LongType),
+          StructField("err", LongType))))
       val exact = Tables.events(s, d)
         .select(hhKey.as("key"))
         .groupBy(col("key")).agg(count(lit(1)).as("n"))

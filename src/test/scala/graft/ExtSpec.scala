@@ -869,6 +869,51 @@ class TextNormSpec extends SparkSpec {
       assert(rows(in)._2 === wantAscii, s"AsciiNormalize for '$in'")
     }
   }
+
+  test("unicodeNormalize preserves non-ASCII letters and matches the oracle chain") {
+    import spark.implicits._
+    // Expected values are DuckDB's output for the identical chain (verified
+    // against duckdb lower+regexp_replace) — the qt18 hash-exactness
+    // contract, stated per planted-script family.
+    val cases = Seq(
+      ("Père—Noël,   CAFÉ!?", "pèrenoël café"),
+      ("Straße GRÜSSE aus München", "straße grüsse aus münchen"),
+      ("МОСКВА — Россия", "москва россия"),
+      ("北京市、東京都。", "北京市東京都"),
+      ("Ελλάδα και κύπρος", "ελλάδα και κύπρος"),
+      ("naïve FAÇADE œuvre élevée", "naïve façade œuvre élevée"),
+      ("  \t mixed ASCII and 中文 123 \r\n", "mixed ascii and 中文 123"),
+      ("", ""))
+    val rows = cases.map(_._1).toDF("text")
+      .select(col("text"),
+        graft.ext.TextAnalysis.unicodeNormalize(col("text")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(rows(in) === want, s"unicodeNormalize for '$in'")
+    }
+  }
+
+  test("unicodeNormalize divergence classes vs DuckDB are exactly as documented") {
+    import spark.implicits._
+    // (a) İ U+0130: Java lower() → 'i' + combining U+0307; utf8proc → 'i'.
+    //     The raw lower() outputs DIFFER, but U+0307 is \p{Mn} (not \p{L})
+    //     so unicodeNormalize strips it — the engines CONVERGE on
+    //     'istanbul'. Same for U+212A KELVIN (both map to 'k') and
+    //     ẞ U+1E9E (both map to ß): safe in gated corpora.
+    // (b) Final sigma: Java's toLowerCase applies Unicode Final_Sigma
+    //     (trailing Σ → ς); utf8proc maps Σ → σ unconditionally. A
+    //     GENUINE divergence that survives normalization — capital Σ is
+    //     therefore excluded from the qt18 planted set (the header's
+    //     documented exclusion).
+    val got = Seq("İstanbul", "300K", "ẞig", "ΟΔΥΣΣΕΥΣ ΣΣ").toDF("text")
+      .select(col("text"),
+        graft.ext.TextAnalysis.unicodeNormalize(col("text")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("İstanbul") === "istanbul")   // converges (DuckDB: istanbul)
+    assert(got("300K") === "300k")           // converges (DuckDB: 300k)
+    assert(got("ẞig") === "ßig")             // converges (DuckDB: ßig)
+    assert(got("ΟΔΥΣΣΕΥΣ ΣΣ") === "οδυσσευς σς") // DuckDB: 'οδυσσευσ σσ' — diverges
+  }
 }
 
 class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -970,6 +1015,30 @@ class PngCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.getMessage.contains("preset-dictionary") ||
       e.getMessage.contains("corrupt zlib") ||
       e.getMessage.contains("truncated zlib"))
+  }
+
+  test("rejects hostile IHDR dimensions whose raw buffer would overflow Int") {
+    // width=715_827_883, height=3: (stride+1)*height = (3w+1)*3 ≈ 2^31+10
+    // overflows Int to a small negative — a naive decoder throws
+    // NegativeArraySizeException (or attempts a multi-GB allocation for
+    // slightly smaller w·h). Contract: IllegalArgumentException at IHDR.
+    val sig = Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    for ((w, h) <- Seq((715827883, 3), (1 << 16, 1 << 16))) {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val bad = sig ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", Array[Byte](0x78, 0x01.toByte)) ++
+        chunk("IEND", Array.emptyByteArray)
+      val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+      assert(e.getMessage.contains("too large"), s"${w}x$h: ${e.getMessage}")
+    }
   }
 }
 
