@@ -333,8 +333,171 @@ object SpanDedup {
        |  string_agg(btext, ' ' ORDER BY blk) AS clean_text
        |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd18: PERSISTED dedup-state composition — the steady-state ingest
+  // LOOP qd13 only states one step of. qd13 classifies one batch against
+  // a seen corpus it recomputes from scratch; production ingest instead
+  // maintains a durable signature store and, per arriving batch:
+  //   (1) classifies the batch against the store AS IT STANDS, then
+  //   (2) MERGEs the batch's signatures in (upsert by doc_id).
+  // Here the seen corpus (doc_id % NewMod ≠ 0) arrives as IngestBatches
+  // sequential batches (batch_id = (doc_id div NewMod) % IngestBatches),
+  // each classified-then-merged against a parquet store on disk; finally
+  // the qd13 incoming set (batch_id = IngestBatches) is classified
+  // against the accumulated store. The gate is the COMPOSITION THEOREM:
+  // every doc's status must equal the set-theoretic answer "classified
+  // against exactly the batches that arrived before mine" — which for
+  // the final batch is qd13's from-scratch result verbatim (same split,
+  // same BucketCap, same Hamming bound). The oracle states that unified
+  // answer in one query; the Spark side EARNS it through the loop — any
+  // merge bug (lost signatures, duplicated rows, cap drift) breaks the
+  // hash.
+  //
+  // Store layout: two tables (h: doc_id → md5; chunks: doc_id → 4
+  // (band, chunk, simhash) rows), snapshot-versioned as v0..vN — each
+  // merge writes version b+1 from version b plus the batch (anti-join on
+  // doc_id then union: a genuine MERGE upsert; batches here are
+  // doc_id-disjoint so the anti-join drops nothing, but re-ingesting a
+  // doc would correctly replace its signatures rather than duplicate
+  // them). Reading each version back from parquet breaks plan lineage —
+  // iteration b's plan never re-derives b−1's work.
+  //
+  // 100 TB shape: classification cost per batch is qd13's — O(|batch| ×
+  // bands × BucketCap) compares, both joins merge-pinned, the store is
+  // never broadcast. The merge rewrite is O(|store|) per batch — the
+  // compaction trade every log-structured store makes; the production
+  // variant partitions the store by a hash prefix so a merge touches
+  // only the partitions the batch lands in, and expires old versions.
+  // State never lives in executor memory: it is a parquet table like any
+  // other, so the loop scales to a store far larger than the cluster.
+  // ---------------------------------------------------------------------
+
+  /** Seen-corpus ingest batch count (the final classify is batch
+    * [[IngestBatches]], the qd13 incoming set). */
+  val IngestBatches = 4
+
+  private def batchIdCol = when(col("doc_id") % NewMod === 0,
+      lit(IngestBatches.toLong))
+    .otherwise(expr(s"doc_id div $NewMod") % IngestBatches)
+
+  /** Classify a batch against the signature store (stateH: `h`;
+    * stateChunks: `c, chunk, simhash`) — qd13's classification with the
+    * seen side read from the store instead of recomputed. */
+  private[graft] def classifyAgainstState(batch: DataFrame,
+      stateH: DataFrame, stateChunks: DataFrame): DataFrame = {
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(stateH.select(col("h")).distinct().hint("merge"), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val kept = stateChunks.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= Dedup.BucketCap)
+      .select(col("c"), col("chunk"))
+    val near = simhashChunks(batch)
+      .join(
+        stateChunks.join(kept.hint("merge"), Seq("c", "chunk"), "left_semi")
+          .select(col("c"), col("chunk"), col("simhash").as("seen_sim"))
+          .hint("merge"),
+        Seq("c", "chunk"))
+      .filter(expr("bit_count(simhash ^ seen_sim) <= 12"))
+      .select(col("doc_id")).distinct().withColumn("is_near", lit(1L))
+    batch.select(col("doc_id"))
+      .join(exact.hint("merge"), Seq("doc_id"), "left")
+      .join(near.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact_dup")
+          .when(col("is_near") === 1, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
+  /** The qd18 ingest loop over an arbitrary (doc_id, text) frame —
+    * package-private so the spec can replay planted corpora and assert
+    * the final-batch slice equals [[classifyIncremental]] exactly. */
+  private[graft] def ingestSequentially(s: SparkSession, docs: DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-qd18-state-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    def hPath(v: Int) = s"$root/h_v$v"
+    def cPath(v: Int) = s"$root/chunks_v$v"
+    // v0: the empty store (schema-carrying empty parquet)
+    docs.select(col("doc_id"), md5(col("text")).as("h")).limit(0)
+      .write.parquet(hPath(0))
+    simhashChunks(docs.limit(0))
+      .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
+      .write.parquet(cPath(0))
+    val outs = (0 to IngestBatches).map { b =>
+      val batch = docs.withColumn("bid", batchIdCol)
+        .filter(col("bid") === b).drop("bid")
+      val stateH = s.read.parquet(hPath(b))
+      val stateC = s.read.parquet(cPath(b))
+      if (b < IngestBatches) {
+        // MERGE the batch's signatures in → snapshot v(b+1)
+        val batchH = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        val batchC = simhashChunks(batch)
+          .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
+        stateH.join(batchH.select(col("doc_id")).distinct().hint("merge"),
+            Seq("doc_id"), "left_anti")
+          .union(batchH).write.parquet(hPath(b + 1))
+        stateC.join(batchC.select(col("doc_id")).distinct().hint("merge"),
+            Seq("doc_id"), "left_anti")
+          .union(batchC).write.parquet(cPath(b + 1))
+      }
+      classifyAgainstState(batch, stateH, stateC)
+        .withColumn("batch_id", lit(b.toLong))
+    }
+    outs.reduce(_.union(_))
+      .select(col("doc_id"), col("batch_id"), col("status"))
+  }
+
+  private def qd18(s: SparkSession, d: String): DataFrame =
+    ingestSequentially(s, Tables.documents(s, d))
+
+  private val qd18Sql =
+    s"""WITH ${Dedup.simhashSqlCte},
+       |b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $NewMod = 0 THEN CAST($IngestBatches AS BIGINT)
+       |         ELSE CAST((doc_id // $NewMod) % $IngestBatches AS BIGINT)
+       |    END AS batch_id
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT d.doc_id, md5(d.text) AS h, bb.batch_id
+       |  FROM documents d JOIN b bb USING (doc_id)),
+       |ex AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM hashes i JOIN hashes s ON s.h = i.h AND s.batch_id < i.batch_id),
+       |chunks AS (
+       |  SELECT sh.doc_id, CAST(simhash AS BIGINT) AS simhash, c,
+       |    (CAST(simhash AS BIGINT) // CAST(pow(2, 12 * c) AS BIGINT)) % 4096 AS chunk,
+       |    bb.batch_id
+       |  FROM simhashed sh JOIN b bb USING (doc_id), range(0, 4) t(c)),
+       |seen_c AS (SELECT * FROM chunks WHERE batch_id < $IngestBatches),
+       |cnt AS (
+       |  SELECT ob.ob AS obs_b, s.c, s.chunk, count(*) AS n
+       |  FROM seen_c s JOIN range(1, ${IngestBatches + 1}) ob(ob)
+       |    ON s.batch_id < ob.ob
+       |  GROUP BY 1, 2, 3),
+       |kept AS (SELECT obs_b, c, chunk FROM cnt WHERE n <= ${Dedup.BucketCap}),
+       |near AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM chunks i
+       |  JOIN kept k ON k.obs_b = i.batch_id AND k.c = i.c AND k.chunk = i.chunk
+       |  JOIN seen_c s ON s.c = i.c AND s.chunk = i.chunk
+       |    AND s.batch_id < i.batch_id
+       |  WHERE bit_count(xor(i.simhash, s.simhash)) <= 12)
+       |SELECT bb.doc_id, bb.batch_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status
+       |FROM b bb
+       |LEFT JOIN ex e ON e.doc_id = bb.doc_id
+       |LEFT JOIN near n ON n.doc_id = bb.doc_id""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qd12_dup_spans", qd12, Some(qd12Sql)),
     Q("qd13_incremental_dedup", qd13, Some(qd13Sql)),
-    Q("qd15_block_dedup_rewrite", qd15, Some(qd15Sql)))
+    Q("qd15_block_dedup_rewrite", qd15, Some(qd15Sql)),
+    Q("qd18_persisted_ingest_dedup", qd18, Some(qd18Sql)))
 }

@@ -1189,6 +1189,47 @@ class SpanDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(5L -> "new", 10L -> "new"))
   }
+
+  test("persisted ingest loop: final-batch slice equals from-scratch qd13") {
+    // The qd18 composition theorem, asserted WITHIN Spark: after the seen
+    // corpus is ingested batch-by-batch through the persisted store, the
+    // incoming set's classification must equal classifyIncremental's
+    // from-scratch answer on the real corpus.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fromLoop = SpanDedup.ingestSequentially(spark, docs)
+      .filter(col("batch_id") === SpanDedup.IngestBatches)
+      .select(col("doc_id"), col("status")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromScratch = SpanDedup.classifyIncremental(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromLoop === fromScratch)
+  }
+
+  test("persisted ingest loop: arrival order decides status (planted)") {
+    import spark.implicits._
+    // batch_id = (doc_id div 5) % 4 for seen (doc_id % 5 != 0), 4 for
+    // incoming. Plant: doc 6 (batch 1) byte-identical to doc 1 (batch 0)
+    // → exact_dup on arrival; doc 1 itself arrives first → 'new' even
+    // though its dup exists later; doc 21 (batch 0) identical to doc 1
+    // (batch 0, SAME batch) → 'new' — a doc never sees its own batch;
+    // doc 10 (incoming) identical to doc 6 → exact_dup vs the final store.
+    val t0 = (1 to 40).map(i => s"q$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, t0),    // seen batch 0
+      (21L, t0),   // seen batch 0 (same batch as doc 1)
+      (6L, t0),    // seen batch 1
+      (7L, uniq),  // seen batch 1, unrelated
+      (10L, t0)    // incoming
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.ingestSequentially(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out((1L, 0L)) === "new")
+    assert(out((21L, 0L)) === "new")
+    assert(out((6L, 1L)) === "exact_dup")
+    assert(out((7L, 1L)) === "new")
+    assert(out((10L, 4L)) === "exact_dup")
+  }
 }
 
 class QualityClassifierSpec extends SparkSpec {
