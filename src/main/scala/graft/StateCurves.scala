@@ -238,6 +238,25 @@ object StateCurves {
       } finally spark.conf.unset(
         "spark.sql.streaming.stateStore.rocksdb.compactOnCommit")
     }
+
+    // VERDICT r10 #2: the qst26 state-curve pair — same skewed key
+    // derivation as the qst26 gate (10 hot keys carry half the mass, the
+    // tail keys by unique event_id, so the key universe grows with every
+    // copy). The exact leaderboard (qst24's streaming-agg shape) holds one
+    // state row per key — monotone in the tail universe; the SpaceSaving
+    // sketch holds exactly HhShards × HhCapacity counters — flat from the
+    // first trigger. (The sketch processor sorts each micro-batch's rows
+    // per shard for bit-deterministic bounded replays — an O(batch log
+    // batch) CPU trade irrelevant to state size; a production variant
+    // streams the iterator unsorted, the invariants hold under any order.)
+    import graft.streaming.StreamingQueries.{hhKey, HhShards, HhCapacity}
+    curve(spark, "qst24_topk_exact_keys", evDir, 2, "update") { ev =>
+      ev.select(hhKey.as("key")).groupBy(col("key")).count()
+    }
+    curve(spark, "qst26_heavyhitters_sketch", evDir, 2, "update") { ev =>
+      graft.streaming.HeavyHitters.sketch(
+        ev.select(hhKey.as("key")), HhShards, HhCapacity).toDF()
+    }
     spark.stop()
   }
 }

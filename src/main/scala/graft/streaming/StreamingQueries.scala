@@ -947,12 +947,12 @@ object StreamingQueries {
   // summary is read from the checkpoint's ListState (qst23's reader path)
   // — the sketch IS the state, no sink-side reduction needed.
   // ---------------------------------------------------------------------
-  private val HhShards = 4
-  private val HhCapacity = 16
+  private[graft] val HhShards = 4
+  private[graft] val HhCapacity = 16
 
   /** 10 hot keys get ~half the mass (one residue mod 20 each — see oracle);
     * every other event keys by its own unique event_id. */
-  private def hhKey = when(col("event_id") % 4 < 2, col("event_id") % 10)
+  private[graft] def hhKey = when(col("event_id") % 4 < 2, col("event_id") % 10)
     .otherwise(col("event_id"))
 
   private def qst26(s: SparkSession, d: String): DataFrame = {
