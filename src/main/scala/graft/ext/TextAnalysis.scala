@@ -221,14 +221,14 @@ object TextAnalysis {
   // Reference capability analogue: the A2 incremental-fold family
   // (flink/YahooBenchmark.scala:229-242) — iterated stateful agg.
   // ---------------------------------------------------------------------
-  private val BpeIters = 5
+  private val BpeIters = 20
 
   /** " h  e  l  l  o " — bracketed symbols, double-space delimited. */
   private def bpeEnc(w: Column): Column =
     concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
 
   /** Training vocabulary: lowercase alphabetic word types with counts. */
-  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeVocab(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(expr(toksExpr)).as("w0"))
       .select(lower(col("w0")).as("w"))
@@ -237,29 +237,49 @@ object TextAnalysis {
       .select(col("freq"), bpeEnc(col("w")).as("enc"))
 
   /** N merge rules (lhs, rhs, weighted pair count at selection time) from
-    * a (freq, enc) vocabulary. Exposed for the spec. */
-  private[graft] def trainBpe(vocab: DataFrame, n: Int): Seq[(String, String, Long)] = {
+    * a (freq, enc) vocabulary. Exposed for the spec.
+    *
+    * Each iteration CHECKPOINTS the merged vocabulary (eager
+    * `localCheckpoint` — plan truncated to the materialized RDD), so
+    * iteration i's plan is always "one replace over a materialized
+    * table". Without this, `cur`'s lineage grows by one replace per
+    * merge: iteration i re-applies all i−1 prior merges (O(n²) replace
+    * work), and nesting cache() instead leaves an InMemoryRelation chain
+    * whose PLAN STRING grows superlinearly — at depth 20 the AQE
+    * explain-string rendering alone OOMs the driver (measured, round
+    * 11). Checkpointing keeps plan size O(1) in i, so cost per merge is
+    * one pair-count shuffle + one O(vocab) replace — flat in i (measured
+    * at 30×: see BASELINE.md BPE row) and depth is bounded by wall-clock
+    * budget, not plan growth. On a cluster use reliable `checkpoint`
+    * (HDFS/S3) for fault tolerance; local mode needs no recovery. The
+    * superseded snapshot's blocks are dropped by the ContextCleaner once
+    * unreferenced. `onStep` reports (step, nanos) per merge for the
+    * BpeCurve probe. */
+  private[graft] def trainBpe(vocab: DataFrame, n: Int,
+      onStep: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
     val pairsOf =
       "transform(sequence(1, size(syms) - 1), " +
         "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-    var cur = vocab.cache()
+    var cur = vocab.localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String, Long)]
-    try {
-      for (_ <- 1 to n) {
-        val top = cur
-          .withColumn("syms", split(trim(col("enc")), "  "))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(pairsOf)).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("pair").asc)
-          .limit(1).collect()(0)
-        val Array(l, r) = top.getString(0).split(' ')
-        merges += ((l, r, top.getLong(1)))
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val top = cur
+        .withColumn("syms", split(trim(col("enc")), "  "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(pairsOf)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val Array(l, r) = top.getString(0).split(' ')
+      merges += ((l, r, top.getLong(1)))
+      if (i < n) // the last fold is never read (mirrors the oracle CTEs)
         cur = cur.withColumn("enc",
           replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")))
-      }
-      merges.result()
-    } finally vocab.unpersist()
+          .localCheckpoint(true)
+      onStep(i, System.nanoTime() - t0)
+    }
+    merges.result()
   }
 
   private def qt16(s: SparkSession, d: String): DataFrame = {
@@ -273,7 +293,7 @@ object TextAnalysis {
     * a p_i (argmax pair of v_{i-1}) and v_i (merge applied). */
   private def bpeTrainCtes(n: Int): String = {
     val v0 =
-      """v0 AS (
+      """v0 AS MATERIALIZED (
         |  SELECT CAST(count(*) AS BIGINT) AS freq,
         |    ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS enc
         |  FROM (SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
@@ -282,7 +302,7 @@ object TextAnalysis {
         |  GROUP BY w)""".stripMargin
     val steps = (1 to n).flatMap { i =>
       val pick =
-        s"""p$i AS (
+        s"""p$i AS MATERIALIZED (
            |  SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, n FROM (
            |    SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
            |      SELECT freq, unnest(list_transform(range(1, len(syms)),
@@ -292,7 +312,7 @@ object TextAnalysis {
            |    ) GROUP BY pair)
            |  ORDER BY n DESC, pair ASC LIMIT 1)""".stripMargin
       val fold =
-        s"""v$i AS (
+        s"""v$i AS MATERIALIZED (
            |  SELECT freq, replace(enc, ' ' || lhs || '  ' || rhs || ' ',
            |                            ' ' || lhs || rhs || ' ') AS enc
            |  FROM v${i - 1} CROSS JOIN p$i)""".stripMargin

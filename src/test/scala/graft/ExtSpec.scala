@@ -1551,6 +1551,18 @@ class BpeSpec extends SparkSpec {
     assert(TextAnalysis.trainBpe(vocab, 1) === Seq(("x", "y", 2L)))
   }
 
+  test("trains the gated depth (>= 20 merges) without plan blow-up") {
+    // The r11 depth gate: 20 sequential merges over the real corpus vocab.
+    // Each step must yield a fresh, nonzero-count rule (a stuck trainer
+    // repeats or stalls); the localCheckpoint form keeps the plan O(1) per
+    // step — the cache-nesting form OOM'd in explain-string rendering at
+    // this depth before any result came back.
+    val merges = TextAnalysis.bpeDefaultMerges(spark, sf)
+    assert(merges.size >= 20)
+    assert(merges.map(m => (m._1, m._2)).distinct.size === merges.size)
+    assert(merges.forall(_._3 > 0L))
+  }
+
   test("qt17 matches an independent JVM greedy BPE on sampled docs") {
     def applyMerge(syms: List[String], l: String, r: String): List[String] = {
       val out = scala.collection.mutable.ListBuffer[String]()
@@ -1565,7 +1577,7 @@ class BpeSpec extends SparkSpec {
     val merges = Registry.byName("qt16_bpe_train").run(spark, sf)
       .orderBy("step").select("lhs", "rhs").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    assert(merges.length === 5 && merges.distinct.length === 5)
+    assert(merges.length === 20 && merges.distinct.length === 20)
     val rows = Registry.byName("qt17_bpe_apply").run(spark, sf)
       .withColumnRenamed("n_chars", "n_chars_bpe") // documents has n_chars too
       .join(Tables.documents(spark, sf), "doc_id")
