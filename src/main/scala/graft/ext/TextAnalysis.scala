@@ -667,6 +667,73 @@ object TextAnalysis {
       |FROM corp GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qt19: SYMMETRIC cross-corpus contamination — the both-sides-huge
+  // variant of qt10 (VERDICT r09 Next #6, carried through r10). qt10's
+  // broadcast is justified only because a benchmark suite is a fixed
+  // document COUNT; the other real decontamination job is corpus-vs-
+  // corpus (two pretraining crawls, train-vs-heldout split), where BOTH
+  // 5-gram sets grow with the data and any broadcast is a driver OOM at
+  // scale. Here the two corpora are the doc_id parity halves; per doc:
+  // how many of its distinct 5-grams also occur on the OTHER side.
+  //
+  // Scale shape — why this needs NO BucketCap, unlike qd03/qd07: those
+  // enumerate candidate PAIRS, quadratic in bucket occupancy, so hot
+  // buckets must be capped. Overlap counting never materializes a pair:
+  // "gram is shared" is min(side) = 0 AND max(side) = 1 in ONE
+  // gram-keyed shuffle with constant-size partial aggs (qd12's min≠max
+  // trick), and the per-doc rollup is a gram-keyed SEMI join back —
+  // linear in posting rows however hot the gram. Both sides are
+  // corpus-sized, so every join is merge-pinned: the plan lint asserts
+  // ZERO BroadcastExchange (contrast qt10's exactly-one).
+  // ---------------------------------------------------------------------
+  private def qt19(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), (col("doc_id") % 2).as("side"), explode(expr(
+        "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
+        .as("g"))
+    val shared = grams
+      .groupBy(col("g"))
+      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+      .filter(col("mn") === 0 && col("mx") === 1)
+      .select(col("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("side"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(shared.hint("merge"), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    perDoc.join(hits.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("side"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("shared_frac"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("is_contaminated"))
+  }
+
+  private val qt19Sql =
+    """WITH gr AS (
+      |  SELECT doc_id, doc_id % 2 AS side,
+      |    unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      |      i -> md5(array_to_string(tk[i:i+4], ' '))))) AS g
+      |  FROM (SELECT doc_id,
+      |          list_transform(regexp_split_to_array(trim(text), '\s+'), t -> lower(t)) AS tk
+      |        FROM documents)
+      |  WHERE len(tk) >= 5),
+      |shared AS (
+      |  SELECT g FROM gr GROUP BY g HAVING min(side) = 0 AND max(side) = 1),
+      |per_doc AS (
+      |  SELECT doc_id, side, count(*) AS n_grams FROM gr GROUP BY 1, 2),
+      |hits AS (
+      |  SELECT gr.doc_id, count(*) AS n_shared
+      |  FROM gr JOIN shared USING (g) GROUP BY 1)
+      |SELECT p.doc_id, p.side, p.n_grams,
+      |  coalesce(h.n_shared, 0) AS n_shared,
+      |  CAST(coalesce(h.n_shared, 0) AS DOUBLE) / p.n_grams AS shared_frac,
+      |  CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END AS is_contaminated
+      |FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qt11: PII redaction — scrub emails and dashed/dotted phone numbers
   // (the pre-training privacy pass), emitting per-doc redaction counts and
   // the md5 of the redacted text so the full rewrite is oracle-checked
@@ -968,5 +1035,6 @@ object TextAnalysis {
     Q("qt15_bpe_pairs", qt15, Some(qt15Sql)),
     Q("qt16_bpe_train", qt16, Some(qt16Sql)),
     Q("qt17_bpe_apply", qt17, Some(qt17Sql)),
-    Q("qt18_unicode_normalize", qt18, Some(qt18Sql)))
+    Q("qt18_unicode_normalize", qt18, Some(qt18Sql)),
+    Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)))
 }

@@ -152,7 +152,11 @@ class PlanLintSpec extends SparkSpec {
       "qw10_gap_fill",
       // q31's agg table is keyspace-sized (generically corpus-growing for
       // user-level keys) — the maintenance merge must stay a shuffle join
-      "q31_incremental_agg")) {
+      "q31_incremental_agg",
+      // qt19: BOTH 5-gram corpora grow with the data — the symmetric
+      // variant of qt10, whose one-broadcast shape is pinned separately;
+      // qd18's signature store AND its batches are both corpus-growing
+      "qt19_symmetric_contamination", "qd18_persisted_ingest_dedup")) {
     test(s"$name: no broadcast of corpus-sized frames") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
