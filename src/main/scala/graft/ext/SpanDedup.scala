@@ -154,7 +154,7 @@ object SpanDedup {
   // ---------------------------------------------------------------------
   private val NewMod = 5
 
-  private def simhashChunks(docs: DataFrame,
+  private[graft] def simhashChunks(docs: DataFrame,
       scheme: Dedup.BandScheme = Dedup.GateScheme): DataFrame =
     Dedup.withSimhash(docs, scheme.simBits)
       .select(col("doc_id"), col("simhash"),

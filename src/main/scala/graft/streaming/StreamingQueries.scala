@@ -1015,6 +1015,62 @@ object StreamingQueries {
       |             ELSE event_id END AS key FROM events)
       |GROUP BY key ORDER BY n DESC, key ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst27: streaming approximate QUANTILES — the third member of the
+  // bounded-state streaming analytics suite (qst21 = distinct count via
+  // HLL, qst26 = top-k via SpaceSaving, this = percentiles via the
+  // Greenwald–Khanna summary behind percentile_approx). Exact streaming
+  // percentiles would require the full value multiset in state; the GK
+  // summary keeps O(accuracy · log(εN)) tuples per group with the
+  // deterministic rank guarantee: for quantile p over N values the
+  // returned v satisfies  (p − ε)·N ≤ rank(v) ≤ (p + ε)·N,  ε =
+  // 1/accuracy — an ARRIVAL-ORDER-INDEPENDENT theorem (it holds under
+  // any partial-merge order), which is what makes the gate deterministic
+  // under any micro-batch split, exactly the qst21/qst26 pattern.
+  //
+  // The gate states the rank windows with ties handled both-sided
+  // (count(< v) must not exceed the upper edge, count(≤ v) must reach
+  // the lower edge) plus membership (GK returns an input sample, so v
+  // must occur in the data); the oracle computes N per group and states
+  // the theorems as literals. The raw approx values are NOT emitted —
+  // they are summary-internal and may legitimately differ across replays
+  // within the bound; the booleans may not.
+  // ---------------------------------------------------------------------
+  private val QAccuracy = 100 // ε = 1/accuracy = 0.01
+
+  private def qst27(s: SparkSession, d: String): DataFrame = {
+    val streamed = runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95)), lit(QAccuracy)).as("qs"))
+    }
+    val b = streamed.select(col("event_type"),
+      col("qs")(0).as("v50"), col("qs")(1).as("v95"))
+    Tables.events(s, d)
+      .join(broadcast(b), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        sum(when(col("value") < col("v50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("v50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") === col("v50"), 1L).otherwise(0L)).as("eq50"),
+        sum(when(col("value") < col("v95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("v95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") === col("v95"), 1L).otherwise(0L)).as("eq95"))
+      .select(col("event_type"), col("n"),
+        (col("lt50") <= ceil(col("n") * 0.51) &&
+          col("le50") >= floor(col("n") * 0.49)).as("p50_rank_ok"),
+        (col("lt95") <= ceil(col("n") * 0.96) &&
+          col("le95") >= floor(col("n") * 0.94)).as("p95_rank_ok"),
+        (col("eq50") > 0).as("p50_member"),
+        (col("eq95") > 0).as("p95_member"))
+  }
+
+  private val qst27Sql =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+      |  true AS p50_rank_ok, true AS p95_rank_ok,
+      |  true AS p50_member, true AS p95_member
+      |FROM events GROUP BY event_type""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1060,5 +1116,8 @@ object StreamingQueries {
     Q("qst25_stream_scd2", qst25, Some(graft.operators.AsOf.qa03Sql)),
     // property gate: tracked/bound_ok are SpaceSaving theorems (arrival-
     // order-independent), exact counts computed by both engines
-    Q("qst26_stream_heavy_hitters", qst26, Some(qst26Sql)))
+    Q("qst26_stream_heavy_hitters", qst26, Some(qst26Sql)),
+    // property gate: rank windows are the GK summary's deterministic
+    // guarantee; exact group sizes computed by both engines
+    Q("qst27_stream_quantile", qst27, Some(qst27Sql)))
 }

@@ -927,6 +927,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GK quantile summary merges through state across batches within the rank bound") {
+    // the qst27 face the bounded single-batch gate cannot show: the
+    // percentile_approx (Greenwald–Khanna) buffer persisted in streaming-agg
+    // state must MERGE with the next batch's partials. Unlike HLL (qst21),
+    // merged-GK output is NOT bit-equal to the one-pass batch value — the
+    // summary depends on the split — so the spec asserts the deterministic
+    // rank GUARANTEE over the union, which any merge order must satisfy:
+    // rank(v) within (p ± ε)·N, and v is an input sample.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Double]
+    val agg = ms.toDF().toDF("v")
+      .agg(percentile_approx(col("v"), lit(0.5), lit(100)).as("p50"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("gkmerge").start()
+    // adversarial split: batch 1 is the TOP half, batch 2 the bottom —
+    // a summary that failed to merge would sit near either half's median
+    val b1 = (1001 to 2000).map(_.toDouble)
+    val b2 = (1 to 1000).map(_.toDouble)
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val v = spark.table("gkmerge").collect()(0).getDouble(0)
+      val all = b1 ++ b2
+      val n = all.size
+      val lt = all.count(_ < v)
+      val le = all.count(_ <= v)
+      assert(all.contains(v), s"returned value $v is not an input sample")
+      assert(lt <= math.ceil(0.51 * n) && le >= math.floor(0.49 * n),
+        s"rank window violated: lt=$lt le=$le n=$n v=$v")
+    } finally q.stop()
+  }
+
   test("SpaceSaving heavy hitters: eviction bookkeeping pinned across two batches") {
     // capacity 2, one shard: batch 1 fills the summary, batch 2 forces an
     // eviction THROUGH the state store — the newcomer inherits the evicted
