@@ -1071,6 +1071,83 @@ object StreamingQueries {
       |  true AS p50_member, true AS p95_member
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qst28: streaming Bloom-filter dedup — the membership member of the
+  // bounded-state sketch suite (see BloomDedup). Exact streaming dedup
+  // (qst03/qst18) holds one state row per key; the Bloom form holds
+  // EXACTLY MBits bits per shard (16 KiB) whatever the key universe,
+  // trading FP-suppression of new keys (recall drop, never a false
+  // re-emission). WHICH keys get suppressed is arrival-order-dependent,
+  // so the gate audits what is NOT: the final bit array — the OR of
+  // every distinct key's hash positions, a set union, order-independent.
+  // Spark reads it byte-by-byte from the checkpoint's ValueState
+  // (qst23's path); DuckDB recomputes it from the same md5 hash family
+  // with bit_or. 65,536 gate rows (4 shards × 16 Ki bytes) at EVERY SF —
+  // the output size is the state bound made visible.
+  // ---------------------------------------------------------------------
+  private def qst28(s: SparkSession, d: String): DataFrame = {
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckptPath = java.nio.file.Files.createTempDirectory("graft-qst28-ckpt-")
+      deleteOnExit(ckptPath)
+      val ckpt = ckptPath.toString
+      val path = s"$d/events.parquet"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema: StructType = s.read.parquet(path).schema
+      val ev = streamTable(s, d, "events", schema)
+      val name = s"graft_bloom_${counter.incrementAndGet()}"
+      val q = graft.streaming.BloomDedup
+        .sketch(ev.select((col("event_id") % HhShards).cast("int").as("shard"),
+          col("event_id").as("key")))
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      // byte-explode the per-shard bit arrays; materialize (cache+count)
+      // while the RocksDB provider conf is still held (qst26's pattern —
+      // 65,536 small rows, bounded by the sketch size, not the corpus)
+      val bytes = s.read.format("statestore")
+        .option("stateVarName", "bloom").load(ckpt)
+        .select(col("key.value").cast("long").as("shard"),
+          col("value.value").as("bf"))
+        .select(col("shard"), posexplode(expr(
+          "transform(sequence(0, cast(length(bf) as int) - 1), " +
+            "i -> cast(conv(substring(hex(bf), i * 2 + 1, 2), 16, 10) as bigint))")))
+        .select(col("shard"), col("pos").cast("long").as("byte_idx"),
+          col("col").as("byte_val"))
+        .cache()
+      bytes.count()
+      bytes
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val qst28Sql = {
+    val m = graft.streaming.BloomDedup.MBits
+    s"""WITH keys AS (
+       |  SELECT DISTINCT event_id AS key, event_id % $HhShards AS shard
+       |  FROM events),
+       |pos AS (
+       |  SELECT shard,
+       |    CAST('0x' || substr(md5(CAST(key AS VARCHAR) || ':' || j), 1, 15)
+       |      AS BIGINT) % $m AS bit
+       |  FROM keys, range(0, ${graft.streaming.BloomDedup.NumHashes}) t(j)),
+       |bytes AS (
+       |  SELECT shard, bit // 8 AS byte_idx,
+       |    bit_or(1 << (bit % 8)) AS v
+       |  FROM pos GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.shard, b.byte_idx
+       |  FROM range(0, $HhShards) s(shard), range(0, ${m / 8}) b(byte_idx))
+       |SELECT g.shard, g.byte_idx, CAST(coalesce(v, 0) AS BIGINT) AS byte_val
+       |FROM grid g LEFT JOIN bytes b
+       |  ON b.shard = g.shard AND b.byte_idx = g.byte_idx""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1119,5 +1196,9 @@ object StreamingQueries {
     Q("qst26_stream_heavy_hitters", qst26, Some(qst26Sql)),
     // property gate: rank windows are the GK summary's deterministic
     // guarantee; exact group sizes computed by both engines
-    Q("qst27_stream_quantile", qst27, Some(qst27Sql)))
+    Q("qst27_stream_quantile", qst27, Some(qst27Sql)),
+    // exact-state audit: the final Bloom bit array is an order-independent
+    // set union, recomputed bit-for-bit by the oracle from the shared md5
+    // hash family
+    Q("qst28_stream_bloom_dedup", qst28, Some(qst28Sql)))
 }

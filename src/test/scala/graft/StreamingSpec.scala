@@ -961,6 +961,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Bloom dedup: no false re-emission across batches; FP suppresses a covered key") {
+    import graft.streaming.BloomDedup
+    // hash-family pin: positions are md5("key:j") prefix-15-hex mod MBits —
+    // the exact family the qst28 oracle recomputes in DuckDB
+    def md5pos(key: Long, j: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % BloomDedup.MBits).toInt
+    }
+    val probe = BloomDedup.bitPositions(7L)
+    assert(probe.toSeq === (0 until BloomDedup.NumHashes).map(j => md5pos(7L, j)))
+
+    // find a victim key whose every bit is covered by a seed set — its
+    // first genuine arrival must be FP-suppressed (the documented recall
+    // drop). Search is deterministic: first key > seeds covered by them.
+    val seeds = (1L to 4000L).toSeq
+    val covered: Set[Int] = seeds.flatMap(BloomDedup.bitPositions(_).toSeq).toSet
+    val victim = Iterator.from(4001).map(_.toLong)
+      .find(k => BloomDedup.bitPositions(k).forall(covered)).get
+
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Long]
+    val out = BloomDedup.sketch(
+      ms.toDF().toDF("key").select((col("key") % 1).cast("int").as("shard"), col("key")))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("bloomspec").start()
+    try {
+      ms.addData(seeds: _*)
+      q.processAllAvailable()
+      ms.addData(seeds.take(100) :+ victim: _*) // re-sends + the covered victim
+      q.processAllAvailable()
+      val emitted = spark.table("bloomspec").collect().map(_.getLong(1))
+      // every seed emitted at most once (bits persist across batches —
+      // a seen key can NEVER re-emit), and the victim was suppressed
+      assert(emitted.length === emitted.distinct.length, "a key re-emitted")
+      assert(!emitted.contains(victim), "covered victim must be FP-suppressed")
+      // seeds that were genuinely first-seen in batch 1 did emit (no FP
+      // suppression can hide ALL of them at this fill ratio)
+      assert(emitted.length > 3000)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("SpaceSaving heavy hitters: eviction bookkeeping pinned across two batches") {
     // capacity 2, one shard: batch 1 fills the summary, batch 2 forces an
     // eviction THROUGH the state store — the newcomer inherits the evicted
