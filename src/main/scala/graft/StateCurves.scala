@@ -257,6 +257,16 @@ object StateCurves {
       graft.streaming.HeavyHitters.sketch(
         ev.select(hhKey.as("key")), HhShards, HhCapacity).toDF()
     }
+
+    // qst28's contrast with dedup_open_keys above: the SAME task (dedup
+    // by event_id over an open key universe) — exact dropDuplicates grows
+    // one state row per key (3M at 30×); the Bloom sketch holds 4 binary
+    // rows (shards × 16 KiB) flat, trading FP-suppression of new keys.
+    curve(spark, "qst28_bloom_dedup", evDir, 2, "update") { ev =>
+      graft.streaming.BloomDedup.sketch(
+        ev.select((col("event_id") % HhShards).cast("int").as("shard"),
+          col("event_id").as("key"))).toDF()
+    }
     spark.stop()
   }
 }
