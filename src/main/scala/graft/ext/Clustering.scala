@@ -281,8 +281,121 @@ object Clustering {
        |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
        |FROM members m LEFT JOIN dup d ON d.vec_id = m.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qc03: one EXACT batch-gradient step of a hashed-feature linear
+  // quality classifier (the fastText-style model every corpus-filtering
+  // recipe trains) over `documents` — the supervised sibling of qc01's
+  // k-means step. The blocker for oracle-gating distributed training is
+  // the same as qc01's: float sums are order-dependent, so a parallel
+  // gradient and a single-threaded one disagree in the last ulp — which
+  // is also why distributed SGD runs are unreproducible in practice.
+  // The deterministic formulation designs that out:
+  //
+  //  - features: token → md5-prefix hash mod NumFeat buckets, x_j =
+  //    integer counts (the hashing trick — vocabulary-independent);
+  //  - weights: fixed-point MILLIS (w_j ∈ [−1000, 1000] derived from
+  //    md5("w:j") — deterministic init, no RNG), so the score
+  //    z_milli = Σ w_j·x_j is an exact BIGINT;
+  //  - activation: the hard-sigmoid surrogate clamp(0,1, z/4 + 1/2) in
+  //    fixed point — p_milli = clamp(0,1000, 500 + ⌊z_milli/4000⌋).
+  //    The ⌊·⌋ is floor of a DOUBLE division, safe across engines
+  //    because a non-integer quotient sits ≥ 1/4000 from any integer,
+  //    orders of magnitude above double ulp at this scale (and exact
+  //    when the quotient IS an integer);
+  //  - gradient: grad_j = Σ_docs x_j·(p_milli − 1000·y) — an exact
+  //    BIGINT sum, associative, REPRODUCIBLE at any parallelism;
+  //  - label: y = source index parity (balanced by construction).
+  //
+  // Scale shape: one token-explode projection, one (doc, j) count
+  // shuffle, one per-doc rollup, one (doc)-keyed merge join of the
+  // error back onto the feature rows, one final j-keyed 64-group agg —
+  // all linear, map-side partials everywhere, nothing corpus-sized
+  // broadcast (the err join is merge-pinned; the only crossed frame is
+  // the 1-row n_docs/accuracy total). Iterating to convergence is a
+  // driver loop over this step, exactly like qc01/qc02.
+  // ---------------------------------------------------------------------
+  private val NumFeat = 64
+
+  /** md5-prefix hash of `e` mod `m` — rendered identically by DuckDB's
+    * `CAST('0x' || substr(md5(e), 1, 15) AS BIGINT)`. */
+  private def md5Mod(e: org.apache.spark.sql.Column, m: Int) =
+    conv(substring(md5(e), 1, 15), 16, 10).cast("long") % m
+
+  private def qc03(s: SparkSession, d: String): DataFrame = {
+    val wOf = (j: org.apache.spark.sql.Column) =>
+      md5Mod(concat(lit("w:"), j.cast("string")), 2001) - 1000
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (expr("cast(substring(source, 4, 10) as bigint)") % 2).as("y"),
+        explode(expr("split(trim(text), '\\\\s+')")).as("t"))
+      .select(col("doc_id"), col("y"), md5Mod(lower(col("t")), NumFeat).as("j"))
+      .groupBy(col("doc_id"), col("y"), col("j"))
+      .agg(count(lit(1)).as("x"))
+    val scored = feats
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * wOf(col("j"))).as("z"))
+      .select(col("doc_id"), col("y"),
+        least(lit(1000L), greatest(lit(0L),
+          lit(500L) + floor(col("z") / 4000.0))).as("p"))
+    val err = scored.select(col("doc_id"),
+      (col("p") - lit(1000L) * col("y")).as("e"),
+      when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok"))
+    val tot = err.agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+    val grads = feats.join(err.select(col("doc_id"), col("e")).hint("merge"),
+        Seq("doc_id"))
+      .groupBy(col("j")).agg(sum(col("x") * col("e")).as("grad_milli"))
+    s.range(NumFeat).select(col("id").as("j"), wOf(col("id")).as("w_old_milli"))
+      .join(grads.hint("merge"), Seq("j"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("j"), col("w_old_milli"),
+        coalesce(col("grad_milli"), lit(0L)).as("grad_milli"),
+        (col("w_old_milli") - floor(coalesce(col("grad_milli"), lit(0L))
+          / col("n_docs").cast("double")).cast("long")).as("w_new_milli"),
+        col("n_docs"), col("n_correct"))
+  }
+
+  private val qc03Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) % 2 AS y,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, y,
+       |    CAST('0x' || substr(md5(lower(t)), 1, 15) AS BIGINT) % $NumFeat AS j,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM toks GROUP BY 1, 2, 3),
+       |w AS (
+       |  SELECT j,
+       |    CAST('0x' || substr(md5('w:' || j), 1, 15) AS BIGINT) % 2001 - 1000
+       |      AS w_milli
+       |  FROM range(0, $NumFeat) t(j)),
+       |scored AS (
+       |  SELECT f.doc_id, f.y, CAST(sum(f.x * w.w_milli) AS BIGINT) AS z
+       |  FROM feats f JOIN w ON w.j = f.j GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT doc_id, y,
+       |    least(1000, greatest(0, 500 + CAST(floor(z / 4000.0) AS BIGINT))) AS p
+       |  FROM scored),
+       |err AS (
+       |  SELECT doc_id, p - 1000 * y AS e,
+       |    CASE WHEN (p >= 500) = (y = 1) THEN 1 ELSE 0 END AS ok
+       |  FROM pred),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ok) AS BIGINT) AS n_correct FROM err),
+       |grad AS (
+       |  SELECT f.j, CAST(sum(f.x * e.e) AS BIGINT) AS grad_milli
+       |  FROM feats f JOIN err e ON e.doc_id = f.doc_id GROUP BY 1)
+       |SELECT w.j, w.w_milli AS w_old_milli,
+       |  coalesce(g.grad_milli, 0) AS grad_milli,
+       |  w.w_milli - CAST(floor(coalesce(g.grad_milli, 0)
+       |    / CAST(n_docs AS DOUBLE)) AS BIGINT) AS w_new_milli,
+       |  n_docs, n_correct
+       |FROM w LEFT JOIN grad g ON g.j = w.j CROSS JOIN tot""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
     Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)),
+    Q("qc03_classifier_step", qc03, Some(qc03Sql)),
     Q("qd11_semdedup", (s, d) => semDedupFlags(s, d), Some(qd11Sql)))
 }

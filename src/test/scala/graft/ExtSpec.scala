@@ -472,6 +472,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("avg_cos_dist") < 0 || col("avg_cos_dist") > 2).count() === 0)
   }
 
+  test("classifier step is bit-identical at different parallelism (fixed-point design)") {
+    // THE point of qc03's fixed-point formulation: a distributed gradient
+    // must not depend on partitioning or reduction order. Run the step
+    // under 1-partition and 32-partition shuffles and require exact
+    // equality — a float-sum formulation fails this in the last ulp.
+    def runAt(parts: String): Map[Long, (Long, Long, Long)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Registry.byName("qc03_classifier_step").run(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val p1 = runAt("1")
+    val p32 = runAt("32")
+    assert(p1.size === 64)
+    assert(p1 === p32, "gradient step must be parallelism-invariant")
+    // and the step is a real descent direction: some weight moved
+    assert(p1.exists { case (_, (old, _, nw)) => old != nw })
+  }
+
   test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")
