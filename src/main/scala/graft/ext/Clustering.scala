@@ -321,16 +321,23 @@ object Clustering {
   private def md5Mod(e: org.apache.spark.sql.Column, m: Int) =
     conv(substring(md5(e), 1, 15), 16, 10).cast("long") % m
 
-  private def qc03(s: SparkSession, d: String): DataFrame = {
-    val wOf = (j: org.apache.spark.sql.Column) =>
-      md5Mod(concat(lit("w:"), j.cast("string")), 2001) - 1000
-    val feats = Tables.documents(s, d)
+  private def wOf(j: org.apache.spark.sql.Column) =
+    md5Mod(concat(lit("w:"), j.cast("string")), 2001) - 1000
+
+  /** (doc_id, y, j, x): hashed-bucket token counts with the parity label —
+    * the training design matrix, shared by qc03 (one step) and qc04 (the
+    * iterated loop). */
+  private def featFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
         (expr("cast(substring(source, 4, 10) as bigint)") % 2).as("y"),
         explode(expr("split(trim(text), '\\\\s+')")).as("t"))
       .select(col("doc_id"), col("y"), md5Mod(lower(col("t")), NumFeat).as("j"))
       .groupBy(col("doc_id"), col("y"), col("j"))
       .agg(count(lit(1)).as("x"))
+
+  private def qc03(s: SparkSession, d: String): DataFrame = {
+    val feats = featFrame(s, d)
     val scored = feats
       .groupBy(col("doc_id"), col("y"))
       .agg(sum(col("x") * wOf(col("j"))).as("z"))
@@ -393,9 +400,115 @@ object Clustering {
        |  n_docs, n_correct
        |FROM w LEFT JOIN grad g ON g.j = w.j CROSS JOIN tot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qc04: the TRAINING LOOP — qc03's exact gradient step iterated
+  // TrainSteps times (the qc01→qc02 move, plus the qt16 driver-loop
+  // craft). Each step: score under the current weights, batch gradient,
+  // fixed-point update w ← w − ⌊grad/n⌋; only 64 scalars + a 1-row total
+  // ever reach the driver per step (the qt16/qc02 contract), and the
+  // design matrix is eagerly localCheckpoint'ed ONCE and reused by every
+  // step on both branches (score + gradient) — without it each step
+  // re-derives the token explode twice (the BPE lineage lesson).
+  // Because every step is exact integer arithmetic, the whole TRAJECTORY
+  // is deterministic and parallelism-invariant — the oracle replays all
+  // TrainSteps steps as a chained MATERIALIZED-CTE pipeline (the qt16
+  // fix: inlined CTEs would expand the w-chain dag exponentially) and
+  // the gate hash-compares every (step, j) weight, gradient, and the
+  // per-step accuracy trajectory. Step 1 equals qc03 verbatim
+  // (spec-pinned).
+  // ---------------------------------------------------------------------
+  private val TrainSteps = 3
+
+  private def qc04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = featFrame(s, d).localCheckpoint(true)
+    var w: Map[Long, Long] = s.range(NumFeat)
+      .select(col("id").as("j"), wOf(col("id")).as("w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+    for (t <- 1 to TrainSteps) {
+      val wDF = w.toSeq.toDF("j", "w")
+      val err = feats.join(broadcast(wDF), Seq("j"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("x") * col("w")).as("z"))
+        .select(col("doc_id"), col("y"),
+          least(lit(1000L), greatest(lit(0L),
+            lit(500L) + floor(col("z") / 4000.0))).as("p"))
+        .select(col("doc_id"),
+          (col("p") - lit(1000L) * col("y")).as("e"),
+          when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok"))
+      val totRow = err.agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+        .collect()(0)
+      val (nDocs, nCorrect) = (totRow.getLong(0), totRow.getLong(1))
+      val grads: Map[Long, Long] = feats
+        .join(err.select(col("doc_id"), col("e")).hint("merge"), Seq("doc_id"))
+        .groupBy(col("j")).agg(sum(col("x") * col("e")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wNew = w.map { case (j, wj) =>
+        j -> (wj - math.floor(grads.getOrElse(j, 0L).toDouble / nDocs).toLong)
+      }
+      (0L until NumFeat.toLong).foreach { j =>
+        out += ((t.toLong, j, w(j), grads.getOrElse(j, 0L), wNew(j),
+          nDocs, nCorrect))
+      }
+      w = wNew
+    }
+    out.result().toDF("step", "j", "w_old_milli", "grad_milli",
+      "w_new_milli", "n_docs", "n_correct")
+  }
+
+  private val qc04Sql = {
+    val base =
+      s"""toks AS MATERIALIZED (
+         |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) % 2 AS y,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |    CAST('0x' || substr(md5(lower(t)), 1, 15) AS BIGINT) % $NumFeat AS j,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM toks GROUP BY 1, 2, 3),
+         |w0 AS MATERIALIZED (
+         |  SELECT j,
+         |    CAST('0x' || substr(md5('w:' || j), 1, 15) AS BIGINT) % 2001 - 1000
+         |      AS w_milli
+         |  FROM range(0, $NumFeat) t(j))""".stripMargin
+    val steps = (1 to TrainSteps).map { t =>
+      s"""e$t AS MATERIALIZED (
+         |  SELECT doc_id, p - 1000 * y AS e,
+         |    CASE WHEN (p >= 500) = (y = 1) THEN 1 ELSE 0 END AS ok
+         |  FROM (
+         |    SELECT doc_id, y,
+         |      least(1000, greatest(0, 500 + CAST(floor(z / 4000.0) AS BIGINT))) AS p
+         |    FROM (
+         |      SELECT f.doc_id, f.y, CAST(sum(f.x * w.w_milli) AS BIGINT) AS z
+         |      FROM feats f JOIN w${t - 1} w ON w.j = f.j GROUP BY 1, 2))),
+         |t$t AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ok) AS BIGINT) AS n_correct FROM e$t),
+         |g$t AS MATERIALIZED (
+         |  SELECT f.j, CAST(sum(f.x * e.e) AS BIGINT) AS grad_milli
+         |  FROM feats f JOIN e$t e ON e.doc_id = f.doc_id GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT a.j, a.w_milli - CAST(floor(coalesce(g.grad_milli, 0)
+         |      / CAST(t.n_docs AS DOUBLE)) AS BIGINT) AS w_milli
+         |  FROM w${t - 1} a LEFT JOIN g$t g ON g.j = a.j CROSS JOIN t$t t)"""
+        .stripMargin
+    }
+    val sel = (1 to TrainSteps).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step, a.j, a.w_milli AS w_old_milli,
+         |  coalesce(g.grad_milli, 0) AS grad_milli, b.w_milli AS w_new_milli,
+         |  t.n_docs, t.n_correct
+         |FROM w${t - 1} a JOIN w$t b ON b.j = a.j
+         |LEFT JOIN g$t g ON g.j = a.j CROSS JOIN t$t t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${(base +: steps).mkString(",\n")}\n$sel"
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qc01_kmeans_step", qc01, Some(qc01Sql)),
     Q("qc02_kmeans_iter2", qc02, Some(qc02Sql)),
     Q("qc03_classifier_step", qc03, Some(qc03Sql)),
+    Q("qc04_classifier_train", qc04, Some(qc04Sql)),
     Q("qd11_semdedup", (s, d) => semDedupFlags(s, d), Some(qd11Sql)))
 }

@@ -494,6 +494,22 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.exists { case (_, (old, _, nw)) => old != nw })
   }
 
+  test("training loop step 1 equals the single qc03 step exactly") {
+    val loop = Registry.byName("qc04_classifier_train").run(spark, sf)
+      .filter(col("step") === 1)
+      .select("j", "w_old_milli", "grad_milli", "w_new_milli").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val single = Registry.byName("qc03_classifier_step").run(spark, sf)
+      .select("j", "w_old_milli", "grad_milli", "w_new_milli").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(loop === single)
+    // weights actually evolve across steps (the loop is not a no-op)
+    val w3 = Registry.byName("qc04_classifier_train").run(spark, sf)
+      .filter(col("step") === 3).select("j", "w_new_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w3.exists { case (j, w) => w != single(j)._1 })
+  }
+
   test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")
