@@ -216,7 +216,7 @@ object SpanDedup {
   private def qd13(s: SparkSession, d: String): DataFrame =
     classifyIncremental(Tables.documents(s, d))
 
-  private val qd13Sql =
+  private[graft] val qd13Sql =
     s"""WITH ${Dedup.simhashSqlCte},
        |hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
        |seen_h AS (SELECT DISTINCT h FROM hashes WHERE doc_id % $NewMod <> 0),

@@ -1148,6 +1148,65 @@ object StreamingQueries {
        |  ON b.shard = g.shard AND b.byte_idx = g.byte_idx""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qst29: streaming ingest classification — qd13's incremental dedup
+  // with the INCOMING side as a stream and the accepted corpus as the
+  // static side: the production shape where qd18's persisted signature
+  // store serves a live ingest pipeline (the static seenH/seenC frames
+  // here are exactly what qd18's store materializes — a deployment
+  // would read them from the store parquet instead of recomputing).
+  //
+  // The streaming rewrite: qd13's per-doc flags came from joining flag
+  // frames back onto the incoming set, but those flag frames are
+  // stream-derived — joining them to the stream again would be an
+  // unbounded stream-stream join. Instead each evidence row (exact hit,
+  // near hit, bare arrival) is UNIONed into ONE streaming aggregation —
+  // groupBy(doc_id).max(flags) — so the query has exactly one stateful
+  // operator and only stream-STATIC joins (seen-side distinct hashes +
+  // cap-filtered chunk buckets, both corpus-sized and never broadcast).
+  // Oracle: qd13's SQL verbatim — the streaming/batch consistency
+  // contract, stated by construction.
+  // ---------------------------------------------------------------------
+  /** The qst29 transform over an arbitrary static seen corpus and incoming
+    * stream (both (doc_id, text)) — package-private so the spec can replay
+    * planted corpora across micro-batch splits. */
+  private[graft] def ingestClassify(seen: DataFrame)(
+      incoming: DataFrame): DataFrame = {
+    import graft.ext.{Dedup, SpanDedup}
+    val seenH = seen.select(md5(col("text")).as("h")).distinct()
+      .withColumn("hit", lit(1L))
+    val seenChunks = SpanDedup.simhashChunks(seen)
+    val kept = seenChunks.groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= Dedup.BucketCap)
+      .select(col("c"), col("chunk"))
+    val seenC = seenChunks.join(kept.hint("merge"), Seq("c", "chunk"), "left_semi")
+      .select(col("c"), col("chunk"), col("simhash").as("seen_sim"))
+    val exactEv = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(seenH, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("ex"),
+        lit(0L).as("nr"))
+    val nearEv = SpanDedup.simhashChunks(incoming)
+      .join(seenC, Seq("c", "chunk"))
+      .filter(expr("bit_count(simhash ^ seen_sim) <= 12"))
+      .select(col("doc_id"), lit(0L).as("ex"), lit(1L).as("nr"))
+    val arrival = incoming.select(col("doc_id"), lit(0L).as("ex"),
+      lit(0L).as("nr"))
+    exactEv.union(nearEv).union(arrival)
+      .groupBy(col("doc_id"))
+      .agg(max(col("ex")).as("ex"), max(col("nr")).as("nr"))
+      .select(col("doc_id"),
+        when(col("ex") === 1, "exact_dup")
+          .when(col("nr") === 1, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
+  private def qst29(s: SparkSession, d: String): DataFrame = {
+    val seen = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    runBounded(s, d, "documents", "complete") { docs =>
+      ingestClassify(seen)(docs.filter(col("doc_id") % 5 === 0))
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1200,5 +1259,9 @@ object StreamingQueries {
     // exact-state audit: the final Bloom bit array is an order-independent
     // set union, recomputed bit-for-bit by the oracle from the shared md5
     // hash family
-    Q("qst28_stream_bloom_dedup", qst28, Some(qst28Sql)))
+    Q("qst28_stream_bloom_dedup", qst28, Some(qst28Sql)),
+    // qd13's oracle verbatim: streaming ingest classification must equal
+    // the batch incremental dedup — streaming/batch consistency by
+    // construction
+    Q("qst29_stream_ingest_dedup", qst29, Some(graft.ext.SpanDedup.qd13Sql)))
 }

@@ -1014,6 +1014,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest classification equals batch qd13 under multi-batch arrival") {
+    import graft.ext.SpanDedup
+    import spark.implicits._
+    // planted corpus: seen docs (id % 5 != 0) + incoming (id % 5 == 0)
+    // with an exact dup, a near dup (1 of 40 tokens changed), and a new
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, "seen filler " + (1 to 30).map(i => s"s$i").mkString(" ")),
+      (5L, base), (10L, near),
+      (15L, (1 to 40).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val batchResult = SpanDedup.classifyIncremental(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // stream the INCOMING docs across two micro-batches (5 alone, then
+    // 10 + 15): the complete-mode agg must converge to the same statuses
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val seen = docs.filter(col("doc_id") % 5 =!= 0)
+    val q = StreamingQueries.ingestClassify(seen)(
+        ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ingestspec").start()
+    try {
+      ms.addData((5L, base))
+      q.processAllAvailable()
+      ms.addData((10L, near), (15L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+      q.processAllAvailable()
+      val streamed = spark.table("ingestspec").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batchResult)
+      assert(streamed === Map(5L -> "exact_dup", 10L -> "near_dup", 15L -> "new"))
+    } finally q.stop()
+  }
+
   test("SpaceSaving heavy hitters: eviction bookkeeping pinned across two batches") {
     // capacity 2, one shard: batch 1 fills the summary, batch 2 forces an
     // eviction THROUGH the state store — the newcomer inherits the evicted
