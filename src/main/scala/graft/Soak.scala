@@ -197,7 +197,15 @@ object Soak {
         // qd17's within-block pair work is the quadratic face EditBlockCap
         // bounds — the Zipf tier (verbatim duplicates concentrated in one
         // block) is exactly the corpus that would blow it up uncapped
-        "qd17_edit_distance_dup")
+        "qd17_edit_distance_dup",
+        // round-11 operators with corpus-growing shapes: qt19's symmetric
+        // gram overlap (both sides huge, pair-free by design — the soak
+        // pins that the min≠max shuffle stays linear under duplication
+        // pressure), qt18's planted-multilingual projection (pure per-row,
+        // the ratio should be ~mult·1), and the exact classifier step
+        // (explode + three keyed shuffles, all linear)
+        "qt18_unicode_normalize", "qt19_symmetric_contamination",
+        "qc03_classifier_step")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without
