@@ -408,6 +408,16 @@ object SpanDedup {
           .otherwise("new").as("status"))
   }
 
+  /** The store MERGE primitive: every signature row of a doc_id present
+    * in `batch` is REPLACED by the batch's rows (anti-join + union) —
+    * re-ingesting a doc updates its signatures instead of duplicating
+    * them. qd18's batches are doc_id-disjoint so the replace branch is
+    * dormant there; the spec exercises it directly with a re-ingest. */
+  private[graft] def upsertByDoc(state: DataFrame, batch: DataFrame): DataFrame =
+    state.join(batch.select(col("doc_id")).distinct().hint("merge"),
+        Seq("doc_id"), "left_anti")
+      .union(batch)
+
   /** The qd18 ingest loop over an arbitrary (doc_id, text) frame —
     * package-private so the spec can replay planted corpora and assert
     * the final-batch slice equals [[classifyIncremental]] exactly. */
@@ -437,12 +447,8 @@ object SpanDedup {
         val batchH = batch.select(col("doc_id"), md5(col("text")).as("h"))
         val batchC = simhashChunks(batch)
           .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
-        stateH.join(batchH.select(col("doc_id")).distinct().hint("merge"),
-            Seq("doc_id"), "left_anti")
-          .union(batchH).write.parquet(hPath(b + 1))
-        stateC.join(batchC.select(col("doc_id")).distinct().hint("merge"),
-            Seq("doc_id"), "left_anti")
-          .union(batchC).write.parquet(cPath(b + 1))
+        upsertByDoc(stateH, batchH).write.parquet(hPath(b + 1))
+        upsertByDoc(stateC, batchC).write.parquet(cPath(b + 1))
       }
       classifyAgainstState(batch, stateH, stateC)
         .withColumn("batch_id", lit(b.toLong))

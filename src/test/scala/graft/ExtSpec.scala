@@ -1243,6 +1243,21 @@ class SpanDedupSpec extends SparkSpec {
     assert(fromLoop === fromScratch)
   }
 
+  test("store upsert replaces a re-ingested doc's signatures (no duplication)") {
+    import spark.implicits._
+    // qd18's batches are doc_id-disjoint, so this MERGE branch is dormant
+    // in the gate — exercise it directly: doc 1 re-ingested with NEW text
+    // must end with exactly its new signature, never both
+    val v1 = Seq((1L, "aaaa"), (2L, "bbbb")).toDF("doc_id", "h")
+    val v2 = Seq((1L, "cccc")).toDF("doc_id", "h")
+    val merged = SpanDedup.upsertByDoc(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "cccc", 2L -> "bbbb"))
+    // idempotent for an identical re-ingest
+    val again = SpanDedup.upsertByDoc(SpanDedup.upsertByDoc(v1, v2), v2)
+    assert(again.count() === 2)
+  }
+
   test("persisted ingest loop: arrival order decides status (planted)") {
     import spark.implicits._
     // batch_id = (doc_id div 5) % 4 for seen (doc_id % 5 != 0), 4 for
