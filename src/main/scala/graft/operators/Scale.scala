@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale patterns that matter at 100 TB but are invisible at test SF:
@@ -708,6 +709,73 @@ object Scale {
        |  CAST(least(CAST(sum(nt) AS BIGINT), $SeqLen) AS DOUBLE) / $SeqLen AS fill_rate
        |FROM binned GROUP BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx15: weighted (probability-proportional-to-size) sampling — the
+  // published SYSTEMATIC PPS design: lay every doc's weight (n_chars)
+  // end-to-end on an integer line in doc_id order, then pick the docs
+  // containing each multiple of stride = totalW div target. Zero RNG —
+  // reproducible under retries/partitioning like qx03, but weight-
+  // proportional where qx03 is uniform-within-source; a doc heavier than
+  // the stride is picked multiple times (n_picks — PPS with replacement,
+  // exactly what loss-weighted corpus sampling wants). All arithmetic is
+  // exact BIGINT, so the gate is hash-exact and order-stable.
+  //
+  // Scale shape — the cumsum is the trap: a global ORDER BY window is a
+  // single-partition bottleneck at 100 TB. The distributed form is the
+  // qx06 composed-offset pattern, two-phase: (1) within-bucket running
+  // sums partitioned by doc_id div CumBucket (parallel, bounded frames),
+  // (2) per-bucket totals prefix-summed in ONE small single-partition
+  // window over #buckets rows (corpus/512 — at 1e9 docs that is 2M tiny
+  // rows; a third level of the same trick covers any corpus), composed
+  // by a merge-pinned bucket join (the offsets frame GROWS with the
+  // corpus — never broadcast). The oracle computes the same line with
+  // DuckDB's plain single-threaded window; equality IS the two-phase
+  // correctness proof, re-checked at every SF.
+  // ---------------------------------------------------------------------
+  private val SampleTarget = 100L
+  private val CumBucket = 512L
+
+  /** Two-phase exact cumulative weights + systematic PPS picks over an
+    * arbitrary (doc_id, n_chars) frame — package-private for the spec. */
+  private[graft] def ppsSample(docs: DataFrame,
+      target: Long = SampleTarget): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      col("n_chars").cast("long").as("w"),
+      expr(s"doc_id div $CumBucket").as("b"))
+    val inBucket = base.withColumn("cum_in",
+      sum(col("w")).over(Window.partitionBy(col("b")).orderBy(col("doc_id"))))
+    val offsets = base.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(
+        sum(col("bw")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    val tot = base.agg(sum(col("w")).as("tw"))
+    inBucket.join(offsets.hint("merge"), Seq("b"))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .crossJoin(broadcast(tot))
+      .withColumn("stride", greatest(expr(s"tw div $target"), lit(1L)))
+      .withColumn("n_picks",
+        expr("cum div stride") - expr("(cum - w) div stride"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("n_picks"))
+  }
+
+  private def qx15(s: SparkSession, d: String): DataFrame =
+    ppsSample(Tables.documents(s, d))
+
+  private val qx15Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, w,
+       |    CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       |s AS (SELECT greatest(tw // $SampleTarget, 1) AS stride FROM t)
+       |SELECT doc_id, w, cum,
+       |  CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_picks
+       |FROM c CROSS JOIN s
+       |WHERE cum // stride - (cum - w) // stride > 0""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -722,5 +790,6 @@ object Scale {
     Q("qx11_skew_join", qx11, Some(qx11Sql)),
     Q("qx12_rebalance_output", qx12, Some(qx12Sql)),
     Q("qx13_dataset_split", qx13, Some(qx13Sql)),
-    Q("qx14_bpe_packing", qx14, Some(qx14Sql)))
+    Q("qx14_bpe_packing", qx14, Some(qx14Sql)),
+    Q("qx15_weighted_sample", qx15, Some(qx15Sql)))
 }

@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkSpec {
     "qx09_epoch_mix",     // same two 1-row crosses + bounded per-source plan frame
     "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
     "qc03_classifier_step", // 1-row n_docs/accuracy broadcast cross, by design
+    "qx15_weighted_sample", // 1-row total-weight broadcast cross, by design
     "qc02_kmeans_iter2",  // same assignment shape, refined centroids
     "qd11_semdedup",      // same broadcast-K assignment; pair join merge-pinned
     "qp02_curation_pipeline", // composes qd11 verbatim (its broadcast-K crosses)

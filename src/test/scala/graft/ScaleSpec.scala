@@ -417,4 +417,29 @@ class DatasetSplitSpec extends SparkSpec {
     assert(buckets.values.forall(_.size == 1),
       s"duplicate texts landed in different split buckets: $buckets")
   }
+
+  test("qx15 PPS: two-phase cumsum equals the single global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val twoPhase = Scale.ppsSample(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // reference: the plain (single-partition) window formulation
+    val tw = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    val stride = math.max(tw / 100L, 1L)
+    val single = docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("doc_id"))))
+      .withColumn("n_picks",
+        expr(s"cum div $stride") - expr(s"(cum - w) div $stride"))
+      .filter(col("n_picks") > 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(twoPhase === single)
+    // systematic-PPS conservation: total picks = floor(totalW / stride)
+    assert(twoPhase.values.map(_._3).sum === tw / stride)
+    // weight-proportionality: a doc heavier than the stride is picked >1×
+    twoPhase.foreach { case (id, (w, _, picks)) =>
+      assert(picks >= w / stride, s"doc $id: $picks picks for weight $w")
+      assert(picks <= w / stride + 1, s"doc $id overpicked")
+    }
+  }
 }
