@@ -418,6 +418,118 @@ object Similarity {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs06: MMR diversity re-ranking — the retrieval stage between ANN and
+  // the consumer that RAG serving actually runs: from each query's top-C
+  // relevance candidates, greedily select K results maximizing
+  // λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) (Maximal Marginal
+  // Relevance, Carbonell & Goldstein SIGIR'98 — public method). Pure
+  // relevance ranking returns near-duplicates of one passage; MMR's
+  // redundancy penalty buys coverage.
+  //
+  // Determinism: every sim is the index-order-fold cosine proven
+  // bit-identical across engines in round 1 (candidate–candidate pairs
+  // are corpus vectors like any other); λ-arithmetic is two IEEE double
+  // ops on the same literals; every argmax breaks ties (score DESC,
+  // n_id ASC). So the greedy TRAJECTORY is exact and the gate is
+  // hash-exact — no tolerance band.
+  //
+  // Scale shape: the greedy loop is K statically-unrolled DataFrame
+  // steps, no driver participation; per step the work is an anti-join on
+  // (q_id, n_id) plus |Q|·C·t candidate–selected cosines — all frames
+  // bounded by |Q|·C (the qs04 coarse output at 100 TB), the corpus is
+  // never touched again. The first selection is pure relevance (empty
+  // penalty set), matching the published formulation.
+  // ---------------------------------------------------------------------
+  private val MmrC = 8      // relevance candidates per query
+  private val MmrK = 3      // results selected per query
+  private val MmrLambda = 0.7
+
+  private def qs06(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val wRel = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    val cands = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("n_id"), col("n_emb"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") <= MmrC).drop("rn")
+
+    val sel1 = cands
+      .withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), lit(1L).as("sel_rank"), col("n_id"),
+        col("n_emb").as("s_emb"), (col("cos_sim") * MmrLambda).as("mmr"))
+
+    def pick(selected: DataFrame, t: Int): DataFrame = {
+      val rem = cands.join(
+        selected.select(col("q_id"), col("n_id")).hint("merge"),
+        Seq("q_id", "n_id"), "left_anti")
+      val wMmr = Window.partitionBy(col("q_id"))
+        .orderBy(col("mmr").desc, col("n_id").asc)
+      rem.join(selected.select(col("q_id"), col("s_emb")), Seq("q_id"))
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(first(col("cos_sim")).as("cos_sim"),
+          first(col("n_emb")).as("n_emb"),
+          max(Vectors.fastCosine(col("n_emb"), col("s_emb"))).as("red"))
+        .select(col("q_id"), col("n_id"), col("n_emb"),
+          (col("cos_sim") * MmrLambda - col("red") * (1 - MmrLambda)).as("mmr"))
+        .withColumn("rn", row_number().over(wMmr))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(t.toLong).as("sel_rank"), col("n_id"),
+          col("n_emb").as("s_emb"), col("mmr"))
+    }
+
+    val sel2 = sel1.union(pick(sel1, 2))
+    val sel3 = sel2.union(pick(sel2, 3))
+    sel3.select(col("q_id"), col("sel_rank"), col("n_id"), col("mmr"))
+  }
+
+  private val qs06Sql = {
+    val cosQC = Vectors.cosineSql("q.embedding", "c.embedding")
+    val cosNS = Vectors.cosineSql("r.n_emb", "s.s_emb")
+    def pickCte(t: Int): String =
+      s"""red$t AS (
+         |  SELECT r.q_id, r.n_id, r.n_emb, r.cos_sim, max($cosNS) AS red
+         |  FROM cands r JOIN sel${t - 1} s ON s.q_id = r.q_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |                    WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+         |  GROUP BY r.q_id, r.n_id, r.n_emb, r.cos_sim),
+         |pick$t AS (
+         |  SELECT q_id, CAST($t AS BIGINT) AS sel_rank, n_id, n_emb AS s_emb,
+         |    mmr
+         |  FROM (SELECT q_id, n_id, n_emb,
+         |          cos_sim * $MmrLambda - red * ${1 - MmrLambda} AS mmr,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos_sim * $MmrLambda - red * ${1 - MmrLambda} DESC,
+         |                     n_id ASC) AS rn
+         |        FROM red$t) WHERE rn = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+        .stripMargin
+    s"""WITH cands AS MATERIALIZED (
+       |  SELECT q_id, n_id, n_emb, cos_sim FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.embedding AS n_emb,
+       |      $cosQC AS cos_sim,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $cosQC DESC, c.vec_id ASC) AS rn
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE rn <= $MmrC),
+       |sel1 AS (
+       |  SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, n_id, n_emb AS s_emb,
+       |    cos_sim * $MmrLambda AS mmr
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cos_sim DESC, n_id ASC) AS rn FROM cands)
+       |  WHERE rn = 1),
+       |${pickCte(2)},
+       |${pickCte(3)}
+       |SELECT q_id, sel_rank, n_id, mmr FROM sel3""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     // SMALL-SF ONLY corpus side: exact brute-force baseline — queries are
     // broadcast (bounded) but the corpus scan is O(N·|queries|); at real
@@ -432,5 +544,6 @@ object Similarity {
     // coarse pass is SMALL-SF brute over codes here; at 100 TB the coarse
     // stage composes with qs02/qs03 bucketing — the rerank shape is the point
     Q("qs04_quantized_rerank", qs04, Some(qs04Sql)),
-    Q("qs05_ivf_quant_rerank", qs05, Some(qs05Sql)))
+    Q("qs05_ivf_quant_rerank", qs05, Some(qs05Sql)),
+    Q("qs06_mmr_rerank", qs06, Some(qs06Sql)))
 }

@@ -510,6 +510,46 @@ class SimilaritySpec extends SparkSpec {
     assert(w3.exists { case (j, w) => w != single(j)._1 })
   }
 
+  test("MMR rerank matches an independent JVM greedy walk over the candidates") {
+    // recompute the whole greedy trajectory single-threaded from the raw
+    // vectors and require exact equality — selection order, ids, scores
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = embs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      val cands = embs.keys.filter(_ >= 10).toSeq
+        .map(n => (n, cos(embs(q), embs(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(8)
+      var selected = List.empty[(Long, Double)]
+      var remaining = cands
+      (1 to 3).map { t =>
+        val scored = remaining.map { case (n, s) =>
+          val red = if (selected.isEmpty) 0.0
+            else selected.map { case (sid, _) => cos(embs(n), embs(sid)) }.max
+          // (1 - 0.7) deliberately COMPUTED, not the literal 0.3: the
+          // operator uses `1 - MmrLambda` (= 0.30000000000000004) and the
+          // gate is exact-FP — the literal would differ in the last ulp
+          val mmr = if (selected.isEmpty) s * 0.7 else s * 0.7 - red * (1 - 0.7)
+          (n, mmr)
+        }
+        val (bestN, bestM) = scored.minBy { case (n, m) => (-m, n) }
+        selected = selected :+ ((bestN, bestM))
+        remaining = remaining.filterNot(_._1 == bestN)
+        (q, t.toLong, bestN, bestM)
+      }
+    }.toSet
+    val got = Registry.byName("qs06_mmr_rerank").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
+
   test("LSH at 8 planes: multi-probe recall >= single-probe recall") {
     val exact = Registry.byName("qs01_knn_brute").run(spark, sf)
       .filter(col("rank") <= 3).select("q_id", "n_id")
