@@ -667,6 +667,103 @@ object TextAnalysis {
       |FROM corp GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qt20: capped BIGRAM log-prob with stupid backoff — the context-aware
+  // upgrade of qt07/qt08's unigram perplexity filter (the published
+  // recipe is a KenLM n-gram model; the web-scale simplification is
+  // Brants et al. 2007 "Stupid Backoff": S(w_i|w_{i-1}) =
+  // f(bigram)/f(prefix) when the bigram is known, else 0.4·S_uni(w_i)).
+  // Both dictionaries are top-V capped (qt08's argument): the bigram
+  // table keeps the top-BigramCap pairs WITH their prefix counts
+  // captured at build time, the unigram table is qt08's top-DictCap, so
+  // every serving-side join is broadcast-justified BY CONSTRUCTION at
+  // any corpus scale; unseen unigrams take the count-1 floor. Build side
+  // is two counting shuffles + TakeOrdered. Same 0.1-milli-nat integer
+  // quantization as qt07 (ln ulp differences sit ~1e-11 from rounding
+  // ties), so per-doc sums are exact and order-free. Per-doc backoff
+  // counts are emitted — the filter's coverage diagnostic.
+  // ---------------------------------------------------------------------
+  private val BigramCap = 64
+
+  private def qt20(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("t0"))
+      .select(col("doc_id"), lower(col("t0")).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("corpus_n"))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))"""
+          .stripMargin.replace("\n", " "))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val topB = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cntB"))
+      .join(uni.select(col("token").as("w1"), col("cnt").as("prefix_cnt")),
+        Seq("w1"))
+      .orderBy(col("cntB").desc, col("w1").asc, col("w2").asc)
+      .limit(BigramCap)
+    val topU = uni.orderBy(col("cnt").desc, col("token").asc).limit(DictCap)
+      .select(col("token").as("w2"), col("cnt").as("u_cnt"))
+    bigrams
+      .join(broadcast(topB), Seq("w1", "w2"), "left")
+      .join(broadcast(topU), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("""cast(round(-ln(CASE WHEN cntB IS NOT NULL
+                |  THEN cast(cntB as double) / prefix_cnt
+                |  ELSE 0.4 * cast(coalesce(u_cnt, 1) as double) / corpus_n
+                |END) * 1e4) as bigint)""".stripMargin.replace("\n", " "))
+          .as("nll_q"),
+        when(col("cntB").isNull, 1L).otherwise(0L).as("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("backoff")).as("n_backoff"),
+        sum(col("nll_q")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        (col("s").cast("double") / 1e4 / col("n_bigrams")).as("mean_nll"))
+  }
+
+  private val qt20Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |      t -> lower(t)) AS tk
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+       |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS corpus_n FROM toks),
+       |bg AS (
+       |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+       |        FROM tk WHERE len(tk) >= 2)),
+       |topb AS (
+       |  SELECT x.w1, x.w2, x.cntB, u.cnt AS prefix_cnt
+       |  FROM (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cntB
+       |        FROM bg GROUP BY 1, 2) x
+       |  JOIN uni u ON u.token = x.w1
+       |  ORDER BY x.cntB DESC, x.w1 ASC, x.w2 ASC LIMIT $BigramCap),
+       |topu AS (
+       |  SELECT token AS w2, cnt AS u_cnt FROM uni
+       |  ORDER BY cnt DESC, token ASC LIMIT $DictCap),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(-ln(CASE WHEN tb.cntB IS NOT NULL
+       |      THEN CAST(tb.cntB AS DOUBLE) / tb.prefix_cnt
+       |      ELSE 0.4 * CAST(coalesce(tu.u_cnt, 1) AS DOUBLE) / corpus_n
+       |    END) * 1e4) AS BIGINT) AS nll_q,
+       |    CASE WHEN tb.cntB IS NULL THEN 1 ELSE 0 END AS backoff
+       |  FROM bg b
+       |  LEFT JOIN topb tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+       |  LEFT JOIN topu tu ON tu.w2 = b.w2
+       |  CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       |  CAST(sum(nll_q) AS BIGINT) / 1e4 / count(*) AS mean_nll
+       |FROM scored GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qt19: SYMMETRIC cross-corpus contamination — the both-sides-huge
   // variant of qt10 (VERDICT r09 Next #6, carried through r10). qt10's
   // broadcast is justified only because a benchmark suite is a fixed
@@ -1036,5 +1133,6 @@ object TextAnalysis {
     Q("qt16_bpe_train", qt16, Some(qt16Sql)),
     Q("qt17_bpe_apply", qt17, Some(qt17Sql)),
     Q("qt18_unicode_normalize", qt18, Some(qt18Sql)),
-    Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)))
+    Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)),
+    Q("qt20_bigram_logprob", qt20, Some(qt20Sql)))
 }

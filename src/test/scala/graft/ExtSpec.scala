@@ -567,6 +567,23 @@ class SimilaritySpec extends SparkSpec {
 
 class TextSpec extends SparkSpec {
 
+  test("qt20 bigram model: both the hit and backoff paths are exercised") {
+    val out = Registry.byName("qt20_bigram_logprob").run(spark, sf).collect()
+    assert(out.nonEmpty)
+    // capped at BigramCap=64 against a larger bigram inventory: some
+    // positions hit the table, some back off — if either count is zero
+    // the cap or the join broke silently
+    val totalBi = out.map(_.getLong(1)).sum
+    val totalBk = out.map(_.getLong(2)).sum
+    assert(totalBk > 0, "no position ever backed off — cap not binding")
+    assert(totalBk < totalBi, "every position backed off — bigram join broken")
+    // a doc's mean NLL is positive and finite (probabilities < 1)
+    out.foreach { r =>
+      val m = r.getDouble(3)
+      assert(!m.isNaN && !m.isInfinite && m > 0, s"bad mean_nll $m")
+    }
+  }
+
   test("token counts match JVM-side split") {
     val rows = Registry.byName("qt01_token_stats").run(spark, sf)
       .join(Tables.documents(spark, sf), "doc_id")

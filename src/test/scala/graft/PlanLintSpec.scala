@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkSpec {
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
+    "qt20_bigram_logprob", // same 1-row corpus-N cross; dicts capped, by design
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
     "q29_table_profile",  // two 1-row profile passes crossed, by design
