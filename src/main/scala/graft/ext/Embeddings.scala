@@ -150,7 +150,93 @@ object Embeddings {
        |SELECT c.vec_id, c.code, o.bucket_n
        |FROM codes c JOIN occ o USING (code)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qe03: product quantization — the third member of the compression
+  // family (qe01 int8 = 4×, qe02 binary = 128×, PQ = 32× here at far
+  // better recall than binary; Jégou et al. 2011, the public method
+  // behind FAISS's PQ indexes). The 64-dim vector splits into SubVecs=4
+  // 16-dim subspaces; each subspace has a K=16-entry codebook, and a
+  // vector encodes as 4 codes (4×4 bits). Codebooks are the
+  // deterministic md5-ordered sample (the qs03 centroid rule) SLICED per
+  // subspace — one 16-row sample serves all four.
+  //
+  // Scale shape — the literal-fold move (qt17's merges-as-literals, at
+  // vector scale): the 16 sampled vectors are collected ONCE (bounded,
+  // the qc02/qt16 driver-scalar contract) and folded into the projection
+  // as array literals, so encoding is a PURE per-row projection — zero
+  // shuffle, zero join, nothing broadcast at serve time; at 100 TB the
+  // encode pass is embarrassingly parallel. Doubles are rendered via
+  // Double.toString (shortest round-trip) and re-parsed by CAST(s AS
+  // DOUBLE) — bit-exact in both engines; all distances are the
+  // index-order fold; argmin = first-position-of-min (ties → smallest
+  // code in both engines); the total squared error sums the 4 subspace
+  // minima in fixed order. The oracle recomputes the same sample and
+  // distances via CTE joins — different plan, identical values.
+  // ---------------------------------------------------------------------
+  private val SubVecs = 4
+  private val SubDim = Dim / SubVecs
+  private val PqK = 16
+
+  private def qe03(s: SparkSession, d: String): DataFrame = {
+    val sample: Array[Array[Float]] = Similarity.ivfCentroids(s, d, PqK)
+      .orderBy(md5(col("c_id").cast("string").cast("binary")), col("c_id"))
+      .collect().map(_.getSeq[Float](1).toArray)
+    def lit(x: Float): String = s"cast('${x.toDouble.toString}' as double)"
+    def cbLit(j: Int): String = // codebook j: PqK arrays of SubDim doubles
+      sample.map(v =>
+        "array(" + (0 until SubDim).map(i => lit(v(j * SubDim + i))).mkString(", ") + ")")
+        .mkString("array(", ", ", ")")
+    val subCols = (0 until SubVecs).map { j =>
+      val sub = s"transform(slice(embedding, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
+      val dists = s"transform(${cbLit(j)}, c -> " +
+        s"aggregate(zip_with($sub, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
+      expr(s"named_struct('code', array_position($dists, array_min($dists)), " +
+        s"'err', array_min($dists))").as(s"s$j")
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id") +: subCols: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until SubVecs).map(j => col(s"s$j.code").cast("string")): _*)
+          .as("pq_codes"),
+        (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
+  }
+
+  private val qe03Sql = {
+    def dj(j: Int): String = {
+      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+      s"""list_sum(list_transform(
+         |  list_zip(v.embedding[$lo:$hi], c.c_emb[$lo:$hi]),
+         |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+        .replace("\n", " ")
+    }
+    val selJoins = (0 until SubVecs).map { j =>
+      s"""sel$j AS (
+         |  SELECT vec_id, k AS code$j, d AS err$j FROM (
+         |    SELECT v.vec_id, c.k, ${dj(j)} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dj(j)} ASC, c.k ASC) AS rn
+         |    FROM embeddings v CROSS JOIN cents c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
+       |    embedding AS c_emb
+       |  FROM (SELECT * FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+       |$selJoins
+       |SELECT s0.vec_id,
+       |  CAST(code0 AS VARCHAR) || ',' || CAST(code1 AS VARCHAR) || ',' ||
+       |  CAST(code2 AS VARCHAR) || ',' || CAST(code3 AS VARCHAR) AS pq_codes,
+       |  ((err0 + err1) + err2) + err3 AS sq_err
+       |FROM sel0 s0
+       |JOIN sel1 USING (vec_id) JOIN sel2 USING (vec_id)
+       |JOIN sel3 USING (vec_id)""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
-    Q("qe02_embedding_binary", qe02, Some(qe02Sql)))
+    Q("qe02_embedding_binary", qe02, Some(qe02Sql)),
+    Q("qe03_product_quantize", qe03, Some(qe03Sql)))
 }

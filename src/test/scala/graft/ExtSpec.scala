@@ -510,6 +510,25 @@ class SimilaritySpec extends SparkSpec {
     assert(w3.exists { case (j, w) => w != single(j)._1 })
   }
 
+  test("PQ: sampled codebook vectors reconstruct with exactly zero error") {
+    // each sampled vector's own subspace slices ARE codebook entries, so
+    // its four minimum distances are exactly 0.0 — a bit-level invariant
+    // of the encode path (any slice/literal-rendering drift breaks it)
+    val sampleIds = graft.ext.Similarity.ivfCentroids(spark, sf, 16)
+      .collect().map(_.getLong(0)).toSet
+    val out = Registry.byName("qe03_product_quantize").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+    assert(out.length === Tables.embeddings(spark, sf).count())
+    out.foreach { case (id, (codes, err)) =>
+      val cs = codes.split(',').map(_.toInt)
+      assert(cs.length === 4 && cs.forall(c => c >= 1 && c <= 16),
+        s"vec $id codes out of range: $codes")
+      assert(err >= 0.0, s"vec $id negative sq_err $err")
+      if (sampleIds(id)) assert(err === 0.0,
+        s"sampled vec $id must reconstruct exactly, got sq_err $err")
+    }
+  }
+
   test("MMR rerank matches an independent JVM greedy walk over the candidates") {
     // recompute the whole greedy trajectory single-threaded from the raw
     // vectors and require exact equality — selection order, ids, scores

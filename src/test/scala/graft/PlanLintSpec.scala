@@ -226,9 +226,13 @@ class PlanLintSpec extends SparkSpec {
   }
 
   // ----- pure projections must not shuffle --------------------------------
-  // qe01 (int8 quantization) and qt14 (text normalization) are per-row
-  // maps; any Exchange appearing in their plans is a regression.
-  for (name <- Seq("qe01_embedding_quantize", "qt14_text_normalize")) {
+  // qe01 (int8 quantization), qt14 (text normalization), qt18 (Unicode
+  // normalization) and qe03 (PQ encode with literal-folded codebooks) are
+  // per-row maps; any Exchange appearing in their plans is a regression.
+  // (qe03's codebook sample is collected at plan-BUILD time — the encode
+  // plan itself must stay shuffle- and join-free.)
+  for (name <- Seq("qe01_embedding_quantize", "qt14_text_normalize",
+      "qt18_unicode_normalize", "qe03_product_quantize")) {
     test(s"$name: zero Exchange (pure per-row projection)") {
       val plan = Registry.byName(name).run(spark, sf)
         .queryExecution.executedPlan.toString
