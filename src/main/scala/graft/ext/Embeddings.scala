@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -177,66 +178,146 @@ object Embeddings {
   private val SubDim = Dim / SubVecs
   private val PqK = 16
 
-  private def qe03(s: SparkSession, d: String): DataFrame = {
-    val sample: Array[Array[Float]] = Similarity.ivfCentroids(s, d, PqK)
+  /** The PqK sampled vectors in md5-sample order — the shared codebook
+    * source (one bounded collect; the qc02/qt16 driver-scalar contract). */
+  private[graft] def pqSample(s: SparkSession, d: String): Array[Array[Float]] =
+    Similarity.ivfCentroids(s, d, PqK)
       .orderBy(md5(col("c_id").cast("string").cast("binary")), col("c_id"))
       .collect().map(_.getSeq[Float](1).toArray)
-    def lit(x: Float): String = s"cast('${x.toDouble.toString}' as double)"
-    def cbLit(j: Int): String = // codebook j: PqK arrays of SubDim doubles
-      sample.map(v =>
-        "array(" + (0 until SubDim).map(i => lit(v(j * SubDim + i))).mkString(", ") + ")")
-        .mkString("array(", ", ", ")")
+
+  /** Codebook j as an array-of-arrays SQL literal (Double.toString
+    * shortest-round-trip rendering, re-parsed bit-exact by CAST). */
+  private[graft] def cbLit(sample: Array[Array[Float]], j: Int): String = {
+    def one(x: Float): String = s"cast('${x.toDouble.toString}' as double)"
+    sample.map(v =>
+      "array(" + (0 until SubDim).map(i => one(v(j * SubDim + i))).mkString(", ") + ")")
+      .mkString("array(", ", ", ")")
+  }
+
+  /** (vec_id, s0..s3) where s_j = struct(code, err) — the PQ encode
+    * projection, shared by qe03's gate and qs07's ADC search. */
+  private[graft] def pqEncoded(e: DataFrame,
+      sample: Array[Array[Float]]): DataFrame = {
     val subCols = (0 until SubVecs).map { j =>
       val sub = s"transform(slice(embedding, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
-      val dists = s"transform(${cbLit(j)}, c -> " +
+      val dists = s"transform(${cbLit(sample, j)}, c -> " +
         s"aggregate(zip_with($sub, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
       expr(s"named_struct('code', array_position($dists, array_min($dists)), " +
         s"'err', array_min($dists))").as(s"s$j")
     }
-    Tables.embeddings(s, d)
-      .select(col("vec_id") +: subCols: _*)
+    e.select(col("vec_id") +: col("embedding") +: subCols: _*)
+  }
+
+  private def qe03(s: SparkSession, d: String): DataFrame =
+    pqEncoded(Tables.embeddings(s, d), pqSample(s, d))
       .select(col("vec_id"),
         concat_ws(",", (0 until SubVecs).map(j => col(s"s$j.code").cast("string")): _*)
           .as("pq_codes"),
         (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
+
+  /** Subspace-j squared L2 between `v.embedding` and `c.c_emb` slices. */
+  private def djSql(j: Int, vRef: String = "v.embedding",
+      cRef: String = "c.c_emb"): String = {
+    val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+    s"""list_sum(list_transform(
+       |  list_zip($vRef[$lo:$hi], $cRef[$lo:$hi]),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+      .replace("\n", " ")
   }
 
-  private val qe03Sql = {
-    def dj(j: Int): String = {
-      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
-      s"""list_sum(list_transform(
-         |  list_zip(v.embedding[$lo:$hi], c.c_emb[$lo:$hi]),
-         |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
-        .replace("\n", " ")
-    }
+  /** DuckDB CTE chain ending in `pq(vec_id, code0..3, err0..3)` — the
+    * oracle's re-derivation of [[pqEncoded]], shared by qe03 and qs07. */
+  private[graft] val pqCodesSqlCte: String = {
     val selJoins = (0 until SubVecs).map { j =>
-      s"""sel$j AS (
+      s"""sel$j AS MATERIALIZED (
          |  SELECT vec_id, k AS code$j, d AS err$j FROM (
-         |    SELECT v.vec_id, c.k, ${dj(j)} AS d,
+         |    SELECT v.vec_id, c.k, ${djSql(j)} AS d,
          |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${dj(j)} ASC, c.k ASC) AS rn
+         |        ORDER BY ${djSql(j)} ASC, c.k ASC) AS rn
          |    FROM embeddings v CROSS JOIN cents c)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cents AS (
+    s"""cents AS MATERIALIZED (
        |  SELECT row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
        |    embedding AS c_emb
        |  FROM (SELECT * FROM embeddings
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
-       |$selJoins
-       |SELECT s0.vec_id,
+       |$selJoins,
+       |pq AS MATERIALIZED (
+       |  SELECT s0.vec_id, code0, code1, code2, code3,
+       |    err0, err1, err2, err3
+       |  FROM sel0 s0
+       |  JOIN sel1 USING (vec_id) JOIN sel2 USING (vec_id)
+       |  JOIN sel3 USING (vec_id))""".stripMargin
+  }
+
+  private val qe03Sql =
+    s"""WITH $pqCodesSqlCte
+       |SELECT vec_id,
        |  CAST(code0 AS VARCHAR) || ',' || CAST(code1 AS VARCHAR) || ',' ||
        |  CAST(code2 AS VARCHAR) || ',' || CAST(code3 AS VARCHAR) AS pq_codes,
        |  ((err0 + err1) + err2) + err3 AS sq_err
-       |FROM sel0 s0
-       |JOIN sel1 USING (vec_id) JOIN sel2 USING (vec_id)
-       |JOIN sel3 USING (vec_id)""".stripMargin
+       |FROM pq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qs07: PQ asymmetric-distance search (ADC) — the serving math qe03's
+  // codes exist FOR (the FAISS-PQ query path): the query stays float,
+  // the corpus is only its 4 codes, and the distance is
+  // Σ_j L2²(query_sub_j, codebook_j[code_j]) — computed here directly
+  // from the literal-folded codebook via element_at, so scoring is a
+  // per-(query, code-row) expression: the float corpus is NEVER read at
+  // serve time (the 32× compression pays off as scan width), and the
+  // only join is the bounded query broadcast (qs01's pattern). Exact
+  // ADC doubles rank deterministically (dist ASC, n_id ASC); top-5 per
+  // query. At 100 TB this composes with qs03's IVF cells exactly like
+  // qs05 composes qs04.
+  // ---------------------------------------------------------------------
+  private def qs07(s: SparkSession, d: String): DataFrame = {
+    val sample = pqSample(s, d)
+    val e = Tables.embeddings(s, d)
+    val corpus = pqEncoded(e.filter(col("vec_id") >= 10), sample)
+      .select(col("vec_id").as("n_id") +:
+        (0 until SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val adc = (0 until SubVecs).map { j =>
+      val sub = s"transform(slice(q_emb, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
+      s"aggregate(zip_with($sub, element_at(${cbLit(sample, j)}, cast(code$j as int)), " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+    }.reduce((a, b) => s"($a + $b)")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("n_id"), expr(adc).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs07Sql = {
+    val adc = (0 until SubVecs).map { j =>
+      djSql(j, "q.embedding", s"c$j.c_emb")
+    }.reduce((a, b) => s"($a + $b)")
+    val centJoins = (0 until SubVecs)
+      .map(j => s"JOIN cents c$j ON c$j.k = x.code$j").mkString(" ")
+    s"""WITH $pqCodesSqlCte,
+       |scores AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS n_id, $adc AS adc_dist
+       |  FROM pq x $centJoins
+       |  CROSS JOIN embeddings q
+       |  WHERE x.vec_id >= 10 AND q.vec_id < 10)
+       |SELECT q_id, n_id, adc_dist, rank FROM (
+       |  SELECT q_id, n_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist ASC, n_id ASC) AS rank
+       |  FROM scores)
+       |WHERE rank <= 5""".stripMargin
   }
 
   def queries: Seq[Q] = Seq(
     Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
     Q("qe02_embedding_binary", qe02, Some(qe02Sql)),
-    Q("qe03_product_quantize", qe03, Some(qe03Sql)))
+    Q("qe03_product_quantize", qe03, Some(qe03Sql)),
+    Q("qs07_pq_adc_search", qs07, Some(qs07Sql)))
 }
