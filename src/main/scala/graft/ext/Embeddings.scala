@@ -185,28 +185,36 @@ object Embeddings {
       .orderBy(md5(col("c_id").cast("string").cast("binary")), col("c_id"))
       .collect().map(_.getSeq[Float](1).toArray)
 
-  /** Codebook j as an array-of-arrays SQL literal (Double.toString
-    * shortest-round-trip rendering, re-parsed bit-exact by CAST). */
-  private[graft] def cbLit(sample: Array[Array[Float]], j: Int): String = {
-    def one(x: Float): String = s"cast('${x.toDouble.toString}' as double)"
-    sample.map(v =>
-      "array(" + (0 until SubDim).map(i => one(v(j * SubDim + i))).mkString(", ") + ")")
+  /** A subspace codebook (PqK arrays of SubDim doubles) as an
+    * array-of-arrays SQL literal (Double.toString shortest-round-trip
+    * rendering, re-parsed bit-exact by CAST in both engines). */
+  private[graft] def cbLitD(cb: IndexedSeq[Array[Double]]): String =
+    cb.map(c =>
+      "array(" + c.map(x => s"cast('${x.toString}' as double)").mkString(", ") + ")")
       .mkString("array(", ", ", ")")
-  }
 
-  /** (vec_id, s0..s3) where s_j = struct(code, err) — the PQ encode
-    * projection, shared by qe03's gate and qs07's ADC search. */
-  private[graft] def pqEncoded(e: DataFrame,
-      sample: Array[Array[Float]]): DataFrame = {
+  /** Codebook j sliced from the float sample. */
+  private[graft] def cbLit(sample: Array[Array[Float]], j: Int): String =
+    cbLitD(sample.toIndexedSeq
+      .map(v => (0 until SubDim).map(i => v(j * SubDim + i).toDouble).toArray))
+
+  /** (vec_id, embedding, s0..s3) where s_j = struct(code, err) — the PQ
+    * encode projection over per-subspace codebook LITERALS, shared by
+    * qe03 (sampled), qe04 (Lloyd-refined) and qs07 (ADC corpus side). */
+  private[graft] def pqEncodedWith(e: DataFrame, cbLits: Seq[String]): DataFrame = {
     val subCols = (0 until SubVecs).map { j =>
       val sub = s"transform(slice(embedding, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
-      val dists = s"transform(${cbLit(sample, j)}, c -> " +
+      val dists = s"transform(${cbLits(j)}, c -> " +
         s"aggregate(zip_with($sub, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"
       expr(s"named_struct('code', array_position($dists, array_min($dists)), " +
         s"'err', array_min($dists))").as(s"s$j")
     }
     e.select(col("vec_id") +: col("embedding") +: subCols: _*)
   }
+
+  private[graft] def pqEncoded(e: DataFrame,
+      sample: Array[Array[Float]]): DataFrame =
+    pqEncodedWith(e, (0 until SubVecs).map(j => cbLit(sample, j)))
 
   private def qe03(s: SparkSession, d: String): DataFrame =
     pqEncoded(Tables.embeddings(s, d), pqSample(s, d))
@@ -260,6 +268,113 @@ object Embeddings {
        |  CAST(code2 AS VARCHAR) || ',' || CAST(code3 AS VARCHAR) AS pq_codes,
        |  ((err0 + err1) + err2) + err3 AS sq_err
        |FROM pq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qe04: PQ codebook TRAINING — one Lloyd refinement per subspace over
+  // the sampled init (the production step the qe03/qs07 comments point
+  // at; Jégou et al. train each sub-quantizer with k-means). Assignment
+  // is qe03's encode verbatim; the update step is qc01's fixed-point
+  // determinism: each subvector component is scaled by 2^24, rounded to
+  // BIGINT, summed EXACTLY per (subspace, cell, dim), and the mean is
+  // one IEEE division chain of the exact integer sum — so the refined
+  // codebook is order-independent and both engines derive it
+  // bit-identically. Empty cells keep their sampled centroid (the
+  // standard Lloyd rule, deterministic here). The refined codebooks are
+  // collected (4×16 rows — bounded) and literal-folded exactly like
+  // qe03's, so re-encoding stays a pure projection. Lloyd monotonicity
+  // — total distortion under the refined codebook ≤ under the sampled
+  // one — is pinned by spec (to fixed-point rounding noise).
+  // ---------------------------------------------------------------------
+  private val PqScale = 1 << 24
+
+  /** One Lloyd update: refined codebooks per (subspace, cell), sampled
+    * centroid where a cell is empty. Returns per-j codebooks. */
+  private[graft] def pqRefine(s: SparkSession, d: String,
+      sample: Array[Array[Float]]): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val enc = pqEncoded(Tables.embeddings(s, d), sample)
+    val perSub = (0 until SubVecs).map { j =>
+      enc.select(lit(j).as("j"), col(s"s$j.code").as("k"),
+        expr(s"slice(embedding, ${j * SubDim + 1}, $SubDim)").as("sub"))
+    }.reduce(_ unionAll _)
+    val means = perSub
+      .select(col("j"), col("k"), posexplode(col("sub")).as(Seq("dim", "v")))
+      .select(col("j"), col("k"), col("dim"),
+        expr(s"cast(round(cast(v as double) * $PqScale) as bigint)").as("q"))
+      .groupBy(col("j"), col("k"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("j"), col("k"), col("dim"),
+        (col("sq").cast("double") / PqScale / col("n")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    (0 until SubVecs).map { j =>
+      (1 to PqK).map { k =>
+        Array.tabulate(SubDim) { i =>
+          means.getOrElse((j, k.toLong, i),
+            sample(k - 1)(j * SubDim + i).toDouble) // empty cell → sampled
+        }
+      }
+    }
+  }
+
+  private def qe04(s: SparkSession, d: String): DataFrame = {
+    val refined = pqRefine(s, d, pqSample(s, d))
+    pqEncodedWith(Tables.embeddings(s, d), refined.map(cbLitD))
+      .select(col("vec_id"),
+        concat_ws(",", (0 until SubVecs).map(j => col(s"s$j.code").cast("string")): _*)
+          .as("pq_codes"),
+        (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
+  }
+
+  private val qe04Sql = {
+    // refined codebook j: exact fixed-point means per (cell, dim) over the
+    // pq-assigned subvectors, sampled slice where the cell is empty
+    val refineCtes = (0 until SubVecs).map { j =>
+      val lo = j * SubDim
+      s"""sums$j AS MATERIALIZED (
+         |  SELECT p.code$j AS k, i,
+         |    CAST(sum(CAST(round(CAST(v.embedding[$lo + i] AS DOUBLE) * $PqScale)
+         |      AS BIGINT)) AS BIGINT) AS sq,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pq p JOIN embeddings v USING (vec_id), range(1, ${SubDim + 1}) t(i)
+         |  GROUP BY 1, 2),
+         |rc$j AS MATERIALIZED (
+         |  SELECT c.k,
+         |    coalesce(r.c_emb,
+         |      list_transform(c.c_emb[${lo + 1}:${lo + SubDim}],
+         |        x -> CAST(x AS DOUBLE))) AS c_emb
+         |  FROM cents c LEFT JOIN (
+         |    SELECT k, list(CAST(sq AS DOUBLE) / $PqScale / n ORDER BY i) AS c_emb
+         |    FROM sums$j GROUP BY k) r ON r.k = c.k)""".stripMargin
+    }.mkString(",\n")
+    def djR(j: Int): String = {
+      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+      s"""list_sum(list_transform(
+         |  list_zip(v.embedding[$lo:$hi], c.c_emb),
+         |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+        .replace("\n", " ")
+    }
+    val selR = (0 until SubVecs).map { j =>
+      s"""rsel$j AS MATERIALIZED (
+         |  SELECT vec_id, k AS rcode$j, d AS rerr$j FROM (
+         |    SELECT v.vec_id, c.k, ${djR(j)} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${djR(j)} ASC, c.k ASC) AS rn
+         |    FROM embeddings v CROSS JOIN rc$j c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCodesSqlCte,
+       |$refineCtes,
+       |$selR
+       |SELECT r0.vec_id,
+       |  CAST(rcode0 AS VARCHAR) || ',' || CAST(rcode1 AS VARCHAR) || ',' ||
+       |  CAST(rcode2 AS VARCHAR) || ',' || CAST(rcode3 AS VARCHAR) AS pq_codes,
+       |  ((rerr0 + rerr1) + rerr2) + rerr3 AS sq_err
+       |FROM rsel0 r0
+       |JOIN rsel1 USING (vec_id) JOIN rsel2 USING (vec_id)
+       |JOIN rsel3 USING (vec_id)""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // qs07: PQ asymmetric-distance search (ADC) — the serving math qe03's
@@ -319,5 +434,6 @@ object Embeddings {
     Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
     Q("qe02_embedding_binary", qe02, Some(qe02Sql)),
     Q("qe03_product_quantize", qe03, Some(qe03Sql)),
+    Q("qe04_pq_train", qe04, Some(qe04Sql)),
     Q("qs07_pq_adc_search", qs07, Some(qs07Sql)))
 }

@@ -529,6 +529,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ training: one Lloyd step never increases total distortion") {
+    // assignment fixed → the fixed-point mean minimizes per-cell SSE (to
+    // 2^-24 rounding noise); re-assignment only improves further. So
+    // Σ sq_err(refined) ≤ Σ sq_err(sampled) + ε — Lloyd monotonicity as a
+    // gate-level theorem.
+    val sampled = Registry.byName("qe03_product_quantize").run(spark, sf)
+      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
+    val refined = Registry.byName("qe04_pq_train").run(spark, sf)
+      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
+    assert(refined <= sampled + 1e-6,
+      s"Lloyd step increased distortion: $sampled -> $refined")
+    // and it genuinely moved: training on a non-degenerate corpus must
+    // improve, not merely not-worsen
+    assert(refined < sampled, s"refinement was a no-op: $sampled")
+  }
+
   test("PQ-ADC search recalls a usable share of the exact L2 top-5") {
     def l2(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
