@@ -205,7 +205,14 @@ object Soak {
         // the ratio should be ~mult·1), and the exact classifier step
         // (explode + three keyed shuffles, all linear)
         "qt18_unicode_normalize", "qt19_symmetric_contamination",
-        "qc03_classifier_step")
+        "qc03_classifier_step",
+        // round-11 second half: qt20's serving joins are broadcast-bounded
+        // by construction (the soak pins build cost stays two counting
+        // shuffles); qe03's PQ encode is a literal-folded pure projection
+        // (ratio should track the scan); qx15's two-phase cumsum must not
+        // regress to a single-partition window
+        "qt20_bigram_logprob", "qe03_product_quantize",
+        "qx15_weighted_sample")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without
