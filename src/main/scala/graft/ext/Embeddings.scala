@@ -382,9 +382,12 @@ object Embeddings {
   // the corpus is only its 4 codes, and the distance is
   // Σ_j L2²(query_sub_j, codebook_j[code_j]) — computed here directly
   // from the literal-folded codebook via element_at, so scoring is a
-  // per-(query, code-row) expression: the float corpus is NEVER read at
-  // serve time (the 32× compression pays off as scan width), and the
-  // only join is the bounded query broadcast (qs01's pattern). Exact
+  // per-(query, code-row) expression. In production the codes are the
+  // STORED table and the float corpus is never scanned at serve time
+  // (the 32× compression pays off as scan width); this gate derives the
+  // codes inline from the same plan so one query proves encode+serve
+  // together. The only join is the bounded query broadcast (qs01's
+  // pattern). Exact
   // ADC doubles rank deterministically (dist ASC, n_id ASC); top-5 per
   // query. At 100 TB this composes with qs03's IVF cells exactly like
   // qs05 composes qs04.
