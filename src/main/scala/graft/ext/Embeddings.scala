@@ -174,7 +174,7 @@ object Embeddings {
   // minima in fixed order. The oracle recomputes the same sample and
   // distances via CTE joins — different plan, identical values.
   // ---------------------------------------------------------------------
-  private val SubVecs = 4
+  private[graft] val SubVecs = 4
   private val SubDim = Dim / SubVecs
   private val PqK = 16
 
@@ -224,7 +224,7 @@ object Embeddings {
         (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
 
   /** Subspace-j squared L2 between `v.embedding` and `c.c_emb` slices. */
-  private def djSql(j: Int, vRef: String = "v.embedding",
+  private[graft] def djSql(j: Int, vRef: String = "v.embedding",
       cRef: String = "c.c_emb"): String = {
     val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
     s"""list_sum(list_transform(
@@ -392,6 +392,16 @@ object Embeddings {
   // query. At 100 TB this composes with qs03's IVF cells exactly like
   // qs05 composes qs04.
   // ---------------------------------------------------------------------
+  /** ADC distance expression over columns `q_emb` (float array) and
+    * `code0..3` — Σ_j L2²(query_sub_j, codebook_j[code_j]) off the
+    * literal-folded codebook; shared by qs07 and the streaming qst30. */
+  private[graft] def adcExprStr(sample: Array[Array[Float]]): String =
+    (0 until SubVecs).map { j =>
+      val sub = s"transform(slice(q_emb, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
+      s"aggregate(zip_with($sub, element_at(${cbLit(sample, j)}, cast(code$j as int)), " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+    }.reduce((a, b) => s"($a + $b)")
+
   private def qs07(s: SparkSession, d: String): DataFrame = {
     val sample = pqSample(s, d)
     val e = Tables.embeddings(s, d)
@@ -400,11 +410,7 @@ object Embeddings {
         (0 until SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val adc = (0 until SubVecs).map { j =>
-      val sub = s"transform(slice(q_emb, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
-      s"aggregate(zip_with($sub, element_at(${cbLit(sample, j)}, cast(code$j as int)), " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
-    }.reduce((a, b) => s"($a + $b)")
+    val adc = adcExprStr(sample)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist").asc, col("n_id").asc)
     corpus.crossJoin(broadcast(queries))

@@ -40,7 +40,7 @@ object Similarity {
         .otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def bucketSql(emb: String, numPlanes: Int = NumPlanes): String =
+  private[graft] def bucketSql(emb: String, numPlanes: Int = NumPlanes): String =
     (0 until numPlanes).map { j =>
       s"(CASE WHEN ${Vectors.dotSql(emb, Hyperplanes.sqlList(PlaneSeed, j, numPlanes, Dim))} > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")

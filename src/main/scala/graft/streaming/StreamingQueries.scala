@@ -1207,6 +1207,71 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst30: streaming PQ-ANN — the compressed-serving composition of
+  // qst22's RAG-ingest shape: query vectors ARRIVE AS A STREAM, bucket
+  // via the qs02 LSH sign planes, and score ONLY their bucket's
+  // candidates by PQ asymmetric distance off the static CODE table
+  // (qe03's encode + qs07's ADC math). The static side a deployment
+  // reads is codes + bucket — 4 sub-codes and a 4-bit bucket per corpus
+  // vector, never the float corpus — so the per-arrival cost is one
+  // hash + one bucket's code rows through a literal-codebook
+  // expression. Stream-static equi-join on bucket (corpus-sized static
+  // side, never broadcast at scale); append-mode candidates; per-query
+  // top-3 ranked on read (the qst22 rank-on-read argument). Oracle
+  // recomputes buckets, codes and ADC in one query — the streamed path
+  // must reproduce it exactly.
+  // ---------------------------------------------------------------------
+  private def qst30(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Embeddings, Similarity}
+    val sample = Embeddings.pqSample(s, d)
+    val codes = Embeddings.pqEncoded(
+        Tables.embeddings(s, d).filter(col("vec_id") >= 10), sample)
+      .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+      .select(col("vec_id").as("n_id") +: col("bucket") +:
+        (0 until Embeddings.SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
+    val scored = runBounded(s, d, "embeddings", "append") { emb =>
+      emb.filter(col("vec_id") < 10)
+        .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+        .join(codes, Seq("bucket"))
+        .select(col("q_id"), col("bucket"), col("n_id"),
+          expr(Embeddings.adcExprStr(sample)).as("adc_dist"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  private val qst30Sql = {
+    import graft.ext.{Embeddings, Similarity}
+    val adc = (0 until Embeddings.SubVecs).map { j =>
+      Embeddings.djSql(j, "q.embedding", s"c$j.c_emb")
+    }.reduce((a, b) => s"($a + $b)")
+    val centJoins = (0 until Embeddings.SubVecs)
+      .map(j => s"JOIN cents c$j ON c$j.k = p.code$j").mkString(" ")
+    s"""WITH ${Embeddings.pqCodesSqlCte},
+       |bucketed AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    ${Similarity.bucketSql("embedding", Similarity.NumPlanes)} AS bucket
+       |  FROM embeddings),
+       |cands AS (
+       |  SELECT q.vec_id AS q_id, q.bucket, cb.vec_id AS n_id, $adc AS adc_dist
+       |  FROM bucketed q
+       |  JOIN bucketed cb ON cb.bucket = q.bucket AND cb.vec_id >= 10
+       |  JOIN pq p ON p.vec_id = cb.vec_id
+       |  $centJoins
+       |  WHERE q.vec_id < 10)
+       |SELECT q_id, bucket, n_id, adc_dist, rank FROM (
+       |  SELECT q_id, bucket, n_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist ASC, n_id ASC) AS rank
+       |  FROM cands)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1263,5 +1328,8 @@ object StreamingQueries {
     // qd13's oracle verbatim: streaming ingest classification must equal
     // the batch incremental dedup — streaming/batch consistency by
     // construction
-    Q("qst29_stream_ingest_dedup", qst29, Some(graft.ext.SpanDedup.qd13Sql)))
+    Q("qst29_stream_ingest_dedup", qst29, Some(graft.ext.SpanDedup.qd13Sql)),
+    // bucketed + PQ-coded + ADC-ranked in one oracle query: the streamed
+    // compressed-serving path must reproduce it exactly
+    Q("qst30_stream_pq_ann", qst30, Some(qst30Sql)))
 }
