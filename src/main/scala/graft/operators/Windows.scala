@@ -388,6 +388,83 @@ object Windows {
       |    / sqrt(greatest((sq - s * s / c) / (c - 1), 1e-12))) > 2.0 AS is_spike
       |FROM stats WHERE c >= 12""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qw12: EWMA trend smoothing — qw11's sibling: instead of flagging
+  // spikes against a flat trailing mean, smooth each type's hourly
+  // series with an exponentially-weighted moving average (the standard
+  // monitoring/forecast baseline). The recursion x̄_t = αx_t + (1−α)x̄_{t−1}
+  // is order-dependent and unexpressible as a parallel fold, so it is
+  // re-expressed in CLOSED FORM as a 24-tap FIR: w_k = α(1−α)^k computed
+  // ONCE in Scala and shipped as identical double literals to BOTH
+  // engines — no pow() at query time, no libm parity risk. Gap hours are
+  // handled by construction: taps attach via an (eh − k) equi-join (the
+  // qw10 gap-fill shape, not ROWS lag which would misalign on gaps), and
+  // the weight mass renormalizes over the taps actually present — which
+  // also makes the cold start principled (first hour: ewma = its own n).
+  // Float parity: each tap contribution w_k·n is one IEEE product
+  // quantized to micro-units (BIGINT), summed exactly (order-free);
+  // ewma = one final integer-ratio division. 100 TB shape: one partial-
+  // agg groupBy collapses the corpus to types × hours before ANY tap
+  // work; the tap join multiplies that bounded frame by 24 — still
+  // bounded, never corpus-sized.
+  // ---------------------------------------------------------------------
+  private val EwmaAlpha = 0.3
+  private val EwmaTaps = 24
+
+  private def ewmaWeights: IndexedSeq[Double] =
+    (0 until EwmaTaps).map(k => EwmaAlpha * math.pow(1 - EwmaAlpha, k))
+
+  private def qw12(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("eh"))
+      .agg(count(lit(1)).as("n"))
+    val tapsLit = ewmaWeights.zipWithIndex.map { case (w, k) =>
+      s"named_struct('k', ${k}L, 'w', cast('${w.toString}' as double))"
+    }.mkString("array(", ", ", ")")
+    val contrib = hourly.select(col("event_type"), col("eh"))
+      .withColumn("tap", explode(expr(tapsLit)))
+      .join(hourly.select(col("event_type").as("src_type"),
+          col("eh").as("src_eh"), col("n").as("src_n")).hint("merge"),
+        col("src_type") === col("event_type") &&
+          col("src_eh") === col("eh") - col("tap.k"))
+    contrib
+      .groupBy(col("event_type"), col("eh"))
+      .agg(
+        sum(expr("cast(round(tap.w * src_n * 1e6) as bigint)")).as("num_q"),
+        sum(expr("cast(round(tap.w * 1e6) as bigint)")).as("den_q"),
+        max(when(col("tap.k") === 0, col("src_n"))).as("n"))
+      .select(col("event_type"), col("eh"), col("n"),
+        (col("num_q").cast("double") / col("den_q")).as("ewma"))
+      .withColumn("ratio", col("n").cast("double") / col("ewma"))
+      .withColumn("is_high", col("ratio") > 1.5)
+  }
+
+  private val qw12Sql = {
+    val taps = ewmaWeights.zipWithIndex
+      .map { case (w, k) => s"($k, CAST('${w.toString}' AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |taps AS (SELECT * FROM (VALUES $taps) t(k, w)),
+       |agg AS (
+       |  SELECT b.event_type, b.eh,
+       |    CAST(sum(CAST(round(t.w * s.n * 1e6) AS BIGINT)) AS BIGINT) AS num_q,
+       |    CAST(sum(CAST(round(t.w * 1e6) AS BIGINT)) AS BIGINT) AS den_q,
+       |    max(CASE WHEN t.k = 0 THEN s.n END) AS n
+       |  FROM hourly b
+       |  CROSS JOIN taps t
+       |  JOIN hourly s ON s.event_type = b.event_type AND s.eh = b.eh - t.k
+       |  GROUP BY 1, 2)
+       |SELECT event_type, eh, n,
+       |  CAST(num_q AS DOUBLE) / den_q AS ewma,
+       |  CAST(n AS DOUBLE) / (CAST(num_q AS DOUBLE) / den_q) AS ratio,
+       |  CAST(n AS DOUBLE) / (CAST(num_q AS DOUBLE) / den_q) > 1.5 AS is_high
+       |FROM agg""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
@@ -399,5 +476,6 @@ object Windows {
     Q("qw08_cohort_retention", qw08, Some(qw08Sql)),
     Q("qw09_funnel", qw09, Some(qw09Sql)),
     Q("qw10_gap_fill", qw10, Some(qw10Sql)),
-    Q("qw11_rolling_zscore", qw11, Some(qw11Sql)))
+    Q("qw11_rolling_zscore", qw11, Some(qw11Sql)),
+    Q("qw12_ewma_smoothing", qw12, Some(qw12Sql)))
 }

@@ -170,3 +170,38 @@ class CohortRetentionSpec extends SparkSpec {
     grid.unpersist()
   }
 }
+
+class EwmaSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("qw12 EWMA equals a JVM mirror of the FIR over present taps (gap-aware)") {
+    // recompute hourly counts and the 24-tap renormalized FIR single-
+    // threaded; require exact equality — the quantization and literal-tap
+    // contract means no tolerance is needed
+    val hourly = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("eh"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val weights = (0 until 24).map(k => 0.3 * math.pow(1 - 0.3, k))
+    val expected = hourly.map { case ((t, eh), n) =>
+      var num = 0L; var den = 0L
+      for (k <- 0 until 24) hourly.get((t, eh - k)).foreach { v =>
+        num += math.round(weights(k) * v * 1e6)
+        den += math.round(weights(k) * 1e6)
+      }
+      (t, eh) -> ((n, num.toDouble / den))
+    }
+    val got = Registry.byName("qw12_ewma_smoothing").run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    // cold start: an hour with no prior history smooths to exactly its own
+    // count (renormalization over present taps)
+    val firstEh = hourly.keys.groupBy(_._1).map { case (t, ks) =>
+      t -> ks.map(_._2).min }
+    firstEh.foreach { case (t, eh) =>
+      val (n, ewma) = got((t, eh))
+      assert(ewma === n.toDouble, s"cold start for ($t, $eh): $ewma != $n")
+    }
+  }
+}
