@@ -8,7 +8,7 @@ import graft.ext.SpanDedup
 import graft.sources.Tables
 
 /** qd18 steady-state ingest curve: drive the persisted dedup-state loop
-  * copy-by-copy over the 30× Zipf soak corpus and time each batch's two
+  * copy-by-copy over the Zipf soak corpus and time each batch's two
   * phases separately as the signature store grows:
   *
   *  - CLASSIFY — the claim under test is qd13's cap argument carried into
@@ -16,27 +16,43 @@ import graft.sources.Tables
   *    BucketCap) — FLAT in store size, because the bucket cap bounds the
   *    compare fan-out per incoming chunk no matter how many signatures
   *    the store has accumulated.
-  *  - MERGE — honestly O(|store|) per batch (snapshot rewrite): the
-  *    log-structured compaction trade, expected to grow linearly with
-  *    the accumulated store. The production mitigation is hash-prefix
-  *    partitioning (rewrite only touched partitions) + snapshot expiry,
-  *    not a different algorithm.
+  *  - MERGE — with the round-12 hash-prefix-partitioned store this is
+  *    O(|batch|) for all-new doc ids (pure file append into partition
+  *    dirs; the r11 full-snapshot rewrite was honestly O(|store|) per
+  *    batch) plus an amortized compaction every [[CompactEvery]] batches
+  *    (timed separately as `compact_sec` — the O(|store|/C) move of the
+  *    log-structured trade).
   *
-  * Batches are the corpus copies (doc_id ∈ [k·off, (k+1)·off)), pushed
-  * down to the store/batch parquet scans. The Zipf duplication rule means
-  * later copies carry verbatim hot docs — so classify must actually FIND
-  * dups against an ever-older store (status counts are reported as the
-  * efficacy signal, not just wall time).
+  * Batches are groups of corpus copies (doc_id ∈ [k·cpb·off,
+  * (k+1)·cpb·off)), pushed down to the store/batch parquet scans; set
+  * SPARK_GRAFT_INGEST_COPIES_PER_BATCH > 1 to reach the decade tier
+  * (e.g. mult=1000, cpb=25 → 40 batches growing the store to ~5 M
+  * signatures). The Zipf duplication rule means later copies carry
+  * verbatim hot docs — so classify must actually FIND dups against an
+  * ever-older store (status counts are reported as the efficacy signal,
+  * not just wall time).
   *
-  * Output: one JSON line {"metric":"ingest_curve","mult":M,"batches":
-  * [{"k":i,"classify_sec":s,"merge_sec":s,"store_rows":n,"exact":n,
-  * "near":n,"new":n},...]} consumed into BASELINE.md.
+  * After the curve, a RE-INGEST probe merges a batch of already-stored
+  * doc ids drawn from a SINGLE hash-prefix partition: its merge must
+  * rewrite exactly 1 of 16 partitions (`touched`:1, ~|store|/16 rows),
+  * demonstrating that replace cost tracks touched partitions, not
+  * |store| — the claim the partitioned layout exists to make true.
+  *
+  * Output: one JSON line {"metric":"ingest_curve","mult":M,
+  * "copies_per_batch":C,"batches":[{"k":i,"classify_sec":s,
+  * "merge_sec":s,"compact_sec":s,"touched":t,"store_rows":n,"exact":n,
+  * "near":n,"new":n},...],"reingest":{"docs":n,"touched":t,
+  * "merge_sec":s}} consumed into BASELINE.md.
   */
 object IngestCurve {
+
+  /** Compact the store's append files every this many batches. */
+  val CompactEvery = 10
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "30").toInt
+    val cpb = sys.env.getOrElse("SPARK_GRAFT_INGEST_COPIES_PER_BATCH", "1").toInt
     val dir = s"target/soak/zipf_x$mult"
     val spark = GraftSession.local("graft-ingest-curve",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -49,48 +65,61 @@ object IngestCurve {
       .collect()(0).getLong(0) + 1
 
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-curve-")
-    def hPath(v: Int) = s"$root/h_v$v"
-    def cPath(v: Int) = s"$root/chunks_v$v"
-    docs.select(col("doc_id"), md5(col("text")).as("h")).limit(0)
-      .write.parquet(hPath(0))
-    SpanDedup.simhashChunks(docs.limit(0))
-      .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
-      .write.parquet(cPath(0))
+    SpanDedup.registerTempRoot(root) // shared shutdown cleanup (ADVICE r11)
+    val store = SpanDedup.SignatureStore(root).init()
 
     def sec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+    def sigsOf(batch: org.apache.spark.sql.DataFrame) = (
+      batch.select(col("doc_id"), md5(col("text")).as("h")),
+      SpanDedup.simhashChunks(batch)
+        .select(col("doc_id"), col("c"), col("chunk"), col("simhash")))
 
-    val rows = (0 until mult).map { k =>
-      val batch = docs
-        .filter(col("doc_id") >= k * off && col("doc_id") < (k + 1) * off)
-      val stateH = spark.read.parquet(hPath(k))
-      val stateC = spark.read.parquet(cPath(k))
+    val nBatches = mult / cpb
+    val rows = (0 until nBatches).map { k =>
+      val batch = docs.filter(
+        col("doc_id") >= k.toLong * cpb * off &&
+        col("doc_id") < (k + 1).toLong * cpb * off)
 
       val tc = System.nanoTime()
-      val counts = SpanDedup.classifyAgainstState(batch, stateH, stateC)
+      val counts = SpanDedup.classifyAgainstState(batch,
+          store.readH(spark), store.readChunks(spark))
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val classifySec = sec(tc)
 
       val tm = System.nanoTime()
-      val batchH = batch.select(col("doc_id"), md5(col("text")).as("h"))
-      val batchC = SpanDedup.simhashChunks(batch)
-        .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
-      stateH.join(batchH.select(col("doc_id")).distinct().hint("merge"),
-          Seq("doc_id"), "left_anti")
-        .union(batchH).write.parquet(hPath(k + 1))
-      stateC.join(batchC.select(col("doc_id")).distinct().hint("merge"),
-          Seq("doc_id"), "left_anti")
-        .union(batchC).write.parquet(cPath(k + 1))
+      val (batchH, batchC) = sigsOf(batch)
+      val touched = store.merge(spark, batchH, batchC)
       val mergeSec = sec(tm)
 
-      val storeRows = spark.read.parquet(hPath(k + 1)).count()
+      val tk = System.nanoTime()
+      if ((k + 1) % CompactEvery == 0) store.compact(spark)
+      val compactSec = sec(tk)
+
+      val storeRows = store.readH(spark).count()
       println(f"[ingest] k=$k classify=$classifySec%.2f merge=$mergeSec%.2f " +
-        s"store=$storeRows counts=$counts")
+        f"compact=$compactSec%.2f touched=${touched.size} store=$storeRows " +
+        s"counts=$counts")
       f"""{"k":$k,"classify_sec":$classifySec%.2f,"merge_sec":$mergeSec%.2f,""" +
+        f""""compact_sec":$compactSec%.2f,"touched":${touched.size},""" +
         s""""store_rows":$storeRows,"exact":${counts.getOrElse("exact_dup", 0L)},""" +
         s""""near":${counts.getOrElse("near_dup", 0L)},"new":${counts.getOrElse("new", 0L)}}"""
     }
-    println(s"""{"metric":"ingest_curve","mult":$mult,"batches":[${rows.mkString(",")}]}""")
+
+    // re-ingest probe: already-stored docs from ONE hash-prefix partition
+    val reDocs = docs.filter(col("doc_id") < off)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+    val nRe = reDocs.count()
+    val tr = System.nanoTime()
+    val (reH, reC) = sigsOf(reDocs)
+    val reTouched = store.merge(spark, reH, reC)
+    val reSec = sec(tr)
+    println(f"[ingest] reingest docs=$nRe touched=${reTouched.size} " +
+      f"merge=$reSec%.2f")
+
+    println(s"""{"metric":"ingest_curve","mult":$mult,"copies_per_batch":$cpb,""" +
+      s""""batches":[${rows.mkString(",")}],""" +
+      f""""reingest":{"docs":$nRe,"touched":${reTouched.size},"merge_sec":$reSec%.2f}}""")
     spark.stop()
   }
 }

@@ -330,7 +330,7 @@ object Clustering {
   private def featFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        (expr("cast(substring(source, 4, 10) as bigint)") % 2).as("y"),
+        (expr("cast(substring(source, 4) as bigint)") % 2).as("y"),
         explode(expr("split(trim(text), '\\\\s+')")).as("t"))
       .select(col("doc_id"), col("y"), md5Mod(lower(col("t")), NumFeat).as("j"))
       .groupBy(col("doc_id"), col("y"), col("j"))

@@ -45,13 +45,21 @@ object BloomDedup {
   final case class KeyEvent(shard: Int, key: Long)
   final case class FirstSeen(shard: Int, key: Long)
 
-  /** The cross-engine hash family — see class doc. */
+  /** The cross-engine hash family — see class doc. The first 15 hex
+    * chars of the digest are the top 60 bits of bytes 0–7 (7 full bytes
+    * plus byte 7's high nibble); assembling them by shift/mask skips the
+    * per-key hex-string formatting that dominated the hot path at soak
+    * scale while keeping the exact md5-prefix-15 semantics the oracle
+    * mirrors. */
   private[graft] def bitPositions(key: Long): Array[Int] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(NumHashes) { j =>
-      val hex = md.digest(s"$key:$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      (java.lang.Long.parseLong(hex, 16) % MBits).toInt
+      val d = md.digest(s"$key:$j".getBytes("UTF-8"))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      (v % MBits).toInt
     }
   }
 

@@ -1387,6 +1387,51 @@ class SpanDedupSpec extends SparkSpec {
     assert(again.count() === 2)
   }
 
+  test("partitioned store: re-ingest rewrites only the touched partitions") {
+    import spark.implicits._
+    // round-12 layout: merge of all-new doc ids must touch NO partitions
+    // (pure append); a re-ingest must rewrite exactly the partitions its
+    // doc ids hash to, replacing (never duplicating) those docs' rows
+    // while every other partition's files are left untouched
+    val root = java.nio.file.Files.createTempDirectory("graft-store-spec-")
+    SpanDedup.registerTempRoot(root)
+    val store = SpanDedup.SignatureStore(root).init()
+    def sigs(rows: Seq[(Long, String)]) = {
+      val docs = rows.toDF("doc_id", "text")
+      (docs.select(col("doc_id"), md5(col("text")).as("h")),
+        SpanDedup.simhashChunks(docs)
+          .select(col("doc_id"), col("c"), col("chunk"), col("simhash")))
+    }
+    val texts = (1L to 8L).map(i =>
+      i -> (1 to 30).map(j => s"d${i}w$j").mkString(" "))
+    val (h1, c1) = sigs(texts)
+    assert(store.merge(spark, h1, c1).isEmpty) // all new → pure append
+    val before = store.readH(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.keySet === (1L to 8L).toSet)
+
+    // snapshot each partition dir's file listing, then re-ingest doc 3
+    val hDir = new java.io.File(s"$root/h")
+    def filesByDp() = hDir.listFiles().filter(_.isDirectory).map(d =>
+      d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val filesBefore = filesByDp()
+    val dp3 = java.security.MessageDigest.getInstance("MD5")
+      .digest("3".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+    val (h2, c2) = sigs(Seq(3L -> (1 to 30).map(j => s"NEW$j").mkString(" ")))
+    val touched = store.merge(spark, h2, c2)
+    assert(touched === Seq(dp3))
+    val after = store.readH(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.keySet === (1L to 8L).toSet) // replaced, not duplicated
+    assert(after(3L) !== before(3L))
+    assert((after - 3L) === (before - 3L))
+    // untouched partitions kept their exact files
+    filesByDp().foreach { case (dp, fs) =>
+      if (dp != s"dp=$dp3") assert(filesBefore(dp) === fs, s"partition $dp")
+    }
+    store.delete()
+  }
+
   test("persisted ingest loop: arrival order decides status (planted)") {
     import spark.implicits._
     // batch_id = (doc_id div 5) % 4 for seen (doc_id % 5 != 0), 4 for
