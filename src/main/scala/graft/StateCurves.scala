@@ -67,9 +67,26 @@ object StateCurves {
   private def curve(spark: SparkSession, name: String, dir: String,
       filesPerTrigger: Int, mode: String,
       triggerEveryMs: Option[Long] = None,
-      expectedRows: Option[Long] = None)(
+      expectedRows: Option[Long] = None,
+      compactOnCommit: Boolean = false,
+      liveAudit: Option[(SparkSession, String) => String] = None)(
       transform: DataFrame => DataFrame): Unit = {
     if (!only.forall(_.contains(name))) return
+    if (compactOnCommit) spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+    try curveRun(spark, name, dir, filesPerTrigger, mode, triggerEveryMs,
+      expectedRows, compactOnCommit, liveAudit)(transform)
+    finally if (compactOnCommit) spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.compactOnCommit")
+  }
+
+  private def curveRun(spark: SparkSession, name: String, dir: String,
+      filesPerTrigger: Int, mode: String,
+      triggerEveryMs: Option[Long],
+      expectedRows: Option[Long],
+      compactOnCommit: Boolean,
+      liveAudit: Option[(SparkSession, String) => String])(
+      transform: DataFrame => DataFrame): Unit = {
     val schema = spark.read.parquet(dir).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
@@ -104,11 +121,12 @@ object StateCurves {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    val ckpt =
+      java.nio.file.Files.createTempDirectory(s"graft-curve-$name-").toString
     try {
       val writer = transform(src).writeStream
         .outputMode(mode).format("noop")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(s"graft-curve-$name-").toString)
+        .option("checkpointLocation", ckpt)
       // paced triggers: trigger starts are spaced (wall-clock ingest pacing)
       // so processing-time TTLs get a chance to bind and RocksDB compaction
       // can catch up between commits — both effects the back-to-back replay
@@ -132,8 +150,15 @@ object StateCurves {
       }
       q.stop()
     } finally spark.streams.removeListener(listener)
+    // live-state audit: re-read the LATEST checkpoint version through the
+    // state reader and measure what is actually resident — the ground
+    // truth the per-trigger byte columns approximate
+    val live = liveAudit.map(f => s""","live_state":${f(spark, ckpt)}""")
+      .getOrElse("")
     import scala.jdk.CollectionConverters._
-    println(s"""{"metric":"state_curve","query":"$name","points":[${points.asScala.mkString(",")}]}""")
+    println(s"""{"metric":"state_curve","query":"$name",""" +
+      s""""compact_on_commit":$compactOnCommit,""" +
+      s""""points":[${points.asScala.mkString(",")}]$live}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -144,6 +169,12 @@ object StateCurves {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     rocksDb(spark)
+
+    // column semantics, stated once (VERDICT r11 obs #2: the r11 artifact's
+    // state_bytes column grew while live state was flat, undercutting the
+    // bounded-state claim it was written to prove — because memoryUsedBytes
+    // measures the provider's CACHE, not resident state)
+    println("""{"metric":"state_curve_columns","state_rows":"live rows in the state store (the bounded-state claim's unit)","state_bytes":"provider memoryUsedBytes = RocksDB block cache + memtable + retained readers; a CACHE that grows with traffic, NOT live state","sst_bytes":"RocksDB SST file bytes; equals live state only when compaction is caught up — exact per commit when compact_on_commit is true","pinned_bytes":"blocks pinned by open readers","live_state":"post-run ground truth read back from the LATEST checkpoint version via the state reader"}""")
 
     val evDir = s"$out/events"
     val docDir = s"$out/documents"
@@ -253,7 +284,21 @@ object StateCurves {
     curve(spark, "qst24_topk_exact_keys", evDir, 2, "update") { ev =>
       ev.select(hhKey.as("key")).groupBy(col("key")).count()
     }
-    curve(spark, "qst26_heavyhitters_sketch", evDir, 2, "update") { ev =>
+    // the sketch curves run with compactOnCommit so sst_bytes IS live
+    // state per commit (the dedup_*_compact measurement configuration):
+    // the r11 artifact recorded the sketches WITHOUT it, so state_bytes
+    // grew with retained SST versions while live state sat flat —
+    // exactly the misleading column VERDICT r11 flagged
+    curve(spark, "qst26_heavyhitters_sketch", evDir, 2, "update",
+      compactOnCommit = true,
+      liveAudit = Some { (s, ckpt) =>
+        val st = s.read.format("statestore")
+          .option("stateVarName", "summary")
+          .option("flattenCollectionTypes", "true").load(ckpt)
+        val rows = st.select(col("key.value")).distinct().count()
+        val entries = st.count()
+        s"""{"rows":$rows,"entries":$entries,"bound":"${HhShards} shards x ${HhCapacity} counters"}"""
+      }) { ev =>
       graft.streaming.HeavyHitters.sketch(
         ev.select(hhKey.as("key")), HhShards, HhCapacity).toDF()
     }
@@ -262,7 +307,16 @@ object StateCurves {
     // by event_id over an open key universe) — exact dropDuplicates grows
     // one state row per key (3M at 30×); the Bloom sketch holds 4 binary
     // rows (shards × 16 KiB) flat, trading FP-suppression of new keys.
-    curve(spark, "qst28_bloom_dedup", evDir, 2, "update") { ev =>
+    curve(spark, "qst28_bloom_dedup", evDir, 2, "update",
+      compactOnCommit = true,
+      liveAudit = Some { (s, ckpt) =>
+        val st = s.read.format("statestore")
+          .option("stateVarName", "bloom").load(ckpt)
+          .select(expr("octet_length(value.value)").as("b"))
+        val rows = st.count()
+        val bytes = st.agg(sum(col("b"))).collect()(0).getLong(0)
+        s"""{"rows":$rows,"value_bytes":$bytes,"bound":"${HhShards} shards x ${graft.streaming.BloomDedup.MBits / 8} bytes"}"""
+      }) { ev =>
       graft.streaming.BloomDedup.sketch(
         ev.select((col("event_id") % HhShards).cast("int").as("shard"),
           col("event_id").as("key"))).toDF()

@@ -209,7 +209,8 @@ object Embeddings {
       expr(s"named_struct('code', array_position($dists, array_min($dists)), " +
         s"'err', array_min($dists))").as(s"s$j")
     }
-    e.select(col("vec_id") +: col("embedding") +: subCols: _*)
+    // keep every input column: qs08 threads the IVF cell id through
+    e.select(col("*") +: subCols: _*)
   }
 
   private[graft] def pqEncoded(e: DataFrame,
@@ -236,6 +237,16 @@ object Embeddings {
 
   /** DuckDB CTE chain ending in `pq(vec_id, code0..3, err0..3)` — the
     * oracle's re-derivation of [[pqEncoded]], shared by qe03 and qs07. */
+  /** The deterministic md5-ordered PqK-row sample as a DuckDB CTE
+    * (`cents(k, c_emb)`) — shared by every PQ oracle. */
+  private[graft] val centsSqlCte: String =
+    s"""cents AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
+       |    embedding AS c_emb
+       |  FROM (SELECT * FROM embeddings
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK))""".stripMargin
+
   private[graft] val pqCodesSqlCte: String = {
     val selJoins = (0 until SubVecs).map { j =>
       s"""sel$j AS MATERIALIZED (
@@ -246,12 +257,7 @@ object Embeddings {
          |    FROM embeddings v CROSS JOIN cents c)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""cents AS MATERIALIZED (
-       |  SELECT row_number() OVER (
-       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
-       |    embedding AS c_emb
-       |  FROM (SELECT * FROM embeddings
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+    s"""$centsSqlCte,
        |$selJoins,
        |pq AS MATERIALIZED (
        |  SELECT s0.vec_id, code0, code1, code2, code3,
@@ -270,28 +276,47 @@ object Embeddings {
        |FROM pq""".stripMargin
 
   // ---------------------------------------------------------------------
-  // qe04: PQ codebook TRAINING — one Lloyd refinement per subspace over
-  // the sampled init (the production step the qe03/qs07 comments point
-  // at; Jégou et al. train each sub-quantizer with k-means). Assignment
-  // is qe03's encode verbatim; the update step is qc01's fixed-point
-  // determinism: each subvector component is scaled by 2^24, rounded to
-  // BIGINT, summed EXACTLY per (subspace, cell, dim), and the mean is
-  // one IEEE division chain of the exact integer sum — so the refined
-  // codebook is order-independent and both engines derive it
-  // bit-identically. Empty cells keep their sampled centroid (the
-  // standard Lloyd rule, deterministic here). The refined codebooks are
-  // collected (4×16 rows — bounded) and literal-folded exactly like
-  // qe03's, so re-encoding stays a pure projection. Lloyd monotonicity
-  // — total distortion under the refined codebook ≤ under the sampled
-  // one — is pinned by spec (to fixed-point rounding noise).
+  // qe04: PQ codebook TRAINING to convergence — PqIters Lloyd iterations
+  // per subspace over the sampled init (the production step the qe03/qs07
+  // comments point at; Jégou et al. train each sub-quantizer with
+  // k-means; r11 gated ONE step, this is the full trainer). Each
+  // iteration: assignment is qe03's encode against the CURRENT codebooks
+  // (literal-folded, pure projection); the update step is qc01's
+  // fixed-point determinism: each subvector component is scaled by 2^24,
+  // rounded to BIGINT, summed EXACTLY per (subspace, cell, dim), and the
+  // mean is one IEEE division chain of the exact integer sum — so every
+  // iteration's codebook is order-independent and both engines derive it
+  // bit-identically. Empty cells keep their CURRENT centroid (the
+  // standard Lloyd rule, deterministic here). Codebooks are collected
+  // per step (4×16 rows — the qc04 driver-loop contract) and
+  // literal-folded, so each pass over the corpus stays a pure
+  // projection. The gate encodes with the FINAL codebooks, so any
+  // divergence at ANY iteration breaks the hash — the oracle replays the
+  // whole trajectory as chained MATERIALIZED CTEs (the qc04 pattern).
+  // Per-iteration Lloyd monotonicity (distortion non-increasing along
+  // the trajectory, strict improvement overall) is pinned by spec; the
+  // qs07/qs08 recall ladder vs iteration count is measured in AnnProbe
+  // (BASELINE.md row).
   // ---------------------------------------------------------------------
   private val PqScale = 1 << 24
+  /** Lloyd iterations for the gated qe04 trainer. */
+  private[graft] val PqIters = 3
 
-  /** One Lloyd update: refined codebooks per (subspace, cell), sampled
-    * centroid where a cell is empty. Returns per-j codebooks. */
-  private[graft] def pqRefine(s: SparkSession, d: String,
-      sample: Array[Array[Float]]): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val enc = pqEncoded(Tables.embeddings(s, d), sample)
+  /** The sampled init codebooks: per-subspace slices of the md5 sample. */
+  private[graft] def initCbs(
+      sample: Array[Array[Float]]): IndexedSeq[IndexedSeq[Array[Double]]] =
+    (0 until SubVecs).map { j =>
+      sample.toIndexedSeq.map(v =>
+        (0 until SubDim).map(i => v(j * SubDim + i).toDouble).toArray)
+    }
+
+  /** One Lloyd update from the current codebooks: fixed-point means per
+    * (subspace, cell, dim); a cell with no members keeps its current
+    * centroid. Returns the refined per-j codebooks (4×16×16 doubles —
+    * bounded driver scalars). */
+  private[graft] def pqRefineStep(s: SparkSession, d: String,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]]): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val enc = pqEncodedWith(Tables.embeddings(s, d), cbs.map(cbLitD))
     val perSub = (0 until SubVecs).map { j =>
       enc.select(lit(j).as("j"), col(s"s$j.code").as("k"),
         expr(s"slice(embedding, ${j * SubDim + 1}, $SubDim)").as("sub"))
@@ -310,70 +335,95 @@ object Embeddings {
     (0 until SubVecs).map { j =>
       (1 to PqK).map { k =>
         Array.tabulate(SubDim) { i =>
-          means.getOrElse((j, k.toLong, i),
-            sample(k - 1)(j * SubDim + i).toDouble) // empty cell → sampled
+          means.getOrElse((j, k.toLong, i), cbs(j)(k - 1)(i)) // empty cell
         }
       }
     }
   }
 
+  /** `iters` Lloyd iterations from the sampled init — the full trainer
+    * (qe04 gates iters = PqIters; AnnProbe ladders recall over iters). */
+  private[graft] def pqTrainedCbs(s: SparkSession, d: String,
+      iters: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    (0 until iters).foldLeft(initCbs(pqSample(s, d))) { (cbs, _) =>
+      pqRefineStep(s, d, cbs)
+    }
+
   private def qe04(s: SparkSession, d: String): DataFrame = {
-    val refined = pqRefine(s, d, pqSample(s, d))
-    pqEncodedWith(Tables.embeddings(s, d), refined.map(cbLitD))
+    val trained = pqTrainedCbs(s, d, PqIters)
+    pqEncodedWith(Tables.embeddings(s, d), trained.map(cbLitD))
       .select(col("vec_id"),
         concat_ws(",", (0 until SubVecs).map(j => col(s"s$j.code").cast("string")): _*)
           .as("pq_codes"),
         (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
   }
 
+  /** Subspace-j squared L2 between `v.embedding`'s slice and a refined
+    * codebook row's SubDim-length `c.c_emb`. */
+  private def djTrainedSql(j: Int): String = {
+    val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+    s"""list_sum(list_transform(
+       |  list_zip(v.embedding[$lo:$hi], c.c_emb),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+      .replace("\n", " ")
+  }
+
   private val qe04Sql = {
-    // refined codebook j: exact fixed-point means per (cell, dim) over the
-    // pq-assigned subvectors, sampled slice where the cell is empty
-    val refineCtes = (0 until SubVecs).map { j =>
+    // the full trajectory as chained MATERIALIZED CTEs: rc0_j = sampled
+    // slices; for each iteration t: asn{t}_j assigns every vector to its
+    // nearest rc{t-1}_j centroid, sums{t}_j takes exact fixed-point
+    // per-(cell, dim) sums over that assignment, rc{t}_j is the refined
+    // codebook (current centroid where a cell is empty) — qe04's
+    // driver loop restated declaratively (the qc04 oracle pattern)
+    val base = (0 until SubVecs).map { j =>
       val lo = j * SubDim
-      s"""sums$j AS MATERIALIZED (
-         |  SELECT p.code$j AS k, i,
+      s"""rc0_$j AS MATERIALIZED (
+         |  SELECT k, list_transform(c_emb[${lo + 1}:${lo + SubDim}],
+         |    x -> CAST(x AS DOUBLE)) AS c_emb
+         |  FROM cents)""".stripMargin
+    }.mkString(",\n")
+    def asnCte(t: Int, j: Int): String =
+      s"""asn${t}_$j AS MATERIALIZED (
+         |  SELECT vec_id, k AS code, d AS err FROM (
+         |    SELECT v.vec_id, c.k, ${djTrainedSql(j)} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${djTrainedSql(j)} ASC, c.k ASC) AS rn
+         |    FROM embeddings v CROSS JOIN rc${t - 1}_$j c)
+         |  WHERE rn = 1)""".stripMargin
+    def refineCte(t: Int, j: Int): String = {
+      val lo = j * SubDim
+      s"""sums${t}_$j AS MATERIALIZED (
+         |  SELECT a.code AS k, i,
          |    CAST(sum(CAST(round(CAST(v.embedding[$lo + i] AS DOUBLE) * $PqScale)
          |      AS BIGINT)) AS BIGINT) AS sq,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM pq p JOIN embeddings v USING (vec_id), range(1, ${SubDim + 1}) t(i)
+         |  FROM asn${t}_$j a JOIN embeddings v USING (vec_id),
+         |    range(1, ${SubDim + 1}) t(i)
          |  GROUP BY 1, 2),
-         |rc$j AS MATERIALIZED (
-         |  SELECT c.k,
-         |    coalesce(r.c_emb,
-         |      list_transform(c.c_emb[${lo + 1}:${lo + SubDim}],
-         |        x -> CAST(x AS DOUBLE))) AS c_emb
-         |  FROM cents c LEFT JOIN (
+         |rc${t}_$j AS MATERIALIZED (
+         |  SELECT c.k, coalesce(r.c_emb, c.c_emb) AS c_emb
+         |  FROM rc${t - 1}_$j c LEFT JOIN (
          |    SELECT k, list(CAST(sq AS DOUBLE) / $PqScale / n ORDER BY i) AS c_emb
-         |    FROM sums$j GROUP BY k) r ON r.k = c.k)""".stripMargin
-    }.mkString(",\n")
-    def djR(j: Int): String = {
-      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
-      s"""list_sum(list_transform(
-         |  list_zip(v.embedding[$lo:$hi], c.c_emb),
-         |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-         |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
-        .replace("\n", " ")
+         |    FROM sums${t}_$j GROUP BY k) r ON r.k = c.k)""".stripMargin
     }
-    val selR = (0 until SubVecs).map { j =>
-      s"""rsel$j AS MATERIALIZED (
-         |  SELECT vec_id, k AS rcode$j, d AS rerr$j FROM (
-         |    SELECT v.vec_id, c.k, ${djR(j)} AS d,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${djR(j)} ASC, c.k ASC) AS rn
-         |    FROM embeddings v CROSS JOIN rc$j c)
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $pqCodesSqlCte,
-       |$refineCtes,
-       |$selR
-       |SELECT r0.vec_id,
-       |  CAST(rcode0 AS VARCHAR) || ',' || CAST(rcode1 AS VARCHAR) || ',' ||
-       |  CAST(rcode2 AS VARCHAR) || ',' || CAST(rcode3 AS VARCHAR) AS pq_codes,
-       |  ((rerr0 + rerr1) + rerr2) + rerr3 AS sq_err
-       |FROM rsel0 r0
-       |JOIN rsel1 USING (vec_id) JOIN rsel2 USING (vec_id)
-       |JOIN rsel3 USING (vec_id)""".stripMargin
+    val steps = (1 to PqIters).flatMap(t =>
+      (0 until SubVecs).map(asnCte(t, _)) ++
+        (0 until SubVecs).map(refineCte(t, _))).mkString(",\n")
+    // final encode against rc{PqIters}: one more assignment pass
+    val fin = (0 until SubVecs).map(asnCte(PqIters + 1, _)).mkString(",\n")
+    val joins = (1 until SubVecs)
+      .map(j => s"JOIN asn${PqIters + 1}_$j a$j USING (vec_id)").mkString(" ")
+    s"""WITH $centsSqlCte,
+       |$base,
+       |$steps,
+       |$fin
+       |SELECT a0.vec_id,
+       |  ${(0 until SubVecs).map(j => s"CAST(a$j.code AS VARCHAR)")
+            .mkString(" || ',' || ")} AS pq_codes,
+       |  ${(1 until SubVecs).foldLeft("a0.err")((acc, j) => s"($acc + a$j.err)")}
+       |    AS sq_err
+       |FROM asn${PqIters + 1}_0 a0 $joins""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -439,10 +489,116 @@ object Embeddings {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs08: IVF × PQ-ADC composed serving — the production FAISS IVFPQ
+  // shape proper (qs05 composed the inverted file with int8 coarse
+  // scoring; this composes it with qs07's ADC codes):
+  // (1) corpus vectors are assigned to their nearest IVF cell
+  //     (keep = 1) and stored as 4 PQ codes + the cell id — the
+  //     serve-time table never carries floats;
+  // (2) each query probes its nprobe = 2 nearest cells and ADC-scores
+  //     ONLY those cells' code rows off the literal codebook;
+  // (3) the top-C ADC survivors are exact-reranked with float cosine
+  //     (qs05's bounded broadcast rerank).
+  // At 100 TB the codes table is partitioned by cell id, so non-probed
+  // cells are never read, and the scanned width is 4 codes, not 64
+  // floats — cell-bounded candidate counts × 32× compression (AnnProbe
+  // measures the candidate bound; BASELINE.md row). Determinism by
+  // inheritance: cell ranks are the fastCosine/cosineSql pair with c_id
+  // tie-breaks (qs03), ADC is qs07's exact double fold with n_id ties,
+  // rerank ties on n_id — so the composition gates hash-exactly.
+  // ---------------------------------------------------------------------
+  private val AdcC = 20
+
+  private def qs08(s: SparkSession, d: String): DataFrame = {
+    val sample = pqSample(s, d)
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.ivfCentroids(s, d)
+    val corpus = pqEncodedWith(
+      Similarity.cellsOf(cents,
+          e.filter(col("vec_id") >= 10).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", keep = 1)
+        .select(col("vec_id"), col("embedding"), col("c_id")),
+      (0 until SubVecs).map(j => cbLit(sample, j)))
+      .select(col("vec_id").as("n_id") +: col("c_id") +:
+        (0 until SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
+    val queryCells = Similarity.cellsOf(cents,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", keep = 2)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    // corpus keep = 1 ⇒ a (q, n) pair appears via at most one cell
+    val cands = corpus.join(broadcast(queryCells), Seq("c_id"))
+      .select(col("q_id"), col("n_id"), expr(adcExprStr(sample)).as("adc_dist"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= AdcC)
+      .select(col("q_id"), col("n_id"))
+    val qEmb = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands.join(broadcast(qEmb), Seq("q_id"))), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs08Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    val adc = (0 until SubVecs)
+      .map(j => djSql(j, "qc.q_emb", s"c$j.c_emb"))
+      .reduce((a, b) => s"($a + $b)")
+    val centJoins = (0 until SubVecs)
+      .map(j => s"JOIN cents c$j ON c$j.k = x.code$j").mkString(" ")
+    s"""WITH $pqCodesSqlCte,
+       |icents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK}),
+       |corpus_cells AS (
+       |  SELECT n_id, c_id FROM (
+       |    SELECT v.vec_id AS n_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN icents c WHERE v.vec_id >= 10)
+       |  WHERE r <= 1),
+       |query_cells AS (
+       |  SELECT q_id, q_emb, c_id FROM (
+       |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN icents c WHERE v.vec_id < 10)
+       |  WHERE r <= 2),
+       |adc_scores AS (
+       |  SELECT qc.q_id, cc.n_id, $adc AS adc_dist
+       |  FROM query_cells qc
+       |  JOIN corpus_cells cc USING (c_id)
+       |  JOIN pq x ON x.vec_id = cc.n_id
+       |  $centJoins),
+       |cands AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_dist ASC, n_id ASC) AS crank
+       |    FROM adc_scores) WHERE crank <= $AdcC)
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT k.q_id, k.n_id, $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY k.q_id
+       |      ORDER BY $cos DESC, k.n_id ASC) AS rank
+       |  FROM cands k
+       |  JOIN embeddings q ON q.vec_id = k.q_id
+       |  JOIN embeddings c ON c.vec_id = k.n_id)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
     Q("qe02_embedding_binary", qe02, Some(qe02Sql)),
     Q("qe03_product_quantize", qe03, Some(qe03Sql)),
     Q("qe04_pq_train", qe04, Some(qe04Sql)),
-    Q("qs07_pq_adc_search", qs07, Some(qs07Sql)))
+    Q("qs07_pq_adc_search", qs07, Some(qs07Sql)),
+    Q("qs08_ivf_pq_search", qs08, Some(qs08Sql)))
 }

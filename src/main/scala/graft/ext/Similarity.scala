@@ -170,7 +170,7 @@ object Similarity {
     * exact baseline across the (k, nprobe) grid. */
   /** Nearest `keep` centroids per vector (cosine, tie-break c_id) — the
     * IVF assignment step, shared by qs03 and the composed qs05. */
-  private def cellsOf(cents: DataFrame, v: DataFrame,
+  private[graft] def cellsOf(cents: DataFrame, v: DataFrame,
       idCol: String, embCol: String, keep: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("c_sim").desc, col("c_id").asc)

@@ -414,11 +414,12 @@ object Windows {
   private def ewmaWeights: IndexedSeq[Double] =
     (0 until EwmaTaps).map(k => EwmaAlpha * math.pow(1 - EwmaAlpha, k))
 
-  private def qw12(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("eh"))
-      .agg(count(lit(1)).as("n"))
+  /** The 24-tap FIR over an arbitrary (event_type, eh, n) hourly frame —
+    * qw12's whole computation after the hourly rollup, shared with the
+    * streaming face qst31 (which produces the hourly frame from a
+    * streaming aggregation instead): streaming/batch consistency by
+    * construction. */
+  private[graft] def ewmaOverHourly(hourly: DataFrame): DataFrame = {
     val tapsLit = ewmaWeights.zipWithIndex.map { case (w, k) =>
       s"named_struct('k', ${k}L, 'w', cast('${w.toString}' as double))"
     }.mkString("array(", ", ", ")")
@@ -440,7 +441,13 @@ object Windows {
       .withColumn("is_high", col("ratio") > 1.5)
   }
 
-  private val qw12Sql = {
+  private def qw12(s: SparkSession, d: String): DataFrame =
+    ewmaOverHourly(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("eh"))
+      .agg(count(lit(1)).as("n")))
+
+  private[graft] val qw12Sql = {
     val taps = ewmaWeights.zipWithIndex
       .map { case (w, k) => s"($k, CAST('${w.toString}' AS DOUBLE))" }
       .mkString(", ")

@@ -529,20 +529,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("PQ training: one Lloyd step never increases total distortion") {
-    // assignment fixed → the fixed-point mean minimizes per-cell SSE (to
-    // 2^-24 rounding noise); re-assignment only improves further. So
-    // Σ sq_err(refined) ≤ Σ sq_err(sampled) + ε — Lloyd monotonicity as a
-    // gate-level theorem.
-    val sampled = Registry.byName("qe03_product_quantize").run(spark, sf)
-      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
-    val refined = Registry.byName("qe04_pq_train").run(spark, sf)
-      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
-    assert(refined <= sampled + 1e-6,
-      s"Lloyd step increased distortion: $sampled -> $refined")
+  test("PQ training: distortion is monotone along the full Lloyd trajectory") {
+    // per step: assignment fixed → the fixed-point mean minimizes
+    // per-cell SSE (to 2^-24 rounding noise); re-assignment only
+    // improves further. So Σ sq_err is non-increasing at EVERY iteration
+    // 0..PqIters — Lloyd monotonicity for the whole trained trajectory,
+    // not just the first step (r11 gated one step; qe04 now trains
+    // PqIters). The gated qe04 output must equal the iters = PqIters
+    // rung exactly.
+    import graft.ext.Embeddings
+    def distortion(cbs: IndexedSeq[IndexedSeq[Array[Double]]]): Double =
+      Embeddings.pqEncodedWith(Tables.embeddings(spark, sf),
+          cbs.map(Embeddings.cbLitD))
+        .select((0 until Embeddings.SubVecs).map(j => col(s"s$j.err"))
+          .reduce(_ + _).as("e"))
+        .agg(sum(col("e"))).collect()(0).getDouble(0)
+    val sample = Embeddings.pqSample(spark, sf)
+    val traj = (1 to Embeddings.PqIters).scanLeft(
+        Embeddings.initCbs(sample)) { (cbs, _) =>
+        Embeddings.pqRefineStep(spark, sf, cbs)
+      }.map(distortion)
+    traj.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd iteration increased distortion: $traj")
+    }
     // and it genuinely moved: training on a non-degenerate corpus must
     // improve, not merely not-worsen
-    assert(refined < sampled, s"refinement was a no-op: $sampled")
+    assert(traj.last < traj.head, s"training was a no-op: $traj")
+    val gated = Registry.byName("qe04_pq_train").run(spark, sf)
+      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
+    assert(math.abs(gated - traj.last) < 1e-9,
+      s"gated qe04 distortion ${gated} != trajectory end ${traj.last}")
   }
 
   test("PQ-ADC search recalls a usable share of the exact L2 top-5") {

@@ -1136,6 +1136,47 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming EWMA: any micro-batch split equals the batch FIR (qst31 face)") {
+    import spark.implicits._
+    // planted hourly series with a gap (hour 2 missing — the tap join
+    // must renormalize, not misalign) and a tail row beyond the 24-tap
+    // horizon (hour 30: no earlier hour within 24 taps except itself)
+    val rows = Seq(
+      ("view", 0L), ("view", 0L), ("view", 1L), ("view", 1L), ("view", 1L),
+      ("view", 3L), ("view", 30L),
+      ("click", 0L), ("click", 25L))
+    val batchHourly = rows.toDF("event_type", "eh")
+      .groupBy(col("event_type"), col("eh")).agg(count(lit(1)).as("n"))
+    val expected = graft.operators.Windows.ewmaOverHourly(batchHourly)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+
+    // stream the same rows across two micro-batches that SPLIT hour 1's
+    // count (2 rows then 1): the complete-mode hourly aggregate must
+    // converge to the same frame, so the on-read FIR must match exactly
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("event_type", "eh")
+      .groupBy(col("event_type"), col("eh")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ewmaspec").start()
+    try {
+      ms.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = graft.operators.Windows
+        .ewmaOverHourly(spark.table("ewmaspec"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      assert(streamed === expected)
+      // the beyond-horizon rows smooth to exactly their own count (only
+      // their own k = 0 tap is inside the 24-tap window)
+      assert(streamed(("view", 30L))._2 === streamed(("view", 30L))._1.toDouble)
+      assert(streamed(("click", 25L))._2 === streamed(("click", 25L))._1.toDouble)
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
