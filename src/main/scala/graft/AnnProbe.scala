@@ -53,6 +53,68 @@ object AnnProbe {
           s""""recall_at3":${js(hit.toDouble / exactN)}}""")
       }
     }
+
+    // ---------------------------------------------------------------
+    // PQ training recall ladder (VERDICT r11 Next #3): recall@5 of the
+    // ADC search against the exact L2 top-5 as the codebooks train
+    // through Lloyd iterations 0 (sampled) / 1 / 2 / 4, with the total
+    // distortion alongside — the measured claim behind "qe04 is the
+    // trainer that raises qs07's recall".
+    // ---------------------------------------------------------------
+    import graft.ext.Embeddings
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val l2 = "aggregate(zip_with(q_emb, n_emb, (a, b) -> " +
+      "(cast(a as double) - b) * (cast(a as double) - b)), 0D, (acc, x) -> acc + x)"
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("l2").asc, col("n_id").asc)
+    val exactL2 = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .select(col("q_id"), col("n_id"), expr(l2).as("l2"))
+      .withColumn("r", row_number().over(wL2)).filter(col("r") <= 5)
+      .select(col("q_id"), col("n_id")).localCheckpoint(true)
+    val exactL2N = exactL2.count()
+    var cbs = Embeddings.initCbs(Embeddings.pqSample(spark, dir))
+    var iter = 0
+    for (target <- Seq(0, 1, 2, 4)) {
+      while (iter < target) { cbs = Embeddings.pqRefineStep(spark, dir, cbs); iter += 1 }
+      val enc = Embeddings.pqEncodedWith(e, cbs.map(Embeddings.cbLitD))
+      val distortion = enc.select((0 until Embeddings.SubVecs)
+          .map(j => col(s"s$j.err")).reduce(_ + _).as("err"))
+        .agg(sum(col("err"))).collect()(0).getDouble(0)
+      val hits = Embeddings.adcSearch(e, cbs, topK = 5)
+        .select(col("q_id"), col("n_id"))
+        .join(exactL2, Seq("q_id", "n_id")).count()
+      println(s"""{"metric":"pq_recall_ladder","lloyd_iters":$target,""" +
+        s""""recall_at5":${js(hits.toDouble / exactL2N)},""" +
+        s""""distortion":${js(distortion)}}""")
+    }
+
+    // ---------------------------------------------------------------
+    // qs08 candidate bound: with corpus cells keep = 1 and nprobe = 2,
+    // each query ADC-scores exactly the rows of its two probed cells —
+    // cell-bounded, never the corpus. Reported as mean/max candidates
+    // per query vs N (the soak row VERDICT r11 Next #2 asks for).
+    // ---------------------------------------------------------------
+    val cents = Similarity.ivfCentroids(spark, dir)
+    val cellSizes = Similarity.cellsOf(cents,
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id", "n_emb", keep = 1)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("cell_n"))
+    val perQuery = Similarity.cellsOf(cents,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", keep = 2)
+      .join(cellSizes, Seq("c_id"))
+      .groupBy(col("q_id")).agg(sum(col("cell_n")).as("cands"))
+      .agg(avg(col("cands")).as("mean"), max(col("cands")).as("mx"))
+      .collect()(0)
+    println(s"""{"metric":"ivfpq_candidates","corpus":$corpusN,""" +
+      s""""mean_cands":${js(perQuery.getAs[Double]("mean"))},""" +
+      s""""max_cands":${perQuery.getAs[Long]("mx")},""" +
+      s""""scanned_frac":${js(perQuery.getAs[Double]("mean") / corpusN)}}""")
     spark.stop()
   }
 }

@@ -443,31 +443,41 @@ object Embeddings {
   // qs05 composes qs04.
   // ---------------------------------------------------------------------
   /** ADC distance expression over columns `q_emb` (float array) and
-    * `code0..3` — Σ_j L2²(query_sub_j, codebook_j[code_j]) off the
-    * literal-folded codebook; shared by qs07 and the streaming qst30. */
-  private[graft] def adcExprStr(sample: Array[Array[Float]]): String =
+    * `code0..3` — Σ_j L2²(query_sub_j, codebook_j[code_j]) off literal
+    * per-subspace codebooks. */
+  private[graft] def adcExprStrFrom(cbLits: Seq[String]): String =
     (0 until SubVecs).map { j =>
       val sub = s"transform(slice(q_emb, ${j * SubDim + 1}, $SubDim), x -> cast(x as double))"
-      s"aggregate(zip_with($sub, element_at(${cbLit(sample, j)}, cast(code$j as int)), " +
+      s"aggregate(zip_with($sub, element_at(${cbLits(j)}, cast(code$j as int)), " +
         "(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
     }.reduce((a, b) => s"($a + $b)")
 
-  private def qs07(s: SparkSession, d: String): DataFrame = {
-    val sample = pqSample(s, d)
-    val e = Tables.embeddings(s, d)
-    val corpus = pqEncoded(e.filter(col("vec_id") >= 10), sample)
+  /** The sampled-codebook form, shared by qs07 and the streaming qst30. */
+  private[graft] def adcExprStr(sample: Array[Array[Float]]): String =
+    adcExprStrFrom((0 until SubVecs).map(j => cbLit(sample, j)))
+
+  /** ADC search with arbitrary codebooks and top-k — qs07's body, also
+    * the instrument AnnProbe ladders recall over training iterations
+    * with. */
+  private[graft] def adcSearch(e: DataFrame,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]], topK: Int): DataFrame = {
+    val lits = cbs.map(cbLitD)
+    val corpus = pqEncodedWith(e.filter(col("vec_id") >= 10), lits)
       .select(col("vec_id").as("n_id") +:
         (0 until SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val adc = adcExprStr(sample)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist").asc, col("n_id").asc)
     corpus.crossJoin(broadcast(queries))
-      .select(col("q_id"), col("n_id"), expr(adc).as("adc_dist"))
+      .select(col("q_id"), col("n_id"),
+        expr(adcExprStrFrom(lits)).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= topK)
   }
+
+  private def qs07(s: SparkSession, d: String): DataFrame =
+    adcSearch(Tables.embeddings(s, d), initCbs(pqSample(s, d)), topK = 5)
 
   private val qs07Sql = {
     val adc = (0 until SubVecs).map { j =>
@@ -594,11 +604,203 @@ object Embeddings {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qe05 / qs09: RESIDUAL product quantization — the IVFADC composition
+  // proper (Jégou et al. 2011 §IV: FAISS's IVFADC encodes the residual
+  // x − centroid(cell(x)), not x). Residuals concentrate around the
+  // origin once the coarse quantizer has absorbed the cell's offset, so
+  // the same 4-bit-per-subspace budget spends its codes on the
+  // remaining variance — the standard accuracy win over raw-vector PQ
+  // at identical storage. qe05 assigns every vector to its nearest IVF
+  // cell (keep = 1, the qs03 rule), subtracts the cell centroid
+  // elementwise (exact IEEE float→double subtraction, order-free), and
+  // PQ-encodes the residual against codebooks sampled FROM residuals
+  // (the md5-sample rule applied to the residual frame — same sampled
+  // ids as pqSample, residual values). qs09 serves it: each query
+  // probes its nprobe = 2 cells, forms the PER-CELL query residual
+  // q − c (the asymmetric side of ADC), and scores only that cell's
+  // code rows off the literal residual codebooks — ranked directly by
+  // residual-ADC (the approximation-only serving path; qs08 shows the
+  // rerank composition). The identity L2²(q, x) = L2²(q − c, x − c)
+  // makes per-cell residual ADC estimate the SAME distance as raw ADC,
+  // with the quantization error taken around the cell origin.
+  //
+  // 100 TB shape: encode is cellsOf's bounded-K broadcast cross (index
+  // build) followed by a pure projection; the serve join is qs08's
+  // cell equi-join over 4-code rows; nothing new shuffles. Determinism:
+  // cell ranks are the fastCosine/cosineSql pair with c_id ties;
+  // residuals and ADC distances are exact elementwise double ops; the
+  // collected codebooks round-trip via Double.toString (bit-exact both
+  // engines).
+  // ---------------------------------------------------------------------
+
+  /** (vec_id, c_id, embedding = double residual) for every vector in
+    * `e`, residual vs its own nearest cell. */
+  private def residualFrame(e: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.cellsOf(cents, e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", keep = 1)
+      .join(broadcast(cents), Seq("c_id"))
+      .select(col("vec_id"), col("c_id"),
+        expr("zip_with(embedding, c_emb, (a, b) -> cast(a as double) - cast(b as double))")
+          .as("embedding"))
+
+  /** Residual codebooks: per-subspace slices of the residuals of the
+    * PqK md5-sampled vectors (one bounded collect, md5 order). */
+  private[graft] def pqResidualCbs(s: SparkSession,
+      d: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rows = residualFrame(Tables.embeddings(s, d),
+        Similarity.ivfCentroids(s, d))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(PqK).collect().map(_.getSeq[Double](2).toArray)
+    (0 until SubVecs).map { j =>
+      rows.toIndexedSeq.map(v =>
+        (0 until SubDim).map(i => v(j * SubDim + i)).toArray)
+    }
+  }
+
+  private def qe05(s: SparkSession, d: String): DataFrame = {
+    val cbs = pqResidualCbs(s, d)
+    val rf = residualFrame(Tables.embeddings(s, d),
+      Similarity.ivfCentroids(s, d))
+    pqEncodedWith(rf, cbs.map(cbLitD))
+      .select(col("vec_id"), col("c_id"),
+        concat_ws(",", (0 until SubVecs).map(j => col(s"s$j.code").cast("string")): _*)
+          .as("pq_codes"),
+        (0 until SubVecs).map(j => col(s"s$j.err")).reduce(_ + _).as("sq_err"))
+  }
+
+  /** DuckDB CTE chain ending in `rcodes(vec_id, c_id, code0..3,
+    * err0..3)` — the oracle's re-derivation of the residual encode,
+    * shared by qe05 and qs09. */
+  private val residualCodesSqlCte: String = {
+    def dj(j: Int, a: String, b: String): String = {
+      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+      s"""list_sum(list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
+        .replace("\n", " ")
+    }
+    val selJoins = (0 until SubVecs).map { j =>
+      s"""rsel$j AS MATERIALIZED (
+         |  SELECT vec_id, k AS code$j, d AS err$j FROM (
+         |    SELECT v.vec_id, c.k, ${dj(j, "v.r", "c.c_emb")} AS d,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dj(j, "v.r", "c.c_emb")} ASC, c.k ASC) AS rn
+         |    FROM res v CROSS JOIN rsmp c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""icents AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${Similarity.IvfK}),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN icents c)
+       |  WHERE r <= 1),
+       |res AS MATERIALIZED (
+       |  SELECT v.vec_id, cl.c_id,
+       |    list_transform(list_zip(v.embedding, ic.c_emb),
+       |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+       |  FROM embeddings v
+       |  JOIN cells cl USING (vec_id) JOIN icents ic ON ic.c_id = cl.c_id),
+       |rsmp AS MATERIALIZED (
+       |  SELECT row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
+       |    r AS c_emb
+       |  FROM (SELECT vec_id, r FROM res
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+       |$selJoins,
+       |rcodes AS MATERIALIZED (
+       |  SELECT r0.vec_id, res.c_id, code0, code1, code2, code3,
+       |    err0, err1, err2, err3
+       |  FROM rsel0 r0
+       |  JOIN rsel1 USING (vec_id) JOIN rsel2 USING (vec_id)
+       |  JOIN rsel3 USING (vec_id) JOIN res USING (vec_id))""".stripMargin
+  }
+
+  private val qe05Sql =
+    s"""WITH $residualCodesSqlCte
+       |SELECT vec_id, c_id,
+       |  CAST(code0 AS VARCHAR) || ',' || CAST(code1 AS VARCHAR) || ',' ||
+       |  CAST(code2 AS VARCHAR) || ',' || CAST(code3 AS VARCHAR) AS pq_codes,
+       |  ((err0 + err1) + err2) + err3 AS sq_err
+       |FROM rcodes""".stripMargin
+
+  private def qs09(s: SparkSession, d: String): DataFrame = {
+    val cbs = pqResidualCbs(s, d)
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.ivfCentroids(s, d)
+    val codes = pqEncodedWith(
+        residualFrame(e.filter(col("vec_id") >= 10), cents), cbs.map(cbLitD))
+      .select(col("vec_id").as("n_id") +: col("c_id") +:
+        (0 until SubVecs).map(j => col(s"s$j.code").as(s"code$j")): _*)
+    // per probed cell the query's ASYMMETRIC side is its residual vs
+    // THAT cell's centroid — q' differs per cell, the IVFADC identity
+    val qCells = Similarity.cellsOf(cents,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "q_id", "qv", keep = 2)
+      .join(broadcast(cents), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        expr("zip_with(qv, c_emb, (a, b) -> cast(a as double) - cast(b as double))")
+          .as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist").asc, col("n_id").asc)
+    codes.join(broadcast(qCells), Seq("c_id"))
+      .select(col("q_id"), col("n_id"),
+        expr(adcExprStrFrom(cbs.map(cbLitD))).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  private val qs09Sql = {
+    def dj(j: Int, a: String, b: String): String = {
+      val lo = j * SubDim + 1; val hi = (j + 1) * SubDim
+      s"""list_sum(list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]),
+         |  p -> (p[1] - p[2]) * (p[1] - p[2])))""".stripMargin
+        .replace("\n", " ")
+    }
+    val adc = (0 until SubVecs)
+      .map(j => dj(j, "qr.r", s"c$j.c_emb"))
+      .reduce((a, b) => s"($a + $b)")
+    val centJoins = (0 until SubVecs)
+      .map(j => s"JOIN rsmp c$j ON c$j.k = x.code$j").mkString(" ")
+    s"""WITH $residualCodesSqlCte,
+       |qcells AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT v.vec_id AS q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${Vectors.cosineSql("v.embedding", "c.c_emb")} DESC, c.c_id ASC) AS r
+       |    FROM embeddings v CROSS JOIN icents c WHERE v.vec_id < 10)
+       |  WHERE r <= 2),
+       |qres AS (
+       |  SELECT qc.q_id, qc.c_id,
+       |    list_transform(list_zip(v.embedding, ic.c_emb),
+       |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS r
+       |  FROM qcells qc
+       |  JOIN embeddings v ON v.vec_id = qc.q_id
+       |  JOIN icents ic ON ic.c_id = qc.c_id),
+       |scores AS (
+       |  SELECT qr.q_id, x.vec_id AS n_id, $adc AS adc_dist
+       |  FROM qres qr
+       |  JOIN rcodes x ON x.c_id = qr.c_id AND x.vec_id >= 10
+       |  $centJoins)
+       |SELECT q_id, n_id, adc_dist, rank FROM (
+       |  SELECT q_id, n_id, adc_dist,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist ASC, n_id ASC) AS rank
+       |  FROM scores)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qe01_embedding_quantize", qe01, Some(qe01Sql)),
     Q("qe02_embedding_binary", qe02, Some(qe02Sql)),
     Q("qe03_product_quantize", qe03, Some(qe03Sql)),
     Q("qe04_pq_train", qe04, Some(qe04Sql)),
+    Q("qe05_pq_residual", qe05, Some(qe05Sql)),
     Q("qs07_pq_adc_search", qs07, Some(qs07Sql)),
-    Q("qs08_ivf_pq_search", qs08, Some(qs08Sql)))
+    Q("qs08_ivf_pq_search", qs08, Some(qs08Sql)),
+    Q("qs09_ivfadc_residual", qs09, Some(qs09Sql)))
 }

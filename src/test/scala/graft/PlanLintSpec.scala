@@ -21,6 +21,8 @@ class PlanLintSpec extends SparkSpec {
     "qs06_mmr_rerank",    // qs01's candidate cross (bounded queries), by design
     "qs07_pq_adc_search", // bounded query broadcast cross over code rows, by design
     "qs08_ivf_pq_search", // qs03's centroid-assignment broadcast cross (K=16), by design; serve joins are equi
+    "qe05_pq_residual",   // same centroid-assignment broadcast cross; encode is a projection
+    "qs09_ivfadc_residual", // same assignment cross; serve joins are equi on cell id
     "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
