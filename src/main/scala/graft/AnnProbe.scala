@@ -91,6 +91,46 @@ object AnnProbe {
         s""""distortion":${js(distortion)}}""")
     }
 
+    // residual rung: recall@5 of the qs09 residual-IVFADC path on the
+    // same exact-L2 baseline (cells restrict candidates AND residual
+    // codes replace raw codes — the two differences vs the iters=0 rung)
+    val resHits = Registry.byName("qs09_ivfadc_residual").run(spark, dir)
+      .select(col("q_id"), col("n_id"))
+      .join(exactL2, Seq("q_id", "n_id")).count()
+    // attribution: the cell CEILING is the share of true top-5 that lie
+    // in a probed cell at all — no code scheme can beat it; the gap
+    // between ceiling and achieved is the quantization loss, the gap
+    // from 1.0 is the coarse-probe loss (dominant on isotropic data)
+    val cents0 = Similarity.ivfCentroids(spark, dir)
+    val probedPairs = Similarity.cellsOf(cents0,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", keep = 2)
+      .select(col("q_id"), col("c_id"))
+      .join(Similarity.cellsOf(cents0,
+          e.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          "n_id", "n_emb", keep = 1)
+        .select(col("n_id"), col("c_id")), Seq("c_id"))
+      .select(col("q_id"), col("n_id"))
+    val ceiling = probedPairs.join(exactL2, Seq("q_id", "n_id")).count()
+    println(s"""{"metric":"pq_recall_ladder","variant":"residual_ivfadc",""" +
+      s""""recall_at5":${js(resHits.toDouble / exactL2N)},""" +
+      s""""cell_ceiling":${js(ceiling.toDouble / exactL2N)}}""")
+    // trained-residual rung: two Lloyd iterations ON THE RESIDUAL frame
+    // (the production IVFADC training step) — the lift over the sampled
+    // residual codebooks above is the trained-residual claim, measured
+    val rFrame = Embeddings.residualFrame(e, Similarity.ivfCentroids(spark, dir))
+      .localCheckpoint(true)
+    var rcbs = Embeddings.pqResidualCbs(spark, dir)
+    (1 to 2).foreach(_ => rcbs = Embeddings.pqRefineStepOn(rFrame, rcbs))
+    val trainedHits = Embeddings.ivfadcSearch(spark, dir, rcbs, topK = 5)
+      .select(col("q_id"), col("n_id"))
+      .join(exactL2, Seq("q_id", "n_id")).count()
+    println(s"""{"metric":"pq_recall_ladder","variant":"residual_ivfadc_trained2",""" +
+      s""""recall_at5":${js(trainedHits.toDouble / exactL2N)},""" +
+      s""""cell_ceiling":${js(ceiling.toDouble / exactL2N)}}""")
+
     // ---------------------------------------------------------------
     // qs08 candidate bound: with corpus cells keep = 1 and nprobe = 2,
     // each query ADC-scores exactly the rows of its two probed cells —

@@ -212,7 +212,12 @@ object Soak {
         // (ratio should track the scan); qx15's two-phase cumsum must not
         // regress to a single-partition window
         "qt20_bigram_logprob", "qe03_product_quantize",
-        "qx15_weighted_sample")
+        "qx15_weighted_sample",
+        // round-12 operators: the IVF×PQ serving compositions (cell
+        // equi-joins over code rows — the soak pins that candidates stay
+        // cell-bounded as the corpus grows) and the residual encode
+        // (assignment cross + pure projection, should track the scan)
+        "qs08_ivf_pq_search", "qs09_ivfadc_residual", "qe05_pq_residual")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

@@ -315,8 +315,14 @@ object Embeddings {
     * centroid. Returns the refined per-j codebooks (4×16×16 doubles —
     * bounded driver scalars). */
   private[graft] def pqRefineStep(s: SparkSession, d: String,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]]): IndexedSeq[IndexedSeq[Array[Double]]] =
+    pqRefineStepOn(Tables.embeddings(s, d), cbs)
+
+  /** The same Lloyd update over an arbitrary (vec_id, embedding) frame —
+    * float or double arrays; AnnProbe trains RESIDUAL codebooks with it. */
+  private[graft] def pqRefineStepOn(frame: DataFrame,
       cbs: IndexedSeq[IndexedSeq[Array[Double]]]): IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val enc = pqEncodedWith(Tables.embeddings(s, d), cbs.map(cbLitD))
+    val enc = pqEncodedWith(frame, cbs.map(cbLitD))
     val perSub = (0 until SubVecs).map { j =>
       enc.select(lit(j).as("j"), col(s"s$j.code").as("k"),
         expr(s"slice(embedding, ${j * SubDim + 1}, $SubDim)").as("sub"))
@@ -636,7 +642,7 @@ object Embeddings {
 
   /** (vec_id, c_id, embedding = double residual) for every vector in
     * `e`, residual vs its own nearest cell. */
-  private def residualFrame(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def residualFrame(e: DataFrame, cents: DataFrame): DataFrame =
     Similarity.cellsOf(cents, e.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", keep = 1)
       .join(broadcast(cents), Seq("c_id"))
@@ -644,14 +650,21 @@ object Embeddings {
         expr("zip_with(embedding, c_emb, (a, b) -> cast(a as double) - cast(b as double))")
           .as("embedding"))
 
-  /** Residual codebooks: per-subspace slices of the residuals of the
-    * PqK md5-sampled vectors (one bounded collect, md5 order). */
+  /** Residual codebooks: per-subspace slices of the residuals of PqK
+    * md5-sampled vectors, SKIPPING the first IvfK of the md5 order —
+    * those are the IVF centroids themselves, whose residuals are
+    * exactly zero (a vector's nearest cell is itself), so sampling them
+    * would yield 16 zero codebooks and degenerate the quantizer to
+    * "emit the cell centroid". The next-PqK rule keeps the sample
+    * deterministic, disjoint from the centroid set, and representative
+    * of real residuals. (One bounded collect, md5 order.) */
   private[graft] def pqResidualCbs(s: SparkSession,
       d: String): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val rows = residualFrame(Tables.embeddings(s, d),
         Similarity.ivfCentroids(s, d))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
-      .limit(PqK).collect().map(_.getSeq[Double](2).toArray)
+      .limit(Similarity.IvfK + PqK).collect()
+      .drop(Similarity.IvfK).map(_.getSeq[Double](2).toArray)
     (0 until SubVecs).map { j =>
       rows.toIndexedSeq.map(v =>
         (0 until SubDim).map(i => v(j * SubDim + i)).toArray)
@@ -709,7 +722,8 @@ object Embeddings {
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k,
        |    r AS c_emb
        |  FROM (SELECT vec_id, r FROM res
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqK)),
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $PqK OFFSET ${Similarity.IvfK})),
        |$selJoins,
        |rcodes AS MATERIALIZED (
        |  SELECT r0.vec_id, res.c_id, code0, code1, code2, code3,
@@ -727,8 +741,13 @@ object Embeddings {
        |  ((err0 + err1) + err2) + err3 AS sq_err
        |FROM rcodes""".stripMargin
 
-  private def qs09(s: SparkSession, d: String): DataFrame = {
-    val cbs = pqResidualCbs(s, d)
+  private def qs09(s: SparkSession, d: String): DataFrame =
+    ivfadcSearch(s, d, pqResidualCbs(s, d), topK = 5)
+
+  /** qs09's body with arbitrary residual codebooks — AnnProbe ladders
+    * trained-residual recall with it. */
+  private[graft] def ivfadcSearch(s: SparkSession, d: String,
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]], topK: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = Similarity.ivfCentroids(s, d)
     val codes = pqEncodedWith(
@@ -751,7 +770,7 @@ object Embeddings {
       .select(col("q_id"), col("n_id"),
         expr(adcExprStrFrom(cbs.map(cbLitD))).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= topK)
   }
 
   private val qs09Sql = {

@@ -598,6 +598,85 @@ class SimilaritySpec extends SparkSpec {
       s"ADC recall too low: $hits hits vs random baseline $randomHits")
   }
 
+  test("residual identity: L2(q, x) equals L2(q - c, x - c) for any cell") {
+    // the IVFADC foundation (qe05/qs09): subtracting the SAME centroid
+    // from query and corpus vector leaves every pairwise difference —
+    // and hence the exact L2 — unchanged; residual-ADC therefore
+    // estimates the same distance as raw ADC, with quantization error
+    // taken around the cell origin. Checked in exact arithmetic on real
+    // corpus vectors (no codes involved: the identity is exact only
+    // before quantization).
+    val embs = Tables.embeddings(spark, sf).limit(30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val c = embs(3)._2.map(_.toDouble)
+    for (pair <- embs.take(10).sliding(2)) {
+      val qd = pair(0)._2.map(_.toDouble); val xd = pair(1)._2.map(_.toDouble)
+      val raw = l2(qd, xd)
+      val res = l2(qd.zip(c).map(p => p._1 - p._2), xd.zip(c).map(p => p._1 - p._2))
+      assert(raw === res, s"identity broken: $raw vs $res")
+    }
+  }
+
+  test("qs09 residual search: 5 ranked rows per query from probed cells only") {
+    val out = Registry.byName("qs09_ivfadc_residual").run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q: ${rows.length} rows")
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to 5))
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sorted.toSeq)
+      rows.foreach { case (_, n, d, _) =>
+        assert(n >= 10, s"corpus id expected, got query id $n")
+        assert(d >= 0.0, s"negative ADC distance $d")
+      }
+    }
+  }
+
+  test("residual PQ spends its code budget better than raw PQ on clustered data") {
+    import spark.implicits._
+    // plant 4 tight clusters far apart: the coarse quantizer absorbs the
+    // cluster offsets, so residual codebooks only need to cover the
+    // within-cluster spread — per-vector sq_err must drop vs raw PQ
+    // (the Jégou et al. motivation, asserted on data where it must hold;
+    // on isotropic noise the two are legitimately comparable)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4)(c => Array.tabulate(64)(i =>
+      if (i % 4 == c) 10.0f else 0.0f))
+    val vecs = (0L until 120L).map { id =>
+      val c = centers((id % 4).toInt).clone()
+      // within-cluster spread on ONE dim per subspace: the residual
+      // codebook gets 16 entries to cover one 1-d segment where raw PQ
+      // has ~4 same-cluster samples per subspace — a provable gap
+      val t = (rnd.nextFloat() - 0.5f) * 2f
+      (0 until 4).foreach(j => c(j * 16) = c(j * 16) + t)
+      id -> c
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-respq-").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val raw = Registry.byName("qe03_product_quantize").run(spark, dir)
+      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
+    val res = Registry.byName("qe05_pq_residual").run(spark, dir)
+      .agg(sum(col("sq_err"))).collect()(0).getDouble(0)
+    assert(res < raw / 2,
+      s"residual PQ should at least halve distortion on clustered data: raw $raw res $res")
+    // and the serving path rides the structure: qs09's neighbors come
+    // from the query's own cluster (cells align with clusters, residual
+    // ADC ranks within them; AnnProbe records the no-structure floor on
+    // the isotropic driver corpus — here recall must be high)
+    val out = Registry.byName("qs09_ivfadc_residual").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val sameCluster = out.count { case (q, n) => q % 4 == n % 4 }
+    assert(sameCluster >= out.length * 9 / 10,
+      s"qs09 should retrieve from the query's cluster: $sameCluster/${out.length}")
+  }
+
   test("MMR rerank matches an independent JVM greedy walk over the candidates") {
     // recompute the whole greedy trajectory single-threaded from the raw
     // vectors and require exact equality — selection order, ids, scores
