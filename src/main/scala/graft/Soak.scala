@@ -217,7 +217,11 @@ object Soak {
         // equi-joins over code rows — the soak pins that candidates stay
         // cell-bounded as the corpus grows) and the residual encode
         // (assignment cross + pure projection, should track the scan)
-        "qs08_ivf_pq_search", "qs09_ivfadc_residual", "qe05_pq_residual")
+        "qs08_ivf_pq_search", "qs09_ivfadc_residual", "qe05_pq_residual",
+        // qt21's window join multiplies gram rows by W=4 then one
+        // (doc, window)-keyed shuffle — the soak pins linearity; qx16 is
+        // a pure map-side filter (ratio should track the scan)
+        "qt21_winnowing_fingerprints", "qx16_weighted_bernoulli")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

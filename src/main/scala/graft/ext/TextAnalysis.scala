@@ -1114,6 +1114,115 @@ object TextAnalysis {
       |  md5(norm_text) AS ukey, norm_text
       |FROM normed""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt21: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+  // 2003 — the MOSS algorithm; public method). qt04 fingerprints a whole
+  // document; winnowing selects LOCAL fingerprints with a guarantee:
+  // from every window of WinnowW consecutive k-gram hashes keep the
+  // minimal hash (rightmost on ties), so any shared substring of length
+  // ≥ WinnowK + WinnowW − 1 tokens is guaranteed to contribute at least
+  // one shared fingerprint, while only ~2/(WinnowW+1) of positions are
+  // kept — the published density/guarantee trade behind plagiarism and
+  // near-dup detection at corpus scale.
+  //
+  // Determinism: hashes are the 60-bit md5-prefix integers both engines
+  // render identically (the qst28/qc03 family); selection is integer
+  // min + rightmost-pos max — no floats anywhere. The gate emits a
+  // per-doc profile (gram count, fingerprint count, fingerprint
+  // checksum + position sum) that pins the exact selected SET without
+  // corpus-sized output.
+  //
+  // 100 TB shape: the window join multiplies gram rows by WinnowW = 4
+  // (the qw12 tap-join shape — bounded constant, never corpus²), then
+  // ONE (doc, window)-keyed groupBy with map-side partials and one
+  // merge-pinned join back; per-doc aggregation is the usual keyed
+  // rollup. No pairs, no broadcasts, no caps needed.
+  // ---------------------------------------------------------------------
+  private val WinnowK = 5 // tokens per gram (qd12's SpanK)
+  private val WinnowW = 4 // windows of consecutive gram hashes
+
+  /** The winnowing computation over an arbitrary (doc_id, text) frame —
+    * package-private so the spec can check the density guarantee and
+    * planted shared-substring behavior on the raw selected set. */
+  private[graft] def winnowedFingerprints(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"), (size(col("toks")) - WinnowK).as("maxpos"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${WinnowK - 1}),
+             |  i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
+            .stripMargin.replace("\n", " "))).as(Seq("pos", "h")))
+    // window t (ending at gram position t) sees positions [t-W+1, t]:
+    // tag each gram with the W windows it participates in, keep full
+    // windows only
+    val tagged = grams
+      .withColumn("dt", explode(expr(s"sequence(0, ${WinnowW - 1})")))
+      .select(col("doc_id"), col("pos"), col("h"),
+        (col("pos") + col("dt")).as("t"), col("maxpos"))
+      .filter(col("t") >= WinnowW - 1 && col("t") <= col("maxpos"))
+    val winMin = tagged.groupBy(col("doc_id"), col("t"))
+      .agg(min(col("h")).as("mh"))
+    tagged.join(winMin.hint("merge"), Seq("doc_id", "t"))
+      .filter(col("h") === col("mh"))
+      .groupBy(col("doc_id"), col("t"), col("mh"))
+      .agg(max(col("pos")).as("pos")) // rightmost minimal hash per window
+      .select(col("doc_id"), col("pos"), col("mh").as("h"))
+      .distinct() // adjacent windows often select the same (pos, h)
+  }
+
+  private def qt21(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+      .filter(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"),
+        (size(col("toks")) - lit(WinnowK - 1)).cast("long").as("n_grams"))
+    winnowedFingerprints(docs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("h") % 1048576).as("fp_check"),
+        sum(col("pos")).cast("long").as("pos_sum"))
+      .join(grams.hint("merge"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        col("fp_check"), col("pos_sum"))
+  }
+
+  private val qt21Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $WinnowK),
+       |occ AS (
+       |  SELECT doc_id, len(toks) - $WinnowK AS maxpos,
+       |    unnest(range(1, len(toks) - ${WinnowK - 2})) AS i, toks
+       |  FROM tok),
+       |grams AS (
+       |  SELECT doc_id, maxpos, i - 1 AS pos,
+       |    CAST('0x' || substr(md5(array_to_string(toks[i:i+${WinnowK - 1}], ' ')), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM occ),
+       |tagged AS (
+       |  SELECT doc_id, pos, h, pos + dt.dt AS t, maxpos
+       |  FROM grams, range(0, $WinnowW) dt(dt)
+       |  WHERE pos + dt.dt BETWEEN ${WinnowW - 1} AND maxpos),
+       |winmin AS (
+       |  SELECT doc_id, t, min(h) AS mh FROM tagged GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT g.doc_id, g.t, w.mh, max(g.pos) AS pos
+       |  FROM tagged g JOIN winmin w ON w.doc_id = g.doc_id AND w.t = g.t
+       |  WHERE g.h = w.mh GROUP BY 1, 2, 3),
+       |fps AS (SELECT DISTINCT doc_id, pos, mh AS h FROM sel),
+       |prof AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |    CAST(sum(h % 1048576) AS BIGINT) AS fp_check,
+       |    CAST(sum(pos) AS BIGINT) AS pos_sum
+       |  FROM fps GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) - ${WinnowK - 1} AS BIGINT) AS n_grams,
+       |  p.n_fps, p.fp_check, p.pos_sum
+       |FROM tok t JOIN prof p USING (doc_id)""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -1134,5 +1243,6 @@ object TextAnalysis {
     Q("qt17_bpe_apply", qt17, Some(qt17Sql)),
     Q("qt18_unicode_normalize", qt18, Some(qt18Sql)),
     Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)),
-    Q("qt20_bigram_logprob", qt20, Some(qt20Sql)))
+    Q("qt20_bigram_logprob", qt20, Some(qt20Sql)),
+    Q("qt21_winnowing_fingerprints", qt21, Some(qt21Sql)))
 }

@@ -776,6 +776,48 @@ object Scale {
        |FROM c CROSS JOIN s
        |WHERE cum // stride - (cum - w) // stride > 0""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx16: weighted Bernoulli (Poisson-PPS) sampling — the STREAMING-SAFE
+  // counterpart of qx15: qx15's systematic PPS draws a fixed-size sample
+  // but needs the global weight cumsum (a barrier over the corpus);
+  // Poisson sampling includes each doc INDEPENDENTLY with probability
+  // proportional to its weight, so the predicate is a pure per-row
+  // projection — no corpus statistic, no shuffle, applies unchanged to
+  // a stream (qst32) and to incremental re-runs (same doc, same side —
+  // the qx03 determinism argument, weight-proportional instead of
+  // per-source). Exactness: weight = token count capped at WCap = 1024
+  // (a power of two), hash = the 60-bit md5 prefix; accept iff
+  // h < w · 2^50 — an exact integer comparison both engines state
+  // identically (no float rates anywhere), giving inclusion probability
+  // exactly w/1024. The cap is the standard PPS clip (certainty
+  // inclusion would need w ≥ 1024 tokens).
+  // ---------------------------------------------------------------------
+  private val PpsWCap = 1024L
+  private val PpsThresh = 1L << 50 // 2^60-bit hash space / WCap
+
+  /** The qx16 predicate over an arbitrary (doc_id, text) frame — a pure
+    * map-side filter, so it applies unchanged to a stream (qst32). */
+  private[graft] def weightedBernoulli(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        least(expr("cast(size(split(trim(text), '\\\\s+')) as bigint)"),
+          lit(PpsWCap)).as("w"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .filter(col("h") < col("w") * PpsThresh)
+      .select(col("doc_id"), col("w"))
+
+  private def qx16(s: SparkSession, d: String): DataFrame =
+    weightedBernoulli(Tables.documents(s, d))
+
+  private[graft] val qx16Sql =
+    s"""SELECT doc_id,
+       |  least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT),
+       |        $PpsWCap) AS w
+       |FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |  < least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT),
+       |          $PpsWCap) * $PpsThresh""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -791,5 +833,6 @@ object Scale {
     Q("qx12_rebalance_output", qx12, Some(qx12Sql)),
     Q("qx13_dataset_split", qx13, Some(qx13Sql)),
     Q("qx14_bpe_packing", qx14, Some(qx14Sql)),
-    Q("qx15_weighted_sample", qx15, Some(qx15Sql)))
+    Q("qx15_weighted_sample", qx15, Some(qx15Sql)),
+    Q("qx16_weighted_bernoulli", qx16, Some(qx16Sql)))
 }

@@ -1339,6 +1339,21 @@ object StreamingQueries {
     graft.operators.Windows.ewmaOverHourly(hourly)
   }
 
+  // ---------------------------------------------------------------------
+  // qst32: streaming weighted Bernoulli sampling — qx16's predicate on
+  // the document stream (the qst13 stateless-ingest pattern, weight-
+  // proportional instead of per-source): Poisson-PPS inclusion is a
+  // pure per-row integer comparison, so the streaming face needs no
+  // state at all — the property qx15's fixed-size systematic PPS
+  // fundamentally lacks (its global cumsum is a corpus barrier).
+  // Oracle: qx16's SQL verbatim — streaming/batch consistency by
+  // construction.
+  // ---------------------------------------------------------------------
+  private def qst32(s: SparkSession, d: String): DataFrame =
+    runBounded(s, d, "documents", "append") { docs =>
+      graft.operators.Scale.weightedBernoulli(docs)
+    }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1402,5 +1417,9 @@ object StreamingQueries {
     // qw12's oracle verbatim: the FIR over the streamed hourly aggregate
     // must equal the batch smoothing — streaming/batch consistency by
     // construction
-    Q("qst31_stream_ewma", qst31, Some(graft.operators.Windows.qw12Sql)))
+    Q("qst31_stream_ewma", qst31, Some(graft.operators.Windows.qw12Sql)),
+    // qx16's oracle verbatim: stateless weight-proportional ingest
+    // sampling — streaming/batch consistency by construction
+    Q("qst32_stream_weighted_sample", qst32,
+      Some(graft.operators.Scale.qx16Sql)))
 }

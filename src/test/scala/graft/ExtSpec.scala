@@ -734,6 +734,50 @@ class SimilaritySpec extends SparkSpec {
 
 class TextSpec extends SparkSpec {
 
+  test("winnowing: the density guarantee holds — no gap exceeds the window") {
+    import graft.ext.TextAnalysis
+    // the published winnowing guarantee: every full window of W
+    // consecutive gram positions contains a selected fingerprint, so
+    // the gap between consecutive selected positions is at most W (and
+    // the first/last selections sit within W of the ends)
+    val docs = Tables.documents(spark, sf).limit(60)
+    val fps = TextAnalysis.winnowedFingerprints(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getInt(1).toLong).sorted }
+    val nGrams = docs.select(col("doc_id"),
+        expr("cast(size(split(trim(text), '\\\\s+')) - 4 as bigint)").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.nonEmpty)
+    fps.foreach { case (d, ps) =>
+      assert(ps.head <= 3, s"doc $d first fingerprint at ${ps.head}")
+      ps.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1) - p(0) <= 4, s"doc $d gap ${p(0)} -> ${p(1)}")
+      }
+      assert(nGrams(d) - 1 - ps.last <= 3, s"doc $d tail gap after ${ps.last}")
+    }
+  }
+
+  test("winnowing: a shared substring of >= k+w-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // plant an 8-token run (= WinnowK 5 + WinnowW 4 - 1) inside two
+    // otherwise-disjoint documents: the guarantee says at least one
+    // selected (hash, -) fingerprint is common; a third unrelated doc
+    // shares none
+    val shared = (1 to 8).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ") + " " + shared),
+      (2L, shared + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.winnowedFingerprints(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "planted shared run not detected")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert((byDoc(2L) & byDoc(3L)).isEmpty)
+  }
+
   test("qt20 bigram model: both the hit and backoff paths are exercised") {
     val out = Registry.byName("qt20_bigram_logprob").run(spark, sf).collect()
     assert(out.nonEmpty)

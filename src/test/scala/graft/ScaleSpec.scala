@@ -240,6 +240,32 @@ class ScaleSpec extends SparkSpec {
       s"bloom prefilter barely pruned: kept $prunedN of $total")
     assert(prunedN >= trueMatch)
   }
+
+  test("qx16 weighted Bernoulli: membership is exactly h < w * 2^50, JVM-replayed") {
+    // recompute the inclusion rule single-threaded from raw text: every
+    // sampled doc must satisfy it and every excluded doc must fail it —
+    // the whole operator is this one exact integer comparison
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sampled = Registry.byName("qx16_weighted_bernoulli").run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    var included = 0
+    docs.foreach { case (id, text) =>
+      val w = math.min(text.trim.split("\\s+").length.toLong, 1024L)
+      val in = h60(id) < w * (1L << 50)
+      if (in) included += 1
+      assert(sampled.contains(id) === in, s"doc $id: rule says $in")
+      if (in) assert(sampled(id) === w, s"doc $id weight ${sampled(id)} != $w")
+    }
+    assert(included === sampled.size)
+    assert(included > 0, "degenerate corpus: nothing sampled")
+  }
 }
 
 class ShardShuffleSpec extends SparkSpec {
