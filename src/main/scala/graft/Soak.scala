@@ -221,7 +221,12 @@ object Soak {
         // qt21's window join multiplies gram rows by W=4 then one
         // (doc, window)-keyed shuffle — the soak pins linearity; qx16 is
         // a pure map-side filter (ratio should track the scan)
-        "qt21_winnowing_fingerprints", "qx16_weighted_bernoulli")
+        "qt21_winnowing_fingerprints", "qx16_weighted_bernoulli",
+        // qt22 composes winnowing selection + the screening semi join;
+        // the soak pins that the whole composition stays linear (its
+        // one-shot cost exceeds qt10's direct join — the at-rest index
+        // argument in the qt22 scaladoc is the reason it exists)
+        "qt22_fingerprint_contamination")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

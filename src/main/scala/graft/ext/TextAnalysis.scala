@@ -1188,8 +1188,10 @@ object TextAnalysis {
         col("fp_check"), col("pos_sum"))
   }
 
-  private val qt21Sql =
-    s"""WITH tok AS (
+  /** The winnowing selection as DuckDB CTEs ending in
+    * `fps(doc_id, pos, h)` — shared by qt21 and qt22. */
+  private val winnowFpsSqlCte =
+    s"""tok AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents
        |  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= $WinnowK),
@@ -1212,7 +1214,10 @@ object TextAnalysis {
        |  SELECT g.doc_id, g.t, w.mh, max(g.pos) AS pos
        |  FROM tagged g JOIN winmin w ON w.doc_id = g.doc_id AND w.t = g.t
        |  WHERE g.h = w.mh GROUP BY 1, 2, 3),
-       |fps AS (SELECT DISTINCT doc_id, pos, mh AS h FROM sel),
+       |fps AS (SELECT DISTINCT doc_id, pos, mh AS h FROM sel)""".stripMargin
+
+  private val qt21Sql =
+    s"""WITH $winnowFpsSqlCte,
        |prof AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
        |    CAST(sum(h % 1048576) AS BIGINT) AS fp_check,
@@ -1222,6 +1227,68 @@ object TextAnalysis {
        |  CAST(len(t.toks) - ${WinnowK - 1} AS BIGINT) AS n_grams,
        |  p.n_fps, p.fp_check, p.pos_sum
        |FROM tok t JOIN prof p USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // qt22: fingerprint-based contamination screening — winnowing's
+  // production composition (what MOSS actually does with the
+  // fingerprints): classify each incoming document (doc_id % 5 == 0,
+  // qd13's split) by how many of its selected fingerprints also occur
+  // anywhere in the seen corpus. The winnowing guarantee keeps the
+  // detection floor of qt10/qt19's exhaustive gram overlap for every
+  // shared run of ≥ k+w−1 tokens while the fingerprint INDEX holds
+  // only ~2/(W+1) of the gram positions. The honest cost model
+  // (measured at 30× soak, BASELINE.md): the selection pass itself
+  // costs MORE than one exhaustive gram join — winnowing's win is not
+  // the one-shot comparison but the AT-REST index: the seen corpus is
+  // fingerprinted ONCE into a ~4× smaller index, then every arriving
+  // batch screens against it paying only its own selection + one semi
+  // join — the steady-state ingest shape where the seen side's
+  // selection amortizes to zero (qd18's store argument, applied to
+  // substring screening).
+  //
+  // 100 TB shape: one semi join of incoming fingerprint rows against
+  // the DISTINCT seen-fingerprint set, both sides corpus-sized →
+  // merge-pinned, posting rows only, never pairs (qd12's argument);
+  // per-doc rollup is the usual keyed agg. shared_frac is one IEEE
+  // division of exact longs (the established float-parity rule).
+  // ---------------------------------------------------------------------
+  private def qt22(s: SparkSession, d: String): DataFrame =
+    fingerprintContamination(Tables.documents(s, d))
+
+  /** The qt22 computation over an arbitrary (doc_id, text) frame —
+    * package-private so the spec can plant shared runs across the
+    * seen/incoming split. */
+  private[graft] def fingerprintContamination(docs: DataFrame): DataFrame = {
+    val fps = winnowedFingerprints(docs)
+    val seenH = fps.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h")).distinct()
+    val inc = fps.filter(col("doc_id") % 5 === 0)
+    val shared = inc.join(seenH.hint("merge"), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    inc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+      .join(shared.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_fps"))
+          .as("shared_frac"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("flagged"))
+  }
+
+  private val qt22Sql =
+    s"""WITH $winnowFpsSqlCte,
+       |seen_h AS (SELECT DISTINCT h FROM fps WHERE doc_id % 5 <> 0),
+       |inc AS (SELECT * FROM fps WHERE doc_id % 5 = 0),
+       |shared AS (
+       |  SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM inc i JOIN seen_h s ON s.h = i.h
+       |  GROUP BY i.doc_id)
+       |SELECT a.doc_id, a.n_fps,
+       |  coalesce(sh.n_shared, 0) AS n_shared,
+       |  CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / a.n_fps AS shared_frac,
+       |  coalesce(sh.n_shared, 0) > 0 AS flagged
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+       |      FROM inc GROUP BY doc_id) a
+       |LEFT JOIN shared sh ON sh.doc_id = a.doc_id""".stripMargin
 
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
@@ -1244,5 +1311,6 @@ object TextAnalysis {
     Q("qt18_unicode_normalize", qt18, Some(qt18Sql)),
     Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)),
     Q("qt20_bigram_logprob", qt20, Some(qt20Sql)),
-    Q("qt21_winnowing_fingerprints", qt21, Some(qt21Sql)))
+    Q("qt21_winnowing_fingerprints", qt21, Some(qt21Sql)),
+    Q("qt22_fingerprint_contamination", qt22, Some(qt22Sql)))
 }

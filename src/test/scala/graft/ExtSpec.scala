@@ -778,6 +778,26 @@ class TextSpec extends SparkSpec {
     assert((byDoc(2L) & byDoc(3L)).isEmpty)
   }
 
+  test("qt22 fingerprint contamination: planted shared run flags, clean doc passes") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // seen docs: 1, 2 (id % 5 != 0); incoming: 5 (carries doc 1's
+    // 8-token run → the winnowing guarantee REQUIRES a shared
+    // fingerprint → flagged), 10 (disjoint tokens → clean)
+    val run = (1 to 8).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 15).map(i => s"a$i").mkString(" ") + " " + run),
+      (2L, (1 to 25).map(i => s"b$i").mkString(" ")),
+      (5L, run + " " + (1 to 15).map(i => s"x$i").mkString(" ")),
+      (10L, (1 to 25).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintContamination(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(5L, 10L)) // incoming side only
+    assert(out(5L)._2 && out(5L)._1 > 0, s"planted run not flagged: $out")
+    assert(!out(10L)._2 && out(10L)._1 === 0L, s"clean doc flagged: $out")
+  }
+
   test("qt20 bigram model: both the hit and backoff paths are exercised") {
     val out = Registry.byName("qt20_bigram_logprob").run(spark, sf).collect()
     assert(out.nonEmpty)
