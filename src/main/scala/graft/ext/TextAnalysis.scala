@@ -1141,52 +1141,68 @@ object TextAnalysis {
   private val WinnowK = 5 // tokens per gram (qd12's SpanK)
   private val WinnowW = 4 // windows of consecutive gram hashes
 
-  /** The winnowing computation over an arbitrary (doc_id, text) frame —
-    * package-private so the spec can check the density guarantee and
-    * planted shared-substring behavior on the raw selected set. */
-  private[graft] def winnowedFingerprints(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
-      .filter(size(col("toks")) >= WinnowK)
-      .select(col("doc_id"), (size(col("toks")) - WinnowK).as("maxpos"),
-        posexplode(expr(
-          s"""transform(sequence(1, size(toks) - ${WinnowK - 1}),
-             |  i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
-            .stripMargin.replace("\n", " "))).as(Seq("pos", "h")))
-    // window t (ending at gram position t) sees positions [t-W+1, t]:
-    // tag each gram with the W windows it participates in, keep full
-    // windows only
-    val tagged = grams
-      .withColumn("dt", explode(expr(s"sequence(0, ${WinnowW - 1})")))
-      .select(col("doc_id"), col("pos"), col("h"),
-        (col("pos") + col("dt")).as("t"), col("maxpos"))
-      .filter(col("t") >= WinnowW - 1 && col("t") <= col("maxpos"))
-    val winMin = tagged.groupBy(col("doc_id"), col("t"))
-      .agg(min(col("h")).as("mh"))
-    tagged.join(winMin.hint("merge"), Seq("doc_id", "t"))
-      .filter(col("h") === col("mh"))
-      .groupBy(col("doc_id"), col("t"), col("mh"))
-      .agg(max(col("pos")).as("pos")) // rightmost minimal hash per window
-      .select(col("doc_id"), col("pos"), col("mh").as("h"))
-      .distinct() // adjacent windows often select the same (pos, h)
-  }
+  /** 60-bit md5-prefix hash of every positional WinnowK-gram, as one
+    * array column over `toks`. */
+  private val winnowGramExpr =
+    s"""transform(sequence(1, size(toks) - ${WinnowK - 1}),
+       |  i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $WinnowK))), 1, 15), 16, 10) as bigint))"""
+      .stripMargin.replace("\n", " ")
 
-  private def qt21(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val grams = docs
-      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
+  /** The winnowing selection over the gram-hash array `hs` as ONE
+    * higher-order expression: for each full window ending at 1-based
+    * index t, the selected 0-based position is t − (1-based position of
+    * the min in the REVERSED window) — i.e. the rightmost minimal hash —
+    * and array_distinct collapses adjacent windows that re-select the
+    * same gram. Selection is per-document local, so the whole operator
+    * is a PURE PROJECTION: zero shuffle at any corpus size (the first
+    * cut shuffled a (doc, window)-keyed tap join — 4.7× at 30× soak;
+    * this form tracks the scan). */
+  private def winnowSelExpr: org.apache.spark.sql.Column = expr(
+    s"""array_distinct(transform(sequence($WinnowW, size(hs)), t ->
+       |  named_struct(
+       |    'pos', cast(t - array_position(
+       |        reverse(slice(hs, t - ${WinnowW - 1}, $WinnowW)),
+       |        array_min(slice(hs, t - ${WinnowW - 1}, $WinnowW))) as int),
+       |    'h', array_min(slice(hs, t - ${WinnowW - 1}, $WinnowW)))))"""
+      .stripMargin.replace("\n", " "))
+
+  /** (doc_id, n_grams, hs) for docs with at least one full window.
+    * `hs` is materialized behind a single-element explode: a Generate
+    * node is a CollapseProject barrier, so downstream expressions see
+    * the ATTRIBUTE — without it Catalyst inlines the alias into every
+    * use and the md5 of every gram is recomputed per window reference
+    * (measured: 4.6 s vs 1.7 s at sf0.1 for qt21). */
+  private def winnowHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("toks"))
       .filter(size(col("toks")) >= WinnowK)
       .select(col("doc_id"),
-        (size(col("toks")) - lit(WinnowK - 1)).cast("long").as("n_grams"))
-    winnowedFingerprints(docs)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"),
-        sum(col("h") % 1048576).as("fp_check"),
-        sum(col("pos")).cast("long").as("pos_sum"))
-      .join(grams.hint("merge"), Seq("doc_id"))
-      .select(col("doc_id"), col("n_grams"), col("n_fps"),
-        col("fp_check"), col("pos_sum"))
-  }
+        (size(col("toks")) - lit(WinnowK - 1)).cast("long").as("n_grams"),
+        explode(array(expr(winnowGramExpr))).as("hs"))
+      .filter(size(col("hs")) >= WinnowW)
+
+  /** (doc_id, n_grams, sel) with the selection array materialized once
+    * (same Generate-barrier trick as `hs`). */
+  private def winnowSelected(docs: DataFrame): DataFrame =
+    winnowHashes(docs)
+      .select(col("doc_id"), col("n_grams"),
+        explode(array(winnowSelExpr)).as("sel"))
+
+  /** The selected (doc_id, pos, h) rows — package-private so the spec
+    * can check the density guarantee and planted shared-substring
+    * behavior on the raw selected set; qt22 joins these rows. */
+  private[graft] def winnowedFingerprints(docs: DataFrame): DataFrame =
+    winnowSelected(docs)
+      .select(col("doc_id"), explode(col("sel")).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
+  private def qt21(s: SparkSession, d: String): DataFrame =
+    // the per-doc profile folds over the selection array in the SAME
+    // projection — the gate query has no shuffle at all
+    winnowSelected(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast("long").as("n_fps"),
+        expr("aggregate(sel, 0L, (a, x) -> a + x.h % 1048576)").as("fp_check"),
+        expr("aggregate(sel, 0L, (a, x) -> a + x.pos)").as("pos_sum"))
 
   /** The winnowing selection as DuckDB CTEs ending in
     * `fps(doc_id, pos, h)` — shared by qt21 and qt22. */
