@@ -1290,7 +1290,7 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("flagged"))
   }
 
-  private val qt22Sql =
+  private[graft] val qt22Sql =
     s"""WITH $winnowFpsSqlCte,
        |seen_h AS (SELECT DISTINCT h FROM fps WHERE doc_id % 5 <> 0),
        |inc AS (SELECT * FROM fps WHERE doc_id % 5 = 0),

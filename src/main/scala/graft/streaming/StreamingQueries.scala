@@ -1354,6 +1354,44 @@ object StreamingQueries {
       graft.operators.Scale.weightedBernoulli(docs)
     }
 
+  // ---------------------------------------------------------------------
+  // qst33: streaming fingerprint contamination screening — qt22 run
+  // where screening actually runs: incoming documents ARRIVE AS A
+  // STREAM, the winnowing selection is a stateless per-row projection
+  // (qt21's zero-shuffle form — no state because selection is
+  // per-document local), each selected fingerprint is marked by a
+  // stream-static LEFT join against the seen corpus's DISTINCT
+  // fingerprint set (the at-rest index qt22's cost model argues for),
+  // and ONE streaming aggregation rolls the marks up per document
+  // (qst29's union-of-evidence move: never a stream-stream join, one
+  // stateful operator). Oracle: qt22's SQL verbatim — streaming/batch
+  // consistency by construction.
+  // ---------------------------------------------------------------------
+  /** The qst33 transform over a static seen corpus and incoming stream —
+    * package-private so the spec can replay planted corpora across
+    * micro-batch splits. */
+  private[graft] def fingerprintScreen(seen: DataFrame)(
+      incoming: DataFrame): DataFrame = {
+    import graft.ext.TextAnalysis
+    val seenH = TextAnalysis.winnowedFingerprints(seen)
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    TextAnalysis.winnowedFingerprints(incoming)
+      .join(seenH, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_fps"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_fps")).as("shared_frac"),
+        (col("n_shared") > 0).as("flagged"))
+  }
+
+  private def qst33(s: SparkSession, d: String): DataFrame = {
+    val seen = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    runBounded(s, d, "documents", "complete") { docs =>
+      fingerprintScreen(seen)(docs.filter(col("doc_id") % 5 === 0))
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1421,5 +1459,10 @@ object StreamingQueries {
     // qx16's oracle verbatim: stateless weight-proportional ingest
     // sampling — streaming/batch consistency by construction
     Q("qst32_stream_weighted_sample", qst32,
-      Some(graft.operators.Scale.qx16Sql)))
+      Some(graft.operators.Scale.qx16Sql)),
+    // qt22's oracle verbatim: stateless winnowing projection +
+    // stream-static index join + one rollup aggregation — streaming/
+    // batch consistency by construction
+    Q("qst33_stream_fingerprint_screen", qst33,
+      Some(graft.ext.TextAnalysis.qt22Sql)))
 }

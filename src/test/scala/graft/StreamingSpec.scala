@@ -1137,6 +1137,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming fingerprint screen: split replay equals batch qt22 (qst33 face)") {
+    import spark.implicits._
+    // seen: docs 1 (carries the 8-token run), 2; incoming stream: 5
+    // (shares the run → flagged) then 10 (clean) in separate batches —
+    // the complete-mode rollup must converge to the batch answer
+    val run = (1 to 8).map(i => s"fp$i").mkString(" ")
+    val d1 = (1L, (1 to 15).map(i => s"a$i").mkString(" ") + " " + run)
+    val d2 = (2L, (1 to 25).map(i => s"b$i").mkString(" "))
+    val d5 = (5L, run + " " + (1 to 15).map(i => s"x$i").mkString(" "))
+    val d10 = (10L, (1 to 25).map(i => s"y$i").mkString(" "))
+    val all = Seq(d1, d2, d5, d10).toDF("doc_id", "text")
+    val expected = graft.ext.TextAnalysis.fingerprintContamination(all)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingQueries.fingerprintScreen(
+        all.filter(col("doc_id") % 5 =!= 0))(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fpscreen").start()
+    try {
+      ms.addData(d5)
+      q.processAllAvailable()
+      ms.addData(d10)
+      q.processAllAvailable()
+      val streamed = spark.table("fpscreen").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+      assert(streamed === expected)
+      assert(streamed(5L)._3 && !streamed(10L)._3)
+    } finally q.stop()
+  }
+
   test("streaming EWMA: any micro-batch split equals the batch FIR (qst31 face)") {
     import spark.implicits._
     // planted hourly series with a gap (hour 2 missing — the tap join
