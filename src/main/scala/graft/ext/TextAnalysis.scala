@@ -1306,6 +1306,75 @@ object TextAnalysis {
        |      FROM inc GROUP BY doc_id) a
        |LEFT JOIN shared sh ON sh.doc_id = a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qd19: fingerprint-CONTAINMENT dedup — the asymmetric duplication
+  // mode the symmetric families (qd03 Jaccard, qd07 Hamming) miss by
+  // construction: a page that CONTAINS another's article (quoted posts,
+  // syndicated articles inside portals) has low symmetric similarity
+  // but near-total one-sided overlap. Broder's containment coefficient
+  // c(A, B) = |S(A) ∩ S(B)| / |S(A)| over sketch sets (public method,
+  // "On the resemblance and containment of documents", 1997), computed
+  // here over the winnowed fingerprint sets: pairs sharing ≥ 1
+  // fingerprint (posting lists per hash, capped at Dedup.BucketCap —
+  // corpus-wide boilerplate fingerprints are skipped, the qd03 cap
+  // argument verbatim), shared count per pair, containment = shared /
+  // min(|fps|) — flag at ≥ 0.8. Winnowing's guarantee makes the screen
+  // sound for any contained run of ≥ k+w−1 tokens.
+  //
+  // 100 TB shape: qd03's exactly — one h-keyed shuffle for caps, the
+  // capped posting self-join (pairs bounded by cap²·buckets, never
+  // corpus²), one (a, b)-keyed count, one bounded nf join. Float
+  // parity: containment is ONE IEEE division of exact longs.
+  // ---------------------------------------------------------------------
+  private val ContainmentFlag = 0.8
+
+  private def qd19(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowedFingerprints(Tables.documents(s, d))
+      .select(col("doc_id"), col("h")).distinct()
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val kept = fps.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Dedup.BucketCap).select(col("h"))
+    val posting = fps.join(kept.hint("merge"), Seq("h"), "left_semi")
+    val shared = posting.select(col("h"), col("doc_id").as("a"))
+      .join(posting.select(col("h"), col("doc_id").as("b")).hint("merge"),
+        Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(nf.select(col("doc_id").as("a"), col("nf").as("nf_a")).hint("merge"),
+        Seq("a"))
+      .join(nf.select(col("doc_id").as("b"), col("nf").as("nf_b")).hint("merge"),
+        Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        (col("shared").cast("double") / least(col("nf_a"), col("nf_b")))
+          .as("containment"),
+        when(col("nf_a") <= col("nf_b"), col("a")).otherwise(col("b"))
+          .as("contained_doc"))
+      .filter(col("containment") >= ContainmentFlag)
+  }
+
+  private val qd19Sql =
+    s"""WITH $winnowFpsSqlCte,
+       |fpset AS (SELECT DISTINCT doc_id, h FROM fps),
+       |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+       |       FROM fpset GROUP BY doc_id),
+       |kept AS (SELECT h FROM fpset GROUP BY h
+       |         HAVING count(*) <= ${Dedup.BucketCap}),
+       |posting AS (SELECT f.doc_id, f.h FROM fpset f JOIN kept USING (h)),
+       |shared AS (
+       |  SELECT p1.doc_id AS a, p2.doc_id AS b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM posting p1 JOIN posting p2
+       |    ON p2.h = p1.h AND p1.doc_id < p2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.a, s.b, s.shared,
+       |  CAST(s.shared AS DOUBLE) / least(na.nf, nb.nf) AS containment,
+       |  CASE WHEN na.nf <= nb.nf THEN s.a ELSE s.b END AS contained_doc
+       |FROM shared s
+       |JOIN nf na ON na.doc_id = s.a
+       |JOIN nf nb ON nb.doc_id = s.b
+       |WHERE CAST(s.shared AS DOUBLE) / least(na.nf, nb.nf) >= $ContainmentFlag""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -1328,5 +1397,8 @@ object TextAnalysis {
     Q("qt19_symmetric_contamination", qt19, Some(qt19Sql)),
     Q("qt20_bigram_logprob", qt20, Some(qt20Sql)),
     Q("qt21_winnowing_fingerprints", qt21, Some(qt21Sql)),
-    Q("qt22_fingerprint_contamination", qt22, Some(qt22Sql)))
+    Q("qt22_fingerprint_contamination", qt22, Some(qt22Sql)),
+    // lives here (not Dedup.scala) because it builds on the winnowing
+    // machinery above; the qd prefix keeps the dedup-family naming
+    Q("qd19_containment_dup", qd19, Some(qd19Sql)))
 }

@@ -798,6 +798,33 @@ class TextSpec extends SparkSpec {
     assert(!out(10L)._2 && out(10L)._1 === 0L, s"clean doc flagged: $out")
   }
 
+  test("qd19 containment: a doc embedded whole in a larger doc is flagged asymmetrically") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // doc 2 = doc 1's entire text inside 60 tokens of filler: symmetric
+    // overlap is low (~1/4 of doc 2's grams) but every one of doc 1's
+    // fingerprints occurs in doc 2 → containment 1.0, contained side 1.
+    // doc 3 is unrelated — no pair at all.
+    val small = (1 to 20).map(i => s"core$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, (1 to 30).map(i => s"pre$i").mkString(" ") + " " + small + " " +
+        (1 to 30).map(i => s"post$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // drive the gate's own pipeline on the planted frame via the
+    // package-private fps + the same pair math the query states
+    val fps = TextAnalysis.winnowedFingerprints(docs)
+      .select(col("doc_id"), col("h")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val sharedAB = (fps(1L) & fps(2L)).size.toDouble
+    assert(sharedAB / fps(1L).size === 1.0,
+      s"every small-doc fingerprint must recur: ${sharedAB}/${fps(1L).size}")
+    assert(sharedAB / fps(2L).size < 0.5,
+      "symmetric overlap should be low — that asymmetry is the point")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+  }
+
   test("qt20 bigram model: both the hit and backoff paths are exercised") {
     val out = Registry.byName("qt20_bigram_logprob").run(spark, sf).collect()
     assert(out.nonEmpty)
