@@ -226,7 +226,9 @@ object Soak {
         // the soak pins that the whole composition stays linear (its
         // one-shot cost exceeds qt10's direct join — the at-rest index
         // argument in the qt22 scaladoc is the reason it exists)
-        "qt22_fingerprint_contamination")
+        "qt22_fingerprint_contamination",
+        // qd19: the capped posting self-join (qd03 shape) over winnowed sets
+        "qd19_containment_dup")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

@@ -1618,6 +1618,37 @@ class SpanDedupSpec extends SparkSpec {
     store.delete()
   }
 
+  test("partitioned store: compact() folds append files without changing content") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-spec-")
+    SpanDedup.registerTempRoot(root)
+    val store = SpanDedup.SignatureStore(root).init()
+    def sigs(rows: Seq[(Long, String)]) = {
+      val docs = rows.toDF("doc_id", "text")
+      (docs.select(col("doc_id"), md5(col("text")).as("h")),
+        SpanDedup.simhashChunks(docs)
+          .select(col("doc_id"), col("c"), col("chunk"), col("simhash")))
+    }
+    // five appended batches → several files per partition
+    (0 until 5).foreach { b =>
+      val (h, c) = sigs((1L to 6L).map(i =>
+        (b * 10 + i) -> (1 to 30).map(j => s"d${b}_${i}w$j").mkString(" ")))
+      store.merge(spark, h, c): Unit
+    }
+    val before = store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val hDir = new java.io.File(s"$root/h")
+    def fileCount() = hDir.listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val filesBefore = fileCount()
+    store.compact(spark)
+    assert(store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === before)
+    assert(fileCount() < filesBefore,
+      s"compact did not reduce files: $filesBefore -> ${fileCount()}")
+    store.delete()
+  }
+
   test("persisted ingest loop: arrival order decides status (planted)") {
     import spark.implicits._
     // batch_id = (doc_id div 5) % 4 for seen (doc_id % 5 != 0), 4 for

@@ -132,6 +132,14 @@ class PlanLintSpec extends SparkSpec {
     assert(shuffleExchanges(graft.ext.Dedup.simhashBucketStage(spark, sf)) == 1)
   }
 
+  test("qt21 winnowing profile: ZERO shuffle Exchanges (pure projection)") {
+    // the round-12 rewrite's contract: selection is per-document local,
+    // so the whole per-doc profile is scan → project — a refactor that
+    // reintroduces the (doc, window) tap join adds an Exchange here
+    assert(shuffleExchanges(
+      Registry.byName("qt21_winnowing_fingerprints").run(spark, sf)) == 0)
+  }
+
   // ----- corpus-sized joins must never broadcast --------------------------
   // Joins whose BOTH sides grow with the corpus (per-doc aggregates,
   // candidate-pair sets) are never broadcast-safe, and the static planner's
