@@ -530,6 +530,106 @@ object Similarity {
        |SELECT q_id, sel_rank, n_id, mmr FROM sel3""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs10: reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+  // of two retrieval systems answering the same query set: the exact
+  // float-cosine ranking (qs01's shape) and the int8 asymmetric-dot
+  // ranking (qs04's coarse stage) — the standard hybrid-search combiner
+  // when score scales are incomparable. RRF(d) = Σ_r 1/(K + rank_r(d)),
+  // K = 60 (the paper's constant), missing-from-list ⇒ 0 contribution
+  // (full outer join over the two top-C lists).
+  // Scale: each input list is |Q|·C rows BY CONSTRUCTION (top-C per query
+  // via WindowGroupLimit heaps before any shuffle), so the fusion join
+  // and final re-rank run on bounded frames; at 100 TB each leg composes
+  // with its own bucketed serving shape (qs02/qs03 + qs04) — fusion cost
+  // is independent of corpus size. Determinism: ranks are exact integers
+  // in both engines (bit-equal fastCosine/cosineSql; exact-integer int8
+  // dot), and one row's RRF score is two IEEE divisions + one addition
+  // with all literals e-notation doubles — no accumulation order exists.
+  // ---------------------------------------------------------------------
+  private val RrfK = 60
+  private val RrfC = 20 // per-system candidate depth entering fusion
+  private val rrfExpr =
+    s"coalesce(1.0e0 / (rank_dense + $RrfK), 0.0e0) + " +
+      s"coalesce(1.0e0 / (rank_coarse + $RrfK), 0.0e0)"
+
+  private def qs10(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corp = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val wd = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    val dense = corp.crossJoin(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank_dense", row_number().over(wd))
+      .filter(col("rank_dense") <= RrfC)
+      .select(col("q_id"), col("n_id"), col("rank_dense"))
+    val quant = Embeddings.quantArr(e)
+    val qq = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qscale").as("q_scale"),
+        col("qarr").as("q_arr"))
+    val qc = quant.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("qscale").as("n_scale"),
+        col("qarr").as("n_arr"))
+    val dotInt = expr(
+      "aggregate(zip_with(q_arr, n_arr, (a, b) -> cast(a as bigint) * b), " +
+        "cast(0 as bigint), (acc, x) -> acc + x)")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    val coarse = qc.crossJoin(broadcast(qq))
+      .select(col("q_id"), col("n_id"),
+        (col("q_scale") * col("n_scale") * dotInt).as("score"))
+      .withColumn("rank_coarse", row_number().over(wq))
+      .filter(col("rank_coarse") <= RrfC)
+      .select(col("q_id"), col("n_id"), col("rank_coarse"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("n_id").asc)
+    dense.join(coarse, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"), col("rank_dense"), col("rank_coarse"),
+        expr(rrfExpr).as("rrf"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+  }
+
+  private val qs10Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    s"""WITH ${Embeddings.quantSqlCte},
+       |dense AS (
+       |  SELECT q_id, n_id, rank_dense FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, c.vec_id ASC) AS rank_dense
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE rank_dense <= $RrfC),
+       |coarse AS (
+       |  SELECT q_id, n_id, rank_coarse FROM (
+       |    SELECT q.vec_id AS q_id, cp.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY q.qscale * cp.qscale *
+       |          list_sum(list_transform(list_zip(q.qarr, cp.qarr),
+       |            p -> CAST(p[1] AS BIGINT) * p[2])) DESC,
+       |          cp.vec_id ASC) AS rank_coarse
+       |    FROM quant q CROSS JOIN quant cp
+       |    WHERE q.vec_id < 10 AND cp.vec_id >= 10)
+       |  WHERE rank_coarse <= $RrfC),
+       |fused AS (
+       |  SELECT coalesce(d.q_id, s.q_id) AS q_id,
+       |    coalesce(d.n_id, s.n_id) AS n_id,
+       |    d.rank_dense AS rank_dense, s.rank_coarse AS rank_coarse,
+       |    $rrfExpr AS rrf
+       |  FROM dense d FULL OUTER JOIN coarse s
+       |    ON d.q_id = s.q_id AND d.n_id = s.n_id)
+       |SELECT q_id, n_id, rank_dense, rank_coarse, rrf, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, n_id ASC) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   def queries: Seq[Q] = Seq(
     // SMALL-SF ONLY corpus side: exact brute-force baseline — queries are
     // broadcast (bounded) but the corpus scan is O(N·|queries|); at real
@@ -545,5 +645,8 @@ object Similarity {
     // stage composes with qs02/qs03 bucketing — the rerank shape is the point
     Q("qs04_quantized_rerank", qs04, Some(qs04Sql)),
     Q("qs05_ivf_quant_rerank", qs05, Some(qs05Sql)),
-    Q("qs06_mmr_rerank", qs06, Some(qs06Sql)))
+    Q("qs06_mmr_rerank", qs06, Some(qs06Sql)),
+    // fusion inputs are the two serving shapes above; at 100 TB each leg
+    // swaps in its bucketed variant — the fusion frames stay |Q|·C
+    Q("qs10_hybrid_rrf", qs10, Some(qs10Sql)))
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Q
 import graft.sources.Tables
@@ -1375,6 +1376,187 @@ object TextAnalysis {
        |JOIN nf nb ON nb.doc_id = s.b
        |WHERE CAST(s.shared AS DOUBLE) / least(na.nf, nb.nf) >= $ContainmentFlag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qt23: BM25 ranked retrieval (Okapi BM25, Robertson et al. TREC-3; the
+  // +1-inside-ln idf variant Lucene ships, so idf > 0 even for terms
+  // present in every document). Queries are data-derived — the nine
+  // highest-global-tf tokens of length ≥ 4, split round-robin into three
+  // 3-term queries — so the gate is meaningful at every SF without
+  // hard-coded literals. Per (query, doc):
+  //   score = Σ_t ln((N − df + ½)/(df + ½) + 1) ·
+  //           tf·(k₁+1) / (tf + k₁·(1 − b + b·dl/avgdl))
+  // Determinism: each term's contribution is quantized to integer
+  // micro-units BEFORE the per-(query,doc) sum (qt07's pattern — integer
+  // sums are order-independent; ln ulp divergence sits ~1e-11 from any
+  // rounding tie), and avgdl is one IEEE division of exact integers in
+  // both engines. Scale shape: one (doc,token) tf shuffle; dl derived
+  // from tf (no second corpus pass); the 9-term query table and its df
+  // are broadcast BY CONSTRUCTION (≤ 9 rows); the dl attach is a
+  // doc-keyed join of two corpus-sized frames (unhinted — AQE decides,
+  // the qt06 dictionary rule); term selection is a TakeOrderedAndProject
+  // top-9 (per-partition heaps, never a full sort — the trailing rank
+  // window runs on exactly 9 rows); the final top-10 is a rank window
+  // over 3 query partitions, WindowGroupLimit-eligible.
+  // ---------------------------------------------------------------------
+  private val Bm25TopK = 10
+  // k1=1.2, b=0.75 (the standard Okapi defaults). All constants are spelled
+  // in e-notation because BOTH parsers type e-notation as DOUBLE, while a
+  // bare `1.2` is DECIMAL in each — mixing decimal into the chain makes
+  // DuckDB's `tf * 2.2` exact-decimal where Spark's is a rounded double
+  // product (a 1-ulp divergence channel at round()-tie boundaries). With
+  // every literal a double, the two engines execute the identical IEEE op
+  // sequence and only the shared ln ulp caveat remains.
+  private def bm25ContribExpr(n: String, df: String, tf: String, dl: String,
+                              avgdl: String): String =
+    s"""CAST(round(
+       |  ln(($n - $df + 0.5e0) / ($df + 0.5e0) + 1.0e0) *
+       |  ($tf * (1.2e0 + 1.0e0)) /
+       |  ($tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * $dl / $avgdl)) * 1e6) AS BIGINT)""".stripMargin
+
+  // (doc,token) tf / per-doc dl / corpus stats / the 9 data-derived query
+  // terms — the shared building blocks of the batch scorer and the
+  // broadcastable query table. The top-9 term selection is a
+  // TakeOrderedAndProject (per-partition heaps, never a full sort); the
+  // trailing rank window runs on exactly 9 rows (bounded by construction
+  // — the qs06 pattern).
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(toksExpr)).as("token"))
+      .select(col("doc_id"), lower(col("token")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  private def bm25QTerms(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+      .filter(length(col("token")) >= 4)
+      .orderBy(col("cnt").desc, col("token").asc).limit(9)
+      .withColumn("trank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+      .select(col("token"), ((col("trank") - 1) % 3 + 1).as("query_id"))
+
+  /** Per-(query, doc) BM25 scores in micro-units — the distributed tf
+    * path (qt23 ranks it; the streaming face gates against it). */
+  private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
+    val tf = bm25Tf(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = bm25QTerms(tf)
+    val matched = tf.join(broadcast(qterms), Seq("token"))
+    // df restricted to the 9 query terms — computed from the matched rows
+    // (one row per (doc, term)), so only matching rows ever shuffle
+    val dfq = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    matched
+      .join(broadcast(dfq), Seq("token"))
+      .join(dl, Seq("doc_id")) // corpus-sized × corpus-sized: AQE decides
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        expr(bm25ContribExpr("n_docs", "df", "tf", "dl", "avgdl"))
+          .as("contrib_u"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"), count(lit(1)).as("n_terms"))
+  }
+
+  private def qt23(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    bm25Scores(Tables.documents(s, d))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+  }
+
+  // Shared CTE chain: per-(query, doc) BM25 scores in micro-units. qt23
+  // ranks them; the streaming face (qst34) gates its stateless row-local
+  // scorer against the un-ranked form.
+  private val bm25SqlCtes = {
+    val contrib = bm25ContribExpr("n_docs", "df", "tf", "dl", "avgdl")
+    s"""toks AS (
+       |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |qterms AS (
+       |  SELECT token,
+       |    (row_number() OVER (ORDER BY cnt DESC, token ASC) - 1) % 3 + 1 AS query_id
+       |  FROM (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+       |        WHERE length(token) >= 4 GROUP BY token
+       |        ORDER BY cnt DESC, token ASC LIMIT 9)),
+       |matched AS (
+       |  SELECT t.doc_id, t.token, t.tf, q.query_id
+       |  FROM tf t JOIN qterms q USING (token)),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM matched GROUP BY token),
+       |scored AS (
+       |  SELECT m.query_id, m.doc_id, $contrib AS contrib_u
+       |  FROM matched m JOIN dfq USING (token) JOIN dl USING (doc_id), stats),
+       |agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(contrib_u) AS BIGINT) AS score_u,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val qt23Sql =
+    s"""WITH $bm25SqlCtes
+       |SELECT query_id, doc_id, score_u, n_terms, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_u DESC, doc_id ASC) AS rank
+       |  FROM agg)
+       |WHERE rank <= $Bm25TopK""".stripMargin
+
+  /** Un-ranked per-(query, doc) BM25 scores — qst34's oracle. */
+  private[graft] val bm25ScoresSql =
+    s"""WITH $bm25SqlCtes
+       |SELECT query_id, doc_id, score_u, n_terms FROM agg""".stripMargin
+
+  /** The 3-query BM25 "index at rest": one row per query_id carrying its
+    * term+df array plus the corpus stats — ≤ 3 rows BY CONSTRUCTION, so
+    * the broadcast is justified at any corpus scale. This is the artifact
+    * a serving path builds once from the static corpus and joins streams
+    * against (the qst22/qst30 static-side pattern). */
+  private[graft] def bm25QueryTable(docs: DataFrame): DataFrame = {
+    val tf = bm25Tf(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = bm25QTerms(tf)
+    val dfq = tf.join(broadcast(qterms), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    qterms.join(broadcast(dfq), Seq("token"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("token"), col("df")))).as("terms"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Stateless row-local BM25 scorer: the same per-(query, doc) score as
+    * qt23's distributed tf path, re-expressed as a PURE PROJECTION after
+    * a stream-static join against [[bm25QueryTable]] — tf and dl are
+    * computed inside the row with higher-order array functions, each
+    * term's contribution is quantized to the identical integer
+    * micro-units, and the Σ over ≤ 3 terms is an exact BIGINT fold. Zero
+    * stateful operators ⇒ append mode, state size zero, at any rate.
+    * (Batch builds the index with shuffles; serving never shuffles — the
+    * two physical shapes of one logical operator.) */
+  private[graft] def bm25ScoreDocs(docs: DataFrame,
+                                   queryTable: DataFrame): DataFrame = {
+    val scoreU =
+      """aggregate(terms, CAST(0 AS BIGINT), (acc, t) -> acc +
+        |  (CASE WHEN size(filter(toks, w -> w = t.token)) > 0 THEN
+        |    CAST(round(
+        |      ln((n_docs - t.df + 0.5e0) / (t.df + 0.5e0) + 1.0e0) *
+        |      (size(filter(toks, w -> w = t.token)) * (1.2e0 + 1.0e0)) /
+        |      (size(filter(toks, w -> w = t.token)) + 1.2e0 *
+        |        (1.0e0 - 0.75e0 + 0.75e0 * size(toks) / avgdl)) * 1e6) AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END))""".stripMargin
+    val nTerms =
+      "CAST(size(filter(terms, t -> size(filter(toks, w -> w = t.token)) > 0)) AS BIGINT)"
+    docs
+      .crossJoin(broadcast(queryTable)) // ≤ 3 rows by construction
+      .withColumn("toks", expr(s"transform($toksExpr, w -> lower(w))"))
+      .select(col("query_id"), col("doc_id"),
+        expr(scoreU).as("score_u"), expr(nTerms).as("n_terms"))
+      .filter(col("n_terms") > 0) // absent-from-all-terms docs have no batch row
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qt01_token_stats", qt01, Some(qt01Sql), headline = true),
     Q("qt02_quality_score", qt02, Some(qt02Sql)),
@@ -1398,6 +1580,7 @@ object TextAnalysis {
     Q("qt20_bigram_logprob", qt20, Some(qt20Sql)),
     Q("qt21_winnowing_fingerprints", qt21, Some(qt21Sql)),
     Q("qt22_fingerprint_contamination", qt22, Some(qt22Sql)),
+    Q("qt23_bm25_rank", qt23, Some(qt23Sql)),
     // lives here (not Dedup.scala) because it builds on the winnowing
     // machinery above; the qd prefix keeps the dedup-family naming
     Q("qd19_containment_dup", qd19, Some(qd19Sql)))

@@ -1392,6 +1392,28 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst34: streaming BM25 relevance screening — keyword-targeted ingest
+  // filtering (score an arriving crawl against a fixed query set). The
+  // query table (terms + df + corpus stats, ≤ 3 rows BY CONSTRUCTION) is
+  // built once from the static corpus — the index at rest; each arriving
+  // document is scored by a PURE PROJECTION after the stream-static
+  // broadcast join (tf/dl computed row-locally with higher-order array
+  // functions, contributions quantized to the identical micro-units as
+  // the batch path). ZERO stateful operators ⇒ append mode, zero state
+  // at any ingest rate — the strongest streaming shape in the suite
+  // (qst12's stateless-face pattern, with qt23's scoring semantics).
+  // Oracle: the un-ranked batch BM25 aggregation — streaming/batch
+  // consistency by construction.
+  // ---------------------------------------------------------------------
+  private def qst34(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val index = TextAnalysis.bm25QueryTable(Tables.documents(s, d))
+    runBounded(s, d, "documents", "append") { docs =>
+      TextAnalysis.bm25ScoreDocs(docs, index)
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1464,5 +1486,9 @@ object StreamingQueries {
     // stream-static index join + one rollup aggregation — streaming/
     // batch consistency by construction
     Q("qst33_stream_fingerprint_screen", qst33,
-      Some(graft.ext.TextAnalysis.qt22Sql)))
+      Some(graft.ext.TextAnalysis.qt22Sql)),
+    // the un-ranked qt23 aggregation as oracle: the stateless row-local
+    // scorer must reproduce the distributed tf path's scores exactly
+    Q("qst34_stream_bm25", qst34,
+      Some(graft.ext.TextAnalysis.bm25ScoresSql)))
 }

@@ -730,6 +730,34 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.lshAnn(spark, sf, numPlanes = 8, nprobe = 4)
     assert(out.groupBy("q_id").count().filter(col("count") > 3).count() === 0)
   }
+
+  test("qs10 RRF: 10 per query, score internally consistent, lists overlap") {
+    val out = Registry.byName("qs10_hybrid_rrf").run(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q")
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+      val rrfs = byRank.map(_.getAs[Double]("rrf"))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+        s"query $q rrf not monotone")
+      // the reported rrf IS the recomputed two-term sum (nulls → 0)
+      byRank.foreach { r =>
+        val rd = Option(r.getAs[Integer]("rank_dense")).map(_.toInt)
+        val rc = Option(r.getAs[Integer]("rank_coarse")).map(_.toInt)
+        val want = rd.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+          rc.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+        assert(r.getAs[Double]("rrf") === want)
+        assert(rd.nonEmpty || rc.nonEmpty)
+      }
+    }
+    // fusion is genuinely two-system: some fused result appears in BOTH
+    // top-20 lists (the int8 ranking approximates the cosine ranking, so
+    // head overlap is structural, not luck)
+    assert(out.exists(r => r.getAs[Integer]("rank_dense") != null &&
+      r.getAs[Integer]("rank_coarse") != null))
+  }
 }
 
 class TextSpec extends SparkSpec {
@@ -944,6 +972,64 @@ class TextSpec extends SparkSpec {
     }
     assert(out(1L)._3 === jvm("contact me at jane.doe+spam@example.co.uk or 555-867-5309 now"))
     assert(out(3L)._3 === jvm("no pii here at all"))
+  }
+
+  test("bm25: JVM mirror of the quantized scoring on a planted corpus") {
+    import spark.implicits._
+    // ≥ 9 distinct length-≥4 tokens so the full 3×3 query split forms;
+    // doc 4 is short (strong length normalization), doc 1 repeats alpha
+    // (tf saturation)
+    val texts = Map(
+      1L -> "alpha alpha alpha bravo charlie delta echo foxtrot golf hotel india",
+      2L -> "alpha bravo bravo bravo charlie charlie delta echo foxtrot golf",
+      3L -> "india india hotel golf foxtrot echo delta charlie bravo alpha xx",
+      4L -> "alpha bravo charlie")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bm25Scores(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // plain-Scala mirror with the IDENTICAL IEEE op sequence
+    val toks = texts.map { case (d, t) =>
+      d -> t.trim.split("\\s+").map(_.toLowerCase).toSeq }
+    val dl = toks.map { case (d, ts) => d -> ts.size.toLong }
+    val nDocs = texts.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val tf = toks.toSeq.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (d, t, g.size.toLong) } }
+    val top9 = tf.filter(_._2.length >= 4)
+      .groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(9)
+    val qid = top9.zipWithIndex.map { case ((t, _), i) => t -> (i % 3 + 1) }.toMap
+    val dfm = tf.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+    val expected = tf.filter(r => qid.contains(r._2))
+      .map { case (d, t, f) =>
+        val df = dfm(t)
+        val contrib = math.round(
+          math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) *
+            (f * (1.2 + 1.0)) /
+            (f + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl)) * 1e6)
+        ((qid(t), d), contrib)
+      }
+      .groupBy(_._1).map { case (k, rs) => k -> ((rs.map(_._2).sum, rs.size.toLong)) }
+    assert(got === expected)
+    // saturation: doc 1's alpha tf=3 contributes less than 3× the tf=1 docs
+    // (implicitly exercised above); length normalization: the short doc 4
+    // outranks a long doc with equal tf for its query terms
+  }
+
+  test("bm25 qt23: three queries, ranks 1..10, scores non-increasing") {
+    val out = Registry.byName("qt23_bm25_rank").run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.map(_._1).toSet === Set(1, 2, 3))
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq === (1 to 10), s"query $q ranks")
+      byRank.sliding(2).foreach { w =>
+        assert(w(0)._3 >= w(1)._3, s"query $q scores not monotone")
+      }
+      assert(rows.forall(r => r._4 >= 1 && r._4 <= 3), s"query $q n_terms")
+    }
   }
 }
 

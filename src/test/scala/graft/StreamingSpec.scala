@@ -1211,6 +1211,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(("click", 25L))._2 === streamed(("click", 25L))._1.toDouble)
     } finally q.stop()
   }
+
+  test("streaming BM25: split replay equals the batch scorer (qst34 face)") {
+    import spark.implicits._
+    // same planted corpus shape as the batch JVM-mirror spec: ≥ 9
+    // qualifying terms so the full 3×3 query split forms
+    val texts = Seq(
+      1L -> "alpha alpha alpha bravo charlie delta echo foxtrot golf hotel india",
+      2L -> "alpha bravo bravo bravo charlie charlie delta echo foxtrot golf",
+      3L -> "india india hotel golf foxtrot echo delta charlie bravo alpha xx",
+      4L -> "alpha bravo charlie")
+    val all = texts.toDF("doc_id", "text")
+    val expected = graft.ext.TextAnalysis.bm25Scores(all).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // the scorer is a stateless projection, so ANY micro-batch split must
+    // reproduce the batch scores row-for-row in append mode
+    implicit val ctx = spark.sqlContext
+    val index = graft.ext.TextAnalysis.bm25QueryTable(all)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.ext.TextAnalysis
+      .bm25ScoreDocs(ms.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25stream").start()
+    try {
+      ms.addData(texts.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(texts.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bm25stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
