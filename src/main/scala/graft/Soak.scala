@@ -228,7 +228,13 @@ object Soak {
         // argument in the qt22 scaladoc is the reason it exists)
         "qt22_fingerprint_contamination",
         // qd19: the capped posting self-join (qd03 shape) over winnowed sets
-        "qd19_containment_dup")
+        "qd19_containment_dup",
+        // qt23's tf/dl/df shuffles are all corpus-linear with 9-row
+        // broadcast frames; the soak pins that the unhinted dl join keeps
+        // a sane strategy under growth and the rank exchange stays fed by
+        // map-side WindowGroupLimits; qs10's fusion frames are |Q|·C
+        // bounded — its cost must track the two ranking scans, not pairs
+        "qt23_bm25_rank", "qs10_hybrid_rrf")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

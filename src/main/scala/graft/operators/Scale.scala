@@ -818,6 +818,48 @@ object Scale {
        |  < least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT),
        |          $PpsWCap) * $PpsThresh""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qx17: Z-order (Morton-curve) clustered layout — multi-dimensional
+  // data clustering, the scan-pruning lever for the SECOND predicate
+  // column. qf04's hive partitioning burns the directory level on one
+  // key; a plain sort serves one key; z-order interleaves the bits of
+  // (l_orderkey, l_partkey) and range-partitions + sorts by the curve, so
+  // every output file carries a TIGHT parquet min/max envelope in BOTH
+  // columns and a range predicate on EITHER prunes row groups. The gated
+  // query is the lossless-layout contract: write z-ordered, re-read with
+  // a partkey-only range predicate (the dimension a single-column sort
+  // CANNOT serve), aggregate — the oracle replays the same predicate over
+  // the RAW table. The pruning itself (rows read off the z layout vs a
+  // linear layout, both dimensions) is measured in ScaleSpec and
+  // LayoutProbe — layout changes results never, IO always.
+  // ---------------------------------------------------------------------
+  private def zorderDir(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft-zorder-lineitem-" + Integer.toHexString(d.hashCode) +
+      "-p" + ProcessHandle.current().pid()
+
+  private def qx17(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val path = zorderDir(d)
+    graft.sinks.Layout.writeZOrdered(li, path, "l_orderkey", "l_partkey",
+      files = 32)
+    s.read.parquet(path)
+      .filter(col("l_partkey") <= 40)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)")
+          .as("sum_qty"),
+        max(col("l_orderkey")).as("max_order"))
+  }
+
+  private val qx17Sql =
+    """SELECT l_partkey, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  max(l_orderkey) AS max_order
+      |FROM lineitem WHERE l_partkey <= 40
+      |GROUP BY l_partkey""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qx01_salted_agg", qx01, Some(qx01Sql)),
     Q("qx02_bucketed_join", qx02, Some(qx02Sql)),
@@ -834,5 +876,6 @@ object Scale {
     Q("qx13_dataset_split", qx13, Some(qx13Sql)),
     Q("qx14_bpe_packing", qx14, Some(qx14Sql)),
     Q("qx15_weighted_sample", qx15, Some(qx15Sql)),
-    Q("qx16_weighted_bernoulli", qx16, Some(qx16Sql)))
+    Q("qx16_weighted_bernoulli", qx16, Some(qx16Sql)),
+    Q("qx17_zorder_layout", qx17, Some(qx17Sql)))
 }

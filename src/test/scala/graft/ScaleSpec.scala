@@ -469,3 +469,71 @@ class DatasetSplitSpec extends SparkSpec {
     }
   }
 }
+
+class ZOrderSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import graft.sinks.Layout
+
+  test("zorder2: JVM mirror of the bit interleave") {
+    import spark.implicits._
+    def jvm(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { j =>
+        (((x >> j) & 1L) << (2 * j)) | (((y >> j) & 1L) << (2 * j + 1))
+      }.reduce(_ | _)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1499L, 199L),
+      (149999L, 19999L), ((1L << 21) - 1, (1L << 21) - 1))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorder2(col("x"), col("y"), 21).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === jvm(x, y, 21), s"z($x, $y)")
+    }
+    // the curve is monotone in each coordinate along its own bit positions:
+    // fixing y, growing x grows z
+    assert(jvm(5, 3, 21) < jvm(6, 3, 21) || ((5 ^ 6) & ~((1 << 21) - 1)) != 0)
+  }
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-order layout prunes row groups on BOTH dimensions; linear only one") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-zorder-spec-${ProcessHandle.current().pid()}"
+    // linear = single-column sort on l_orderkey, same file count
+    li.repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    Layout.writeZOrdered(li, s"$base/zorder", "l_orderkey", "l_partkey", 32)
+    def rows(layout: String, pred: org.apache.spark.sql.Column): Long =
+      scanRows(spark.read.parquet(s"$base/$layout").filter(pred))
+    val pOrder = col("l_orderkey") <= 300
+    val pPart = col("l_partkey") <= 40
+    // the sorted dimension: both layouts prune (linear prunes harder)
+    assert(rows("linear", pOrder) < total / 2, "linear failed to prune its own sort key")
+    assert(rows("zorder", pOrder) < total / 2, "z-order failed to prune dim 1")
+    // the second dimension: linear reads EVERYTHING, z-order skips
+    val linPart = rows("linear", pPart)
+    val zPart = rows("zorder", pPart)
+    assert(linPart === total, "linear layout unexpectedly pruned the unsorted key")
+    assert(zPart < (total * 7) / 10,
+      s"z-order read $zPart of $total rows for the dim-2 predicate")
+    // conjunctive predicate: at least as good as the better single leg
+    assert(rows("zorder", pOrder && pPart) <= math.min(rows("zorder", pOrder), zPart))
+    // and the layout is lossless under every predicate
+    assert(spark.read.parquet(s"$base/zorder").filter(pPart).count() ===
+      li.filter(pPart).count())
+  }
+}
