@@ -183,8 +183,53 @@ object AsOf {
       |  AND l.l_shipdate >= s.valid_from AND l.l_shipdate < s.valid_to
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qa04: point-in-time multi-feature join — the feature-store pattern
+  // that assembles a training set without LABEL LEAKAGE: each observation
+  // row (a 'view') is enriched with the latest value at-or-before its
+  // timestamp from SEVERAL independently-updated feature tables (clicks,
+  // purchases), never a value from the future. Composed as two asofJoin
+  // passes; both window on the SAME key (user_id), so the plan is two
+  // key-shuffles total (the union before each window breaks partitioning
+  // reuse — the cost of two feature tables is honestly 2× one, linear in
+  // features, never a cross product). Time-travel `<=` semantics per
+  // feature INDEPENDENTLY — a purchase between a click and the view must
+  // not mask the click. Oracle: DuckDB's native ASOF LEFT JOIN twice.
+  // ---------------------------------------------------------------------
+  private def qa04(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val withClick = asofJoin(views, clicks, "user_id", "ts", Seq("click_value"))
+    asofJoin(withClick, purchases, "user_id", "ts", Seq("purchase_value"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
+  private val qa04Sql =
+    """WITH views AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+      |clicks AS (
+      |  SELECT user_id, ts, max(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT v.user_id AS user_id, v.event_id AS event_id, v.ts AS ts,
+      |  c.click_value AS click_value, p.purchase_value AS purchase_value
+      |FROM views v
+      |ASOF LEFT JOIN clicks c ON v.user_id = c.user_id AND v.ts >= c.ts
+      |ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qa01_asof_join", qa01, Some(qa01Sql)),
     Q("qa02_range_join", qa02, Some(qa02Sql)),
-    Q("qa03_scd2_join", qa03, Some(qa03Sql)))
+    Q("qa03_scd2_join", qa03, Some(qa03Sql)),
+    Q("qa04_pit_features", qa04, Some(qa04Sql)))
 }

@@ -205,3 +205,34 @@ class EwmaSpec extends SparkSpec {
     }
   }
 }
+
+class PitFeaturesSpec extends SparkSpec {
+
+  test("qa04: per-feature time travel is independent and leak-free") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // user 1: click@1, purchase@2, view@3 — the purchase between click and
+    // view must NOT mask the click; both features attach their own latest.
+    // user 2: view@1, click@2 — a click AFTER the view must not leak.
+    // user 3: purchase@1, view@2 — click never happened: null, not 0.
+    val left = Seq((1L, ts(3), 100L), (2L, ts(1), 200L), (3L, ts(2), 300L))
+      .toDF("user_id", "ts", "event_id")
+    val clicks = Seq((1L, ts(1), 11), (2L, ts(2), 22))
+      .toDF("user_id", "ts", "click_value")
+    val purchases = Seq((1L, ts(2), 77), (3L, ts(1), 88))
+      .toDF("user_id", "ts", "purchase_value")
+    val step1 = graft.operators.AsOf.asofJoin(
+      left, clicks, "user_id", "ts", Seq("click_value"))
+    val out = graft.operators.AsOf.asofJoin(
+      step1, purchases, "user_id", "ts", Seq("purchase_value"))
+      .collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[Integer]("click_value")).map(_.toInt),
+            Option(r.getAs[Integer]("purchase_value")).map(_.toInt)))
+      }.toMap
+    assert(out(100L) === ((Some(11), Some(77))), "independence: purchase masked the click")
+    assert(out(200L) === ((None, None)), "leak: a future click reached the view")
+    assert(out(300L) === ((None, Some(88))), "missing feature must be null")
+  }
+}
