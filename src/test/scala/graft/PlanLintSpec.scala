@@ -27,6 +27,8 @@ class PlanLintSpec extends SparkSpec {
     "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
     "qt20_bigram_logprob", // same 1-row corpus-N cross; dicts capped, by design
+    "qt23_bm25_rank",     // 1-row (n_docs, avgdl) stats broadcast cross, by design
+    "qs10_hybrid_rrf",    // qs01 + qs04-coarse legs: bounded query broadcast crosses
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
     "q29_table_profile",  // two 1-row profile passes crossed, by design
@@ -294,6 +296,19 @@ class PlanLintSpec extends SparkSpec {
       s"coarse rank filter did not push down to WindowGroupLimit:\n${plan.take(600)}")
     assert(!plan.contains("SortMergeJoin"),
       "rerank attach should be broadcast (bounded candidate frame), not a shuffle join")
+  }
+
+  // qt23's scale contract: the 9-term selection is a TakeOrderedAndProject
+  // (per-partition heaps, never a global sort), and the final per-query
+  // top-10 is fed by map-side WindowGroupLimits so the 3-partition rank
+  // exchange carries ≤ 10·tasks rows per query, not the corpus.
+  test("qt23 BM25: term selection is TakeOrdered, rank window group-limited") {
+    val plan = Registry.byName("qt23_bm25_rank").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-9 term selection is not a TakeOrderedAndProject:\n${plan.take(600)}")
+    assert(plan.contains("WindowGroupLimit"),
+      "final top-10 rank filter did not push down to WindowGroupLimit")
   }
 
   test("qx10 bloom join: might_contain prefilter present, join stays a merge SMJ") {
