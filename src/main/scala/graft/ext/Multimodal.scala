@@ -130,7 +130,7 @@ object Multimodal {
     decodeFeatures(docs).toDF()
   }
 
-  private val qm02Sql = {
+  private[graft] val qm02Sql = {
     def chan(f: String, alias: String) =
       s"CAST(CAST(list_sum(list_transform(range(0, w*h), k -> $f)) AS BIGINT) AS DOUBLE) / (w*h) AS $alias"
     val code = "unicode(substr(text, 1 + k * (length(text) // (w*h)), 1))"

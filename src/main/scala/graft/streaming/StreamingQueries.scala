@@ -1414,6 +1414,27 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst35: streaming media decode — qm02's real BMP encode→decode→
+  // feature-extract run where multimodal ingest actually runs: on the
+  // ARRIVING stream. decodeFeatures is an iterator-in/iterator-out
+  // mapPartitions (codec init amortizes per micro-batch partition) with
+  // no keyed state — a stateless projection, so append mode with zero
+  // state at any ingest rate, and every output field still comes from
+  // the DECODED image (the gate checks the codec on the streaming path,
+  // not the synthesis). Oracle: qm02's SQL verbatim — streaming/batch
+  // consistency by construction.
+  // ---------------------------------------------------------------------
+  private def qst35(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    runBounded(s, d, "documents", "append") { docs =>
+      import docs.sparkSession.implicits._
+      val media = docs.filter(length(col("text")) >= 40)
+        .select(col("doc_id"), col("text")).as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media).toDF()
+    }
+  }
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1490,5 +1511,10 @@ object StreamingQueries {
     // the un-ranked qt23 aggregation as oracle: the stateless row-local
     // scorer must reproduce the distributed tf path's scores exactly
     Q("qst34_stream_bm25", qst34,
-      Some(graft.ext.TextAnalysis.bm25ScoresSql)))
+      Some(graft.ext.TextAnalysis.bm25ScoresSql)),
+    // qm02's oracle verbatim: the streamed decode must reproduce the
+    // batch codec features exactly — multimodal streaming/batch
+    // consistency by construction
+    Q("qst35_stream_media_decode", qst35,
+      Some(graft.ext.Multimodal.qm02Sql)))
 }

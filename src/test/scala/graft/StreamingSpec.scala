@@ -1246,6 +1246,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("streaming media decode: split replay equals the batch codec (qst35 face)") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    // ≥ 40 chars each so npix ≤ text length (the qm02 filter); ids chosen
+    // to vary (w, h) = (4 + id%5, 3 + id%3) across docs
+    val texts = Seq(
+      1L -> ("alpha bravo charlie delta echo foxtrot golf " * 2),
+      2L -> ("the quick brown fox jumps over the lazy dog again " * 2),
+      7L -> ("zero one two three four five six seven eight nine ten " * 2))
+    val all = texts.toDF("doc_id", "text")
+    val expected = Multimodal.decodeFeatures(
+        all.select(col("doc_id"), col("text")).as[Multimodal.MediaRow])
+      .collect().map(f => f.doc_id -> f).toMap
+
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Multimodal.decodeFeatures(
+        ms.toDF().toDF("doc_id", "text").as[Multimodal.MediaRow])
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mediadecode").start()
+    try {
+      ms.addData(texts.take(1): _*)
+      q.processAllAvailable()
+      ms.addData(texts.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mediadecode").collect().map { r =>
+        r.getLong(0) -> Multimodal.MediaFeatures(r.getLong(0), r.getInt(1),
+          r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      }.toMap
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
