@@ -52,24 +52,68 @@ object Layout {
     * value into `files` output files, sort within each, drop the key. The
     * range partitioner's sampled bounds make the files near-equal-sized
     * regardless of key skew; each file covers one contiguous z-range ⇒
-    * tight per-file min/max on both columns. */
+    * tight per-file min/max on both columns.
+    *
+    * The curve runs over min/max-NORMALIZED rank space (`rankBits` bits
+    * per dimension), not raw values: raw interleave degrades to a
+    * single-column sort whenever one key's domain is wider than the
+    * other's (a 4-bit user_id against a 20-bit event_id contributes no
+    * high z-bits, so file boundaries split only the wide key — measured
+    * zero dim-2 pruning before this normalization). Normalization is one
+    * 4-scalar agg broadcast into the projection — no collect, no extra
+    * shuffle; a skew-robust upgrade is quantile ranks from
+    * approx_percentile cut points, same plumbing. (x−min)·2^rankBits
+    * must fit a long: rankBits=12 leaves 51 bits of key span. */
   def writeZOrdered(df: DataFrame, path: String, cx: String, cy: String,
-                    files: Int, bits: Int = 21): Unit =
-    df.withColumn("__z", zorder2(col(cx), col(cy), bits))
+                    files: Int, rankBits: Int = 12): Unit =
+    zClustered(df, cx, cy, files, rankBits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The normalized-rank Morton clustering shape shared by the batch
+    * writer and the streaming clustered sink. */
+  private def zClustered(df: DataFrame, cx: String, cy: String,
+                         files: Int, rankBits: Int): DataFrame = {
+    val stats = df.agg(
+      min(col(cx)).cast("long").as("__xmin"),
+      max(col(cx)).cast("long").as("__xmax"),
+      min(col(cy)).cast("long").as("__ymin"),
+      max(col(cy)).cast("long").as("__ymax"))
+    val scale = 1L << rankBits
+    def rank(c: String, lo: String, hi: String) =
+      (col(c).cast("long") - col(lo)) * scale / (col(hi) - col(lo) + 1L)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zorder2(
+        rank(cx, "__xmin", "__xmax"), rank(cy, "__ymin", "__ymax"), rankBits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")
+  }
 
   /** Idempotent micro-batch sink body for `writeStream.foreachBatch`:
     * overwrite only this batch's partition — re-delivered batches replace
     * themselves, giving effectively-once file output.
     */
-  def writeIdempotent(batch: DataFrame, batchId: Long, path: String): Unit = {
+  def writeIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    idempotentOverwrite(batch, batchId, path)(identity)
+
+  /** Clustered idempotent sink: [[writeIdempotent]]'s exactly-once
+    * batch_id=N layout with each batch's files Z-ORDERED on (`cx`, `cy`)
+    * before landing — streaming ingest that keeps the table clustered as
+    * it grows, so range predicates on either key prune row groups inside
+    * EVERY batch partition (qx17's envelope property, maintained
+    * incrementally; a periodic compaction folds batch partitions into
+    * fewer, still-clustered files exactly as it would fold sizes). */
+  def writeClusteredBatch(batch: DataFrame, batchId: Long, path: String,
+      cx: String, cy: String, files: Int, rankBits: Int = 12): Unit =
+    idempotentOverwrite(batch, batchId, path)(
+      zClustered(_, cx, cy, files, rankBits))
+
+  private def idempotentOverwrite(batch: DataFrame, batchId: Long,
+      path: String)(shape: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch.withColumn("batch_id", lit(batchId))
+    try shape(batch).withColumn("batch_id", lit(batchId))
       .write
       .partitionBy("batch_id")
       .mode("overwrite")

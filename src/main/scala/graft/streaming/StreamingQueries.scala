@@ -1435,6 +1435,51 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst36: streaming clustered ingest sink — the write side of qx17's
+  // layout story, maintained incrementally: every micro-batch lands
+  // Z-ORDERED on (user_id, event_id) under its own batch_id=N partition
+  // (the exactly-once dynamic-overwrite contract of writeIdempotent), so
+  // the growing table keeps tight per-file min/max envelopes in BOTH keys
+  // and range predicates prune row groups inside EVERY batch partition.
+  // The gate is the ingest contract: the landed table's content is
+  // exactly one replay of the stream (oracle = identity projection over
+  // events); the clustering/pruning property and replay idempotence are
+  // pinned in LayoutSpec.
+  // ---------------------------------------------------------------------
+  private def qst36(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-qst36-${Integer.toHexString(d.hashCode)}" +
+        s"-p${ProcessHandle.current().pid()}")
+    // fresh table per invocation: a previous run with MORE batches would
+    // leave stale batch_id partitions that dynamic overwrite never touches
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(base.toFile)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val src = Tables.normalizeEvents(streamTable(s, d, "events", schema))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qst36-ckpt-")
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.sinks.Layout.writeClusteredBatch(
+          b, id, base.toString, "user_id", "event_id", files = 4)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    deleteOnExit(ckpt)
+    deleteOnExit(base)
+    s.read.parquet(base.toString).drop("batch_id")
+  }
+
+  private val qst36Sql =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   def queries: Seq[Q] = Seq(
     Q("qst01_stream_tumbling", qst01, Some(qst01Sql)),
     Q("qst02_stream_ysb", qst02, Some(qst02Sql)),
@@ -1516,5 +1561,8 @@ object StreamingQueries {
     // batch codec features exactly — multimodal streaming/batch
     // consistency by construction
     Q("qst35_stream_media_decode", qst35,
-      Some(graft.ext.Multimodal.qm02Sql)))
+      Some(graft.ext.Multimodal.qm02Sql)),
+    // identity oracle (the qx12 pattern): the clustered idempotent sink's
+    // table content must be exactly one replay of the stream
+    Q("qst36_stream_clustered_sink", qst36, Some(qst36Sql)))
 }

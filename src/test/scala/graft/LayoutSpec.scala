@@ -35,4 +35,43 @@ class LayoutSpec extends SparkSpec {
     val after = spark.read.parquet(path).count()
     assert(after === 150)
   }
+
+  test("clustered batch sink: idempotent replay AND per-batch z envelopes prune") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = s"/tmp/graft-layout-test/clustered-p${ProcessHandle.current().pid()}"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    Layout.writeClusteredBatch(b0, 0, path, "user_id", "event_id", files = 8)
+    Layout.writeClusteredBatch(b1, 1, path, "user_id", "event_id", files = 8)
+    val total = ev.count()
+    assert(spark.read.parquet(path).count() === total)
+    // replayed batch replaces its own partition, never duplicates
+    Layout.writeClusteredBatch(b1, 1, path, "user_id", "event_id", files = 8)
+    assert(spark.read.parquet(path).count() === total)
+    // clustering holds inside every batch partition: a user_id range reads
+    // fewer rows than a full scan (z envelopes prune row groups per batch)
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val maxUser = ev.agg(max("user_id")).collect()(0).getLong(0)
+    val read = scanRows(
+      spark.read.parquet(path).filter(col("user_id") <= maxUser / 10))
+    assert(read < (total * 7) / 10,
+      s"clustered batches read $read of $total rows for a 10% user range")
+    // and pruning never changes semantics
+    assert(spark.read.parquet(path)
+      .filter(col("user_id") <= maxUser / 10).count() ===
+      ev.filter(col("user_id") <= maxUser / 10).count())
+  }
 }
