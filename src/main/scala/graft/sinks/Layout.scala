@@ -108,6 +108,29 @@ object Layout {
     idempotentOverwrite(batch, batchId, path)(
       zClustered(_, cx, cy, files, rankBits))
 
+  /** Compaction for a [[writeClusteredBatch]] table: fold the accumulated
+    * batch_id partitions into ONE globally z-clustered table (the
+    * OPTIMIZE step after streaming ingest). Per-batch clustering keeps
+    * envelopes tight WITHIN each batch, but every batch spans the whole
+    * key space — a predicate pays its pruning fraction once per batch and
+    * the file count grows with ingest. Compacting re-clusters across
+    * batches: same content (spec-pinned), bounded file count, one set of
+    * envelopes. Write-then-swap: the new table lands beside the old and
+    * replaces it only after a successful write (a failed compaction
+    * leaves the ingest table untouched). */
+  def compactClustered(spark: SparkSession, path: String,
+      cx: String, cy: String, files: Int, rankBits: Int = 12): Unit = {
+    val tmp = path + ".compacting"
+    writeZOrdered(spark.read.parquet(path).drop("batch_id"),
+      tmp, cx, cy, files, rankBits)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(new java.io.File(path))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+  }
+
   private def idempotentOverwrite(batch: DataFrame, batchId: Long,
       path: String)(shape: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession

@@ -73,5 +73,25 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(path)
       .filter(col("user_id") <= maxUser / 10).count() ===
       ev.filter(col("user_id") <= maxUser / 10).count())
+
+    // compaction: batch partitions fold into one clustered table — same
+    // content, fewer files, pruning at least as tight
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq(f))
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles(path)
+    val contentBefore = spark.read.parquet(path).drop("batch_id")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    Layout.compactClustered(spark, path, "user_id", "event_id", files = 8)
+    assert(parquetFiles(path) < filesBefore, "compaction did not reduce file count")
+    val contentAfter = spark.read.parquet(path)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(contentAfter === contentBefore, "compaction changed table content")
+    val readCompacted = scanRows(
+      spark.read.parquet(path).filter(col("user_id") <= maxUser / 10))
+    assert(readCompacted <= read,
+      s"compaction loosened pruning: $readCompacted > $read")
   }
 }
