@@ -547,6 +547,51 @@ object Similarity {
   // dot), and one row's RRF score is two IEEE divisions + one addition
   // with all literals e-notation doubles — no accumulation order exists.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // qs11: filtered ANN — vector search under a metadata predicate (only
+  // candidates with the query's label), the serving shape every retrieval
+  // system with tenancy/language/split constraints runs. Strategy here is
+  // PRE-FILTERING via a composite (label, bucket) equi-join — the
+  // composite-index layout: at 100 TB the corpus is partitioned by
+  // (label, bucket), so a filtered probe touches exactly its own cell and
+  // pays nothing for other labels (post-filtering an unfiltered top-k
+  // instead silently LOSES recall when the filter is selective — the
+  // over-fetch trade is spec-pinned, not gated). Candidates and ranking
+  // are deterministic (bit-equal cosine), so the oracle replays them
+  // exactly.
+  // ---------------------------------------------------------------------
+  private def qs11(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("bucket", bucketExpr(NumPlanes))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label"), col("bucket"))
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    corpus.join(broadcast(queries), Seq("label", "bucket"))
+      .select(col("q_id"), col("label"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
+  private val qs11Sql = {
+    val cos = Vectors.cosineSql("q.embedding", "c.embedding")
+    val qb = bucketSql("q.embedding")
+    val cb = bucketSql("c.embedding")
+    s"""SELECT q_id, label, n_id, cos_sim, rank FROM (
+       |  SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS n_id,
+       |    $cos AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.label = c.label AND $qb = $cb
+       |  WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |WHERE rank <= 3""".stripMargin
+  }
+
   private val RrfK = 60
   private val RrfC = 20 // per-system candidate depth entering fusion
   private val rrfExpr =
@@ -648,5 +693,7 @@ object Similarity {
     Q("qs06_mmr_rerank", qs06, Some(qs06Sql)),
     // fusion inputs are the two serving shapes above; at 100 TB each leg
     // swaps in its bucketed variant — the fusion frames stay |Q|·C
-    Q("qs10_hybrid_rrf", qs10, Some(qs10Sql)))
+    Q("qs10_hybrid_rrf", qs10, Some(qs10Sql)),
+    // pre-filtered composite-index probe: (label, bucket) equi-join
+    Q("qs11_filtered_ann", qs11, Some(qs11Sql)))
 }

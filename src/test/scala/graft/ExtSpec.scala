@@ -758,6 +758,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Integer]("rank_dense") != null &&
       r.getAs[Integer]("rank_coarse") != null))
   }
+
+  test("qs11 filtered ANN: every hit shares the query's label; pre-filter beats post-filter") {
+    val e = Tables.embeddings(spark, sf)
+    val labels = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pre = Registry.byName("qs11_filtered_ann").run(spark, sf).collect()
+    assert(pre.nonEmpty)
+    pre.foreach { r =>
+      assert(r.getAs[Int]("label") === labels(r.getAs[Long]("q_id")),
+        s"query ${r.getAs[Long]("q_id")} got a wrong-label neighbor")
+      assert(r.getAs[Int]("rank") <= 3)
+    }
+    // post-filtering the UNFILTERED top-3 loses recall when the filter is
+    // selective (1-in-10 labels here): the pre-filtered composite probe
+    // must return at least as many in-label hits, and on isotropic data
+    // strictly more
+    val post = Similarity.lshAnn(spark, sf).collect().count { r =>
+      // unfiltered top-3, then keep only same-label results
+      val nLabel = e.filter(col("vec_id") === r.getAs[Long]("n_id"))
+        .select(col("label")).collect()(0).getInt(0)
+      nLabel == labels(r.getAs[Long]("q_id"))
+    }
+    assert(pre.length >= post,
+      s"pre-filter returned ${pre.length} < post-filter $post")
+  }
 }
 
 class TextSpec extends SparkSpec {
