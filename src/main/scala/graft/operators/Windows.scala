@@ -472,6 +472,88 @@ object Windows {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qw13: CUSUM drift detection (Page 1954) — the sequential changepoint
+  // monitor an ingest pipeline runs on its hourly rates. The textbook
+  // recursion C_t = max(0, C_{t−1} + (x_t − k)) is order-dependent and
+  // looks stream-only; it has an EXACT closed form over prefix sums:
+  //   C_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t} (x_i − k)
+  // (qw12's FIR re-expression, same move for a max-recursion), so the
+  // whole monitor is two window passes over the bounded types×hours
+  // frame — no driver loop, no UDAF, exact BIGINT arithmetic end to end:
+  // counts are integers, the per-type reference rate k is quantized by
+  // INTEGER division to micro-units, deviations/prefix sums/minima stay
+  // BIGINT, and the flag threshold is the exact integer 3·k_u. Silent
+  // hours matter to drift (no events IS drift), so the hour grid is
+  // gap-filled first (qw10's move: global [min,max] hour bounds — one
+  // 1-row broadcast — × the bounded type set). Scale: the windows
+  // partition by type and run over ≤ types×span rows, never the corpus.
+  // ---------------------------------------------------------------------
+  private def qw13(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("eh"))
+      .agg(count(lit(1)).as("n"))
+    cusumOverHourly(hourly)
+  }
+
+  /** The closed-form CUSUM over an arbitrary (event_type, eh, n) hourly
+    * frame — shared with the JVM-mirror spec. */
+  private[graft] def cusumOverHourly(hourly: DataFrame): DataFrame = {
+    val bounds = hourly.agg(min(col("eh")).as("lo"), max(col("eh")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi)")).as("eh"))
+    val filled = grid.join(hourly, Seq("event_type", "eh"), "left")
+      .select(col("event_type"), col("eh"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val k = filled.groupBy(col("event_type"))
+      .agg(expr("(sum(n) * 1000000L) div count(*)").as("k_u"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("eh"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .join(broadcast(k), Seq("event_type")) // ≤ |types| rows by construction
+      .withColumn("p", sum(col("n") * lit(1000000L) - col("k_u")).over(w))
+      .withColumn("mn", least(min(col("p")).over(w), lit(0L)))
+      .select(col("event_type"), col("eh"), col("n"),
+        (col("p") - col("mn")).as("cusum_u"),
+        ((col("p") - col("mn")) > lit(3L) * col("k_u")).as("flagged"))
+  }
+
+  private val qw13Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(eh) AS lo, max(eh) AS hi FROM hourly),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi)) AS eh
+      |  FROM (SELECT DISTINCT event_type FROM hourly), bounds),
+      |filled AS (
+      |  SELECT g.event_type, g.eh, coalesce(h.n, 0) AS n
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.event_type = h.event_type AND g.eh = h.eh),
+      |k AS (SELECT event_type,
+      |        (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS k_u
+      |      FROM filled GROUP BY event_type),
+      |cum AS (
+      |  SELECT f.event_type, f.eh, f.n, k_u,
+      |    CAST(sum(f.n * 1000000 - k_u) OVER (PARTITION BY f.event_type
+      |      ORDER BY f.eh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS p
+      |  FROM filled f JOIN k USING (event_type)),
+      |cus AS (
+      |  SELECT event_type, eh, n, k_u, p,
+      |    CAST(least(min(p) OVER (PARTITION BY event_type ORDER BY eh
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |      AS BIGINT) AS mn
+      |  FROM cum)
+      |SELECT event_type, eh, n,
+      |  CAST(p - mn AS BIGINT) AS cusum_u,
+      |  (p - mn) > 3 * k_u AS flagged
+      |FROM cus""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qw01_tumbling_window", qw01, Some(qw01Sql), headline = true),
     Q("qw02_sliding_window", qw02, Some(qw02Sql)),
@@ -484,5 +566,6 @@ object Windows {
     Q("qw09_funnel", qw09, Some(qw09Sql)),
     Q("qw10_gap_fill", qw10, Some(qw10Sql)),
     Q("qw11_rolling_zscore", qw11, Some(qw11Sql)),
-    Q("qw12_ewma_smoothing", qw12, Some(qw12Sql)))
+    Q("qw12_ewma_smoothing", qw12, Some(qw12Sql)),
+    Q("qw13_cusum_drift", qw13, Some(qw13Sql)))
 }

@@ -206,6 +206,45 @@ class EwmaSpec extends SparkSpec {
   }
 }
 
+class CusumSpec extends SparkSpec {
+
+  test("qw13: closed form equals the textbook max(0, C+d) recursion, burst flagged") {
+    import spark.implicits._
+    // planted hourly series: steady rate 10 with a silent hour (gap — must
+    // be filled and contribute NEGATIVE drift) and a 3-hour burst at 50
+    val rows = Seq(
+      ("view", 0L, 10L), ("view", 1L, 10L), /* hour 2 silent */
+      ("view", 3L, 10L), ("view", 4L, 50L), ("view", 5L, 50L),
+      ("view", 6L, 50L), ("view", 7L, 10L),
+      ("click", 0L, 5L), ("click", 7L, 5L))
+    val hourly = rows.toDF("event_type", "eh", "n")
+    val got = graft.operators.Windows.cusumOverHourly(hourly).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+    // JVM reference: gap-fill 0..7, integer k, then the literal recursion
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, rs) =>
+      val n = (0L to 7L).map(eh => rs.find(_._2 == eh).map(_._3).getOrElse(0L))
+      val kU = n.sum * 1000000L / n.size
+      var c = 0L
+      n.zipWithIndex.foreach { case (x, eh) =>
+        c = math.max(0L, c + (x * 1000000L - kU))
+        val (gn, gc, gf) = got((t, eh.toLong))
+        assert(gn === x, s"($t, $eh) n")
+        assert(gc === c, s"($t, $eh): closed form $gc != recursion $c")
+        assert(gf === (c > 3L * kU), s"($t, $eh) flag")
+      }
+    }
+    // the burst is caught once accumulated excess crosses 3k (hour 6:
+    // 78.75M > 71.25M; hour 5's 52.5M is still below), and the steady
+    // tail decays back under threshold instead of latching
+    assert(!got(("view", 5L))._3 && got(("view", 6L))._3)
+    assert(!got(("view", 7L))._3, "steady tail failed to decay")
+    assert(!got(("view", 0L))._3 && !got(("click", 7L))._3)
+  }
+}
+
 class PitFeaturesSpec extends SparkSpec {
 
   test("qa04: per-feature time travel is independent and leak-free") {
