@@ -501,7 +501,11 @@ object Windows {
     * frame — shared with the JVM-mirror spec. */
   private[graft] def cusumOverHourly(hourly: DataFrame): DataFrame = {
     val bounds = hourly.agg(min(col("eh")).as("lo"), max(col("eh")).as("hi"))
-    val grid = hourly.select(col("event_type")).distinct()
+    // the grid path re-aliases event_type (fresh exprId) so the grid⋈hourly
+    // self-join resolves even when `hourly` is a memory-sink view (the
+    // streaming face) — parquet-backed frames dedup automatically, memory
+    // plans do not
+    val grid = hourly.select(col("event_type").as("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(expr("sequence(lo, hi)")).as("eh"))
@@ -521,7 +525,7 @@ object Windows {
         ((col("p") - col("mn")) > lit(3L) * col("k_u")).as("flagged"))
   }
 
-  private val qw13Sql =
+  private[graft] val qw13Sql =
     """WITH hourly AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
       |    CAST(count(*) AS BIGINT) AS n

@@ -1340,6 +1340,24 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // qst37: streaming CUSUM drift monitor — qw13's closed form over the
+  // STREAMED hourly aggregate (the qst31 pattern: one streaming stateful
+  // aggregation whose complete-mode state converges to the batch hourly
+  // frame, then the monitor is an on-read window pass over the bounded
+  // types×hours result — drift detection runs where monitoring actually
+  // runs). Oracle: qw13's SQL verbatim — streaming/batch consistency by
+  // construction.
+  // ---------------------------------------------------------------------
+  private def qst37(s: SparkSession, d: String): DataFrame = {
+    val hourly = runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("eh"))
+        .agg(count(lit(1)).as("n"))
+    }
+    graft.operators.Windows.cusumOverHourly(hourly)
+  }
+
+  // ---------------------------------------------------------------------
   // qst32: streaming weighted Bernoulli sampling — qx16's predicate on
   // the document stream (the qst13 stateless-ingest pattern, weight-
   // proportional instead of per-source): Poisson-PPS inclusion is a
@@ -1564,5 +1582,8 @@ object StreamingQueries {
       Some(graft.ext.Multimodal.qm02Sql)),
     // identity oracle (the qx12 pattern): the clustered idempotent sink's
     // table content must be exactly one replay of the stream
-    Q("qst36_stream_clustered_sink", qst36, Some(qst36Sql)))
+    Q("qst36_stream_clustered_sink", qst36, Some(qst36Sql)),
+    // qw13's oracle verbatim: the CUSUM monitor over the streamed hourly
+    // aggregate must equal the batch closed form
+    Q("qst37_stream_cusum", qst37, Some(graft.operators.Windows.qw13Sql)))
 }
