@@ -234,7 +234,13 @@ object Soak {
         // a sane strategy under growth and the rank exchange stays fed by
         // map-side WindowGroupLimits; qs10's fusion frames are |Q|·C
         // bounded — its cost must track the two ranking scans, not pairs
-        "qt23_bm25_rank", "qs10_hybrid_rrf")
+        "qt23_bm25_rank", "qs10_hybrid_rrf",
+        // qw13's windows run on the bounded types×hours frame (the
+        // qw11/qw12 argument) — the soak pins the corpus term stays the
+        // hourly aggregation; qs11's composite (label, bucket) probe
+        // must stay one equi-join whose candidates shrink with the
+        // filter, never grow with corpus²
+        "qw13_cusum_drift", "qs11_filtered_ann")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without
