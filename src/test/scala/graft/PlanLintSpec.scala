@@ -29,6 +29,8 @@ class PlanLintSpec extends SparkSpec {
     "qt20_bigram_logprob", // same 1-row corpus-N cross; dicts capped, by design
     "qt23_bm25_rank",     // 1-row (n_docs, avgdl) stats broadcast cross, by design
     "qs10_hybrid_rrf",    // qs01 + qs04-coarse legs: bounded query broadcast crosses
+    "qw13_cusum_drift",   // 1-row global [lo,hi] hour-bounds broadcast cross
+    "qst37_stream_cusum", // same 1-row bounds cross over the streamed hourly frame
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
     "q29_table_profile",  // two 1-row profile passes crossed, by design
