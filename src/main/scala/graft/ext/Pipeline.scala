@@ -209,7 +209,92 @@ object Pipeline {
        |  count(DISTINCT label) AS n_labels
        |FROM curated GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qp03: data-quality expectation checks — the validation contract every
+  // 100 TB load runs before publishing a table (the Great-Expectations/
+  // dbt-test primitive): each expectation is a (check_name, metric,
+  // passed) row where `metric` counts VIOLATIONS (0 = clean), so the
+  // whole suite is a UNION of independent aggregates the scheduler can
+  // evaluate in one job. The checks exercise the real shapes: PK
+  // uniqueness (self-agg), referential integrity (anti-join against the
+  // parent — an SMJ at scale, the one check that costs a shuffle),
+  // domain/range/null-rate checks (map-side counters). All metrics are
+  // exact integers; `passed` is metric = 0 — bit-identical in both
+  // engines by construction.
+  // ---------------------------------------------------------------------
+  private def qp03(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val events = Tables.events(s, d)
+    val docs = Tables.documents(s, d)
+    def check(name: String, metric: DataFrame): DataFrame =
+      metric.select(lit(name).as("check_name"),
+        col("metric").cast("long").as("metric"),
+        (col("metric") === 0).as("passed"))
+    val pkDups = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("metric"))
+    val fkOrphans = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("metric"))
+    val negValues = events.agg(
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("metric"))
+    val badTypes = events.agg(
+      sum(when(col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"), 0L)
+        .otherwise(1L)).as("metric"))
+    val emptyDocs = docs.agg(
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("metric"))
+    check("orders_pk_unique", pkDups)
+      .unionAll(check("lineitem_fk_orders", fkOrphans))
+      .unionAll(check("events_value_nonneg", negValues))
+      .unionAll(check("events_type_in_domain", badTypes))
+      .unionAll(check("documents_text_nonempty", emptyDocs))
+  }
+
+  private val qp03Sql =
+    """SELECT 'orders_pk_unique' AS check_name,
+      |  CAST((SELECT count(*) FROM (
+      |     SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+      |    AS BIGINT) AS metric,
+      |  (SELECT count(*) FROM (
+      |     SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) = 0
+      |    AS passed
+      |UNION ALL
+      |SELECT 'lineitem_fk_orders',
+      |  CAST((SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+      |  (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) = 0
+      |UNION ALL
+      |SELECT 'events_value_nonneg',
+      |  CAST((SELECT coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+      |     FROM events) AS BIGINT),
+      |  (SELECT coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+      |     FROM events) = 0
+      |UNION ALL
+      |SELECT 'events_type_in_domain',
+      |  CAST((SELECT coalesce(sum(CASE WHEN event_type IN
+      |     ('view','click','purchase','signup','error') THEN 0 ELSE 1 END), 0)
+      |     FROM events) AS BIGINT),
+      |  (SELECT coalesce(sum(CASE WHEN event_type IN
+      |     ('view','click','purchase','signup','error') THEN 0 ELSE 1 END), 0)
+      |     FROM events) = 0
+      |UNION ALL
+      |SELECT 'documents_text_nonempty',
+      |  CAST((SELECT coalesce(sum(CASE WHEN text IS NULL
+      |     OR length(trim(text)) = 0 THEN 1 ELSE 0 END), 0)
+      |     FROM documents) AS BIGINT),
+      |  (SELECT coalesce(sum(CASE WHEN text IS NULL
+      |     OR length(trim(text)) = 0 THEN 1 ELSE 0 END), 0)
+      |     FROM documents) = 0""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qp01_pipeline_e2e", qp01, Some(qp01Sql)),
-    Q("qp02_curation_pipeline", qp02, Some(qp02Sql)))
+    Q("qp02_curation_pipeline", qp02, Some(qp02Sql)),
+    Q("qp03_data_quality_checks", qp03, Some(qp03Sql)))
 }

@@ -1358,6 +1358,65 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // qst38: streaming data-quality monitor — qp03's single-table
+  // expectations evaluated where a load gate actually runs: on the
+  // arriving stream. ONE streaming aggregation holds all violation
+  // counters (map-side-combined sums — the counters converge to the
+  // batch metrics in complete mode); the (check_name, metric, passed)
+  // unpivot is an on-read projection of the converged state (qst31's
+  // pattern). The cross-table checks (PK/FK) stay batch-side in qp03 —
+  // a stream cannot anti-join an unbounded parent without state growing
+  // with the parent, and the honest shape is to gate those at publish
+  // time.
+  // ---------------------------------------------------------------------
+  /** The one-aggregation violation counters — package-private so the spec
+    * can plant violating rows through the identical streaming shape. */
+  private[graft] def qualityCounters(ev: DataFrame): DataFrame =
+    ev.agg(
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_values"),
+      sum(when(col("event_type").isin(
+        "view", "click", "purchase", "signup", "error"), 0L)
+        .otherwise(1L)).as("bad_types"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_users"),
+      count(lit(1)).as("rows_seen"))
+
+  /** On-read unpivot of the converged counters into check rows. */
+  private[graft] def qualityUnpivot(counters: DataFrame): DataFrame =
+    counters.select(explode(array(
+        struct(lit("events_value_nonneg").as("check_name"),
+          col("neg_values").as("metric")),
+        struct(lit("events_type_in_domain").as("check_name"),
+          col("bad_types").as("metric")),
+        struct(lit("events_user_nonnull").as("check_name"),
+          col("null_users").as("metric")))).as("c"),
+        col("rows_seen"))
+      .select(col("c.check_name").as("check_name"),
+        col("c.metric").as("metric"),
+        (col("c.metric") === 0).as("passed"), col("rows_seen"))
+
+  private def qst38(s: SparkSession, d: String): DataFrame =
+    qualityUnpivot(runBounded(s, d, "events", "complete")(qualityCounters))
+
+  private val qst38Sql =
+    """WITH m AS (SELECT
+      |  coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS neg_values,
+      |  coalesce(sum(CASE WHEN event_type IN
+      |    ('view','click','purchase','signup','error') THEN 0 ELSE 1 END), 0)
+      |    AS bad_types,
+      |  coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+      |    AS null_users,
+      |  count(*) AS rows_seen FROM events)
+      |SELECT 'events_value_nonneg' AS check_name,
+      |  CAST(neg_values AS BIGINT) AS metric, neg_values = 0 AS passed,
+      |  rows_seen FROM m
+      |UNION ALL
+      |SELECT 'events_type_in_domain', CAST(bad_types AS BIGINT),
+      |  bad_types = 0, rows_seen FROM m
+      |UNION ALL
+      |SELECT 'events_user_nonnull', CAST(null_users AS BIGINT),
+      |  null_users = 0, rows_seen FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qst32: streaming weighted Bernoulli sampling — qx16's predicate on
   // the document stream (the qst13 stateless-ingest pattern, weight-
   // proportional instead of per-source): Poisson-PPS inclusion is a
@@ -1585,5 +1644,8 @@ object StreamingQueries {
     Q("qst36_stream_clustered_sink", qst36, Some(qst36Sql)),
     // qw13's oracle verbatim: the CUSUM monitor over the streamed hourly
     // aggregate must equal the batch closed form
-    Q("qst37_stream_cusum", qst37, Some(graft.operators.Windows.qw13Sql)))
+    Q("qst37_stream_cusum", qst37, Some(graft.operators.Windows.qw13Sql)),
+    // the streamed violation counters must converge to the batch
+    // expectation metrics exactly
+    Q("qst38_stream_quality_monitor", qst38, Some(qst38Sql)))
 }

@@ -1280,6 +1280,34 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  test("streaming quality monitor: planted violations counted across batches (qst38)") {
+    import spark.implicits._
+    // (value, event_type, user_id): one negative value, one out-of-domain
+    // type, one null user — spread over two micro-batches
+    val b1 = Seq((1.0, "view", java.lang.Long.valueOf(1L)),
+      (-2.0, "click", java.lang.Long.valueOf(2L)))
+    val b2 = Seq((3.0, "hack", java.lang.Long.valueOf(3L)),
+      (4.0, "view", null.asInstanceOf[java.lang.Long]))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Double, String, java.lang.Long)]
+    val q = StreamingQueries.qualityCounters(
+        ms.toDF().toDF("value", "event_type", "user_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qmon").start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = StreamingQueries.qualityUnpivot(spark.table("qmon"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+      assert(rows("events_value_nonneg") === ((1L, false, 4L)))
+      assert(rows("events_type_in_domain") === ((1L, false, 4L)))
+      assert(rows("events_user_nonnull") === ((1L, false, 4L)))
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
