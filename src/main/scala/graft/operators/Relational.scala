@@ -881,6 +881,66 @@ object Relational {
       |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q33: A/B experiment readout — the two-proportion pooled z-test every
+  // events pipeline runs on an experiment flag. Assignment is per-user
+  // (variant = user_id % 2, the unit a real experiment randomizes); the
+  // measured unit is the USER-DAY (converted = that user-day saw ≥ 1
+  // 'purchase') so rates sit strictly inside (0, 1) instead of the
+  // saturated any-purchase-ever metric. All counts are exact integers;
+  // the z statistic is ONE shared expression text evaluated by both
+  // engines over those integers — every literal e-notation (pure-double
+  // chain, the qt23 rule) and sqrt is correctly rounded per IEEE 754 in
+  // both libms, so the doubles are bit-identical before the 6-dp
+  // rounding; the p̂(1−p̂)=0 boundary (all or none converted — the rates
+  // are then EQUAL, so the principled statistic is 0) is guarded
+  // identically in both engines rather than divided through. Scale
+  // shape: per-(user, day) conversion is one keyed aggregation
+  // (map-side combined), the per-variant rollup is 2 groups, the z
+  // evaluation a 2-row pivot — nothing after the first shuffle grows
+  // with the corpus.
+  // ---------------------------------------------------------------------
+  private val abZExpr =
+    """round(CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0e0 ELSE
+      |  (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+      |  sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |       (1.0e0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |       (1.0e0 / n0 + 1.0e0 / n1)) END, 6)""".stripMargin
+
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val conv = Tables.events(s, d)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("converted"))
+    conv.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr(abZExpr).as("z"),
+        (abs(expr(abZExpr)) > lit(1.96)).as("significant"))
+  }
+
+  private val q33Sql =
+    s"""WITH conv AS (
+       |  SELECT user_id % 2 AS variant,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+       |agg AS (SELECT variant, count(*) AS n,
+       |        CAST(sum(converted) AS BIGINT) AS c FROM conv GROUP BY variant),
+       |w AS (SELECT
+       |  max(CASE WHEN variant = 0 THEN n END) AS n0,
+       |  max(CASE WHEN variant = 0 THEN c END) AS c0,
+       |  max(CASE WHEN variant = 1 THEN n END) AS n1,
+       |  max(CASE WHEN variant = 1 THEN c END) AS c1 FROM agg)
+       |SELECT n0, c0, n1, c1, $abZExpr AS z,
+       |  abs($abZExpr) > 1.96e0 AS significant
+       |FROM w""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_filter_project", q02, Some(q02Sql), headline = true),
@@ -915,5 +975,6 @@ object Relational {
     Q("q29_table_profile", q29, Some(q29Sql)),
     Q("q29b_profile_hll", q29b, Some(q29bSql)),
     Q("q30_merge_apply", q30, Some(q30Sql)),
-    Q("q31_incremental_agg", q31, Some(q31Sql)))
+    Q("q31_incremental_agg", q31, Some(q31Sql)),
+    Q("q33_ab_test", q33, Some(q33Sql)))
 }

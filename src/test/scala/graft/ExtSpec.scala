@@ -2154,3 +2154,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 }
+
+class AbTestSpec extends SparkSpec {
+
+  test("q33: JVM full mirror of the pooled z-test over the corpus") {
+    val row = Registry.byName("q33_ab_test").run(spark, sf).collect()(0)
+    // mirror from the raw events with the identical op sequence
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val conv = ev.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((u, _), rs) =>
+        (u % 2, if (rs.exists(_._3 == "purchase")) 1L else 0L) }
+    val (n0, c0) = (conv.count(_._1 == 0).toLong,
+      conv.filter(_._1 == 0).map(_._2).sum)
+    val (n1, c1) = (conv.count(_._1 == 1).toLong,
+      conv.filter(_._1 == 1).map(_._2).sum)
+    assert(row.getLong(0) === n0 && row.getLong(1) === c0)
+    assert(row.getLong(2) === n1 && row.getLong(3) === c1)
+    val z =
+      if (c0 + c1 == 0 || c0 + c1 == n0 + n1) 0.0
+      else {
+        val pool = (c0 + c1).toDouble / (n0 + n1)
+        (c0.toDouble / n0 - c1.toDouble / n1) /
+          math.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1))
+      }
+    val zRounded = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(row.getDouble(4) === zRounded)
+    assert(row.getBoolean(5) === (math.abs(zRounded) > 1.96))
+    // the metric is non-degenerate on this corpus: rates strictly inside (0,1)
+    assert(c0 > 0 && c0 < n0 && c1 > 0 && c1 < n1)
+  }
+}
