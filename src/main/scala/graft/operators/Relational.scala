@@ -907,12 +907,10 @@ object Relational {
       |       (1.0e0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
       |       (1.0e0 / n0 + 1.0e0 / n1)) END, 6)""".stripMargin
 
-  private def q33(s: SparkSession, d: String): DataFrame = {
-    val conv = Tables.events(s, d)
-      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("converted"))
-      .select(pmod(col("user_id"), lit(2)).as("variant"), col("converted"))
+  /** Variant rollup + z readout over a (variant, converted) unit frame —
+    * shared with the streaming face (qst39), which must produce the
+    * identical readout from the streamed conversion state. */
+  private[graft] def abReadout(conv: DataFrame): DataFrame =
     conv.groupBy(col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
       .agg(
@@ -923,9 +921,15 @@ object Relational {
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
         expr(abZExpr).as("z"),
         (abs(expr(abZExpr)) > lit(1.96)).as("significant"))
-  }
 
-  private val q33Sql =
+  private def q33(s: SparkSession, d: String): DataFrame =
+    abReadout(Tables.events(s, d)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("converted")))
+
+  private[graft] val q33Sql =
     s"""WITH conv AS (
        |  SELECT user_id % 2 AS variant,
        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted

@@ -1417,6 +1417,28 @@ object StreamingQueries {
       |  null_users = 0, rows_seen FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qst39: streaming A/B experiment readout — q33's pooled z-test where
+  // an experiment dashboard actually reads it: over the live stream. ONE
+  // streaming aggregation keyed on (variant, user, day) holds the
+  // conversion state (the unit frame — per-key max is the smallest
+  // possible state for a dedup-to-conversion metric); the variant rollup
+  // and the z evaluation are on-read projections of the converged state
+  // (qst31's pattern). Oracle: q33's SQL verbatim — streaming/batch
+  // consistency by construction.
+  // ---------------------------------------------------------------------
+  private def qst39(s: SparkSession, d: String): DataFrame = {
+    val conv = runBounded(s, d, "events", "complete") { ev =>
+      ev.groupBy(pmod(col("user_id"), lit(2)).as("variant"),
+          col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    }
+    graft.operators.Relational.abReadout(
+      conv.select(col("variant"), col("converted")))
+  }
+
+  // ---------------------------------------------------------------------
   // qst32: streaming weighted Bernoulli sampling — qx16's predicate on
   // the document stream (the qst13 stateless-ingest pattern, weight-
   // proportional instead of per-source): Poisson-PPS inclusion is a
@@ -1647,5 +1669,9 @@ object StreamingQueries {
     Q("qst37_stream_cusum", qst37, Some(graft.operators.Windows.qw13Sql)),
     // the streamed violation counters must converge to the batch
     // expectation metrics exactly
-    Q("qst38_stream_quality_monitor", qst38, Some(qst38Sql)))
+    Q("qst38_stream_quality_monitor", qst38, Some(qst38Sql)),
+    // q33's oracle verbatim: the live experiment readout must equal the
+    // batch z-test exactly
+    Q("qst39_stream_ab_test", qst39,
+      Some(graft.operators.Relational.q33Sql)))
 }
