@@ -1333,8 +1333,13 @@ object TextAnalysis {
     val fps = winnowedFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("h")).distinct()
     val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    // n >= 2 as well as the cap: singleton fingerprints can form no pair,
+    // so dropping them BEFORE the self-join keeps their posting rows out
+    // of the pair shuffle entirely — in a real corpus singletons are the
+    // vast majority of the hash space (here the tiny synthetic vocabulary
+    // shares most hashes, so the gain is modest — but it is never a loss)
     val kept = fps.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") <= Dedup.BucketCap).select(col("h"))
+      .filter(col("n").between(2, Dedup.BucketCap)).select(col("h"))
     val posting = fps.join(kept.hint("merge"), Seq("h"), "left_semi")
     val shared = posting.select(col("h"), col("doc_id").as("a"))
       .join(posting.select(col("h"), col("doc_id").as("b")).hint("merge"),
@@ -1360,7 +1365,7 @@ object TextAnalysis {
        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
        |       FROM fpset GROUP BY doc_id),
        |kept AS (SELECT h FROM fpset GROUP BY h
-       |         HAVING count(*) <= ${Dedup.BucketCap}),
+       |         HAVING count(*) BETWEEN 2 AND ${Dedup.BucketCap}),
        |posting AS (SELECT f.doc_id, f.h FROM fpset f JOIN kept USING (h)),
        |shared AS (
        |  SELECT p1.doc_id AS a, p2.doc_id AS b,
