@@ -577,7 +577,7 @@ object Similarity {
       .filter(col("rank") <= 3)
   }
 
-  private val qs11Sql = {
+  private[graft] val qs11Sql = {
     val cos = Vectors.cosineSql("q.embedding", "c.embedding")
     val qb = bucketSql("q.embedding")
     val cb = bucketSql("c.embedding")

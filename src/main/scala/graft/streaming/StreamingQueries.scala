@@ -861,6 +861,37 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // qst40: streaming FILTERED ANN — qs11's composite (label, bucket)
+  // index probe with the queries arriving as a stream (the tenancy/
+  // language-constrained RAG-ingest shape): the static corpus is indexed
+  // once by (label, bucket); each arriving query joins ONLY its own cell
+  // via the stream-static composite equi-join, append-mode candidates,
+  // rank-on-read (qst22's pattern plus the metadata key). Oracle: qs11's
+  // SQL verbatim — streaming/batch consistency by construction.
+  // ---------------------------------------------------------------------
+  private def qst40(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Similarity
+    val corpus = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label"), col("bucket"))
+    val scored = runBounded(s, d, "embeddings", "append") { emb =>
+      emb.filter(col("vec_id") < 10)
+        .withColumn("bucket", Similarity.bucketExpr(Similarity.NumPlanes))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label"), col("bucket"))
+        .join(corpus, Seq("label", "bucket"))
+        .select(col("q_id"), col("label"), col("n_id"),
+          graft.functions.Vectors.fastCosine(col("q_emb"), col("n_emb"))
+            .as("cos_sim"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+  }
+
+  // ---------------------------------------------------------------------
   // qst24: streaming top-k — sort+limit over a streaming aggregation
   // (complete mode, the only mode that permits it: the rank is a property
   // of the WHOLE result, so every trigger re-emits the current top-k from
@@ -1673,5 +1704,9 @@ object StreamingQueries {
     // q33's oracle verbatim: the live experiment readout must equal the
     // batch z-test exactly
     Q("qst39_stream_ab_test", qst39,
-      Some(graft.operators.Relational.q33Sql)))
+      Some(graft.operators.Relational.q33Sql)),
+    // qs11's oracle verbatim: the streamed composite-index probe must
+    // reproduce the batch filtered ranking exactly
+    Q("qst40_stream_filtered_ann", qst40,
+      Some(graft.ext.Similarity.qs11Sql)))
 }
