@@ -1543,13 +1543,20 @@ object TextAnalysis {
     * two physical shapes of one logical operator.) */
   private[graft] def bm25ScoreDocs(docs: DataFrame,
                                    queryTable: DataFrame): DataFrame = {
+    // tf is bound ONCE per term by the transform stage (the array scan is
+    // the hot-path cost; naively inlining `size(filter(...))` into the
+    // score recomputes it three times per term — the BloomDedup hex-string
+    // lesson, applied before it ships)
     val scoreU =
-      """aggregate(terms, CAST(0 AS BIGINT), (acc, t) -> acc +
-        |  (CASE WHEN size(filter(toks, w -> w = t.token)) > 0 THEN
+      """aggregate(
+        |  transform(terms, t -> named_struct(
+        |    'df', t.df, 'tf', size(filter(toks, w -> w = t.token)))),
+        |  CAST(0 AS BIGINT), (acc, t) -> acc +
+        |  (CASE WHEN t.tf > 0 THEN
         |    CAST(round(
         |      ln((n_docs - t.df + 0.5e0) / (t.df + 0.5e0) + 1.0e0) *
-        |      (size(filter(toks, w -> w = t.token)) * (1.2e0 + 1.0e0)) /
-        |      (size(filter(toks, w -> w = t.token)) + 1.2e0 *
+        |      (t.tf * (1.2e0 + 1.0e0)) /
+        |      (t.tf + 1.2e0 *
         |        (1.0e0 - 0.75e0 + 0.75e0 * size(toks) / avgdl)) * 1e6) AS BIGINT)
         |  ELSE CAST(0 AS BIGINT) END))""".stripMargin
     val nTerms =
