@@ -227,9 +227,55 @@ object AsOf {
       |ASOF LEFT JOIN clicks c ON v.user_id = c.user_id AND v.ts >= c.ts
       |ASOF LEFT JOIN purchases p ON v.user_id = p.user_id AND v.ts >= p.ts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // qa05: staleness-bounded as-of join — the feature-FRESHNESS contract:
+  // a matched feature value older than the tolerance is as bad as no
+  // value (a 3-week-old "latest click" must not leak into a model that
+  // assumes recency), so the as-of match is kept only while
+  // obs.ts − feature.ts ≤ tolerance. Composed as asofJoin carrying the
+  // feature's OWN timestamp as a payload column, then one row-local CASE
+  // — no second pass, no extra shuffle beyond qa01's. The emitted age is
+  // exact integer microseconds (null when never-observed), so the gate
+  // is arithmetic-exact.
+  // ---------------------------------------------------------------------
+  private val StaleTolUs = 2L * 86400L * 1000000L // 2 days
+
+  private def qa05(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .withColumn("click_ts", col("ts"))
+    asofJoin(views, clicks, "user_id", "ts", Seq("click_value", "click_ts"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("age_us"),
+        when(unix_micros(col("ts")) - unix_micros(col("click_ts"))
+          <= StaleTolUs, col("click_value")).as("click_value"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("click_ts"))
+          <= StaleTolUs, lit(false)).as("fresh"))
+  }
+
+  private val qa05Sql =
+    s"""WITH views AS (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+       |clicks AS (
+       |  SELECT user_id, ts AS click_ts, max(value) AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       |SELECT v.user_id AS user_id, v.event_id AS event_id, v.ts AS ts,
+       |  epoch_us(v.ts) - epoch_us(c.click_ts) AS age_us,
+       |  CASE WHEN epoch_us(v.ts) - epoch_us(c.click_ts) <= $StaleTolUs
+       |       THEN c.click_value END AS click_value,
+       |  coalesce(epoch_us(v.ts) - epoch_us(c.click_ts) <= $StaleTolUs,
+       |           false) AS fresh
+       |FROM views v ASOF LEFT JOIN clicks c
+       |  ON v.user_id = c.user_id AND v.ts >= c.click_ts""".stripMargin
+
   def queries: Seq[Q] = Seq(
     Q("qa01_asof_join", qa01, Some(qa01Sql)),
     Q("qa02_range_join", qa02, Some(qa02Sql)),
     Q("qa03_scd2_join", qa03, Some(qa03Sql)),
-    Q("qa04_pit_features", qa04, Some(qa04Sql)))
+    Q("qa04_pit_features", qa04, Some(qa04Sql)),
+    Q("qa05_asof_tolerance", qa05, Some(qa05Sql)))
 }

@@ -274,4 +274,26 @@ class PitFeaturesSpec extends SparkSpec {
     assert(out(200L) === ((None, None)), "leak: a future click reached the view")
     assert(out(300L) === ((None, Some(88))), "missing feature must be null")
   }
+
+  test("qa05: stale matches are nulled, fresh kept, never-observed stay null") {
+    val out = Registry.byName("qa05_asof_tolerance").run(spark, sf).collect()
+    val tolUs = 2L * 86400L * 1000000L
+    assert(out.nonEmpty)
+    var fresh = 0; var stale = 0; var never = 0
+    out.foreach { r =>
+      val age = Option(r.getAs[java.lang.Long]("age_us")).map(_.toLong)
+      val v = Option(r.getAs[java.lang.Double]("click_value"))
+      val f = r.getAs[Boolean]("fresh")
+      age match {
+        case Some(a) if a <= tolUs =>
+          assert(v.nonEmpty && f, s"fresh match (age $a) lost its value"); fresh += 1
+        case Some(a) =>
+          assert(v.isEmpty && !f, s"stale match (age $a) leaked a value"); stale += 1
+        case None =>
+          assert(v.isEmpty && !f, "never-observed row got a value"); never += 1
+      }
+    }
+    // the tolerance actually bites on this corpus: all three cases occur
+    assert(fresh > 0 && stale > 0, s"degenerate corpus: fresh=$fresh stale=$stale never=$never")
+  }
 }
