@@ -592,6 +592,54 @@ object Similarity {
        |WHERE rank <= 3""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // qs12: persisted IVF index + DPP-pruned serving — the "build once,
+  // serve many" face of qs03: the inverted file is WRITTEN as a parquet
+  // table hive-partitioned by cell id, and the serve join's scan is
+  // pruned by DYNAMIC PARTITION PRUNING — Spark derives the probed cell
+  // set from the (broadcast) query side at runtime and reads ONLY those
+  // cell directories, so a query batch probing nprobe·|Q| of K cells
+  // does IO proportional to the probed cells, not the index
+  // (plan-linted: `dynamicpruning` in the scan's PartitionFilters). This
+  // is the partition-level sibling of qx17's row-group pruning, applied
+  // to ANN serving. Same centroids/assignment/ranking as qs03 — its
+  // oracle verbatim. The gate-level partition type is the inferred INT
+  // (cell ids are small); at a scale where cell ids exceed int, disable
+  // partition type inference and key on string.
+  // ---------------------------------------------------------------------
+  private def ivfIndexDir(d: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft-ivf-index-" + Integer.toHexString(d.hashCode) +
+      "-p" + ProcessHandle.current().pid()
+
+  private def qs12(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, IvfK)
+    val path = ivfIndexDir(d)
+    // build once: the inverted file at rest, one directory per cell
+    cellsOf(cents, e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", keep = 1)
+      .select(col("n_id"), col("n_emb"), col("c_id"))
+      .write.partitionBy("c_id").mode("overwrite").parquet(path)
+    val index = s.read.parquet(path)
+    // serve: the probed-cells frame broadcasts; joining on the partition
+    // column lets DPP prune the index scan to exactly those directories
+    val queryCells = cellsOf(cents, e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", keep = 2)
+      .select(col("q_id"), col("q_emb"),
+        col("c_id").cast("int").as("c_id")) // match the inferred partition type
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id").asc)
+    index.join(broadcast(queryCells), Seq("c_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   private val RrfK = 60
   private val RrfC = 20 // per-system candidate depth entering fusion
   private val rrfExpr =
@@ -695,5 +743,8 @@ object Similarity {
     // swaps in its bucketed variant — the fusion frames stay |Q|·C
     Q("qs10_hybrid_rrf", qs10, Some(qs10Sql)),
     // pre-filtered composite-index probe: (label, bucket) equi-join
-    Q("qs11_filtered_ann", qs11, Some(qs11Sql)))
+    Q("qs11_filtered_ann", qs11, Some(qs11Sql)),
+    // qs03's oracle verbatim: the persisted DPP-served index must
+    // reproduce the in-memory IVF ranking exactly
+    Q("qs12_persisted_ivf", qs12, Some(qs03Sql)))
 }

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkSpec {
     "qs10_hybrid_rrf",    // qs01 + qs04-coarse legs: bounded query broadcast crosses
     "qw13_cusum_drift",   // 1-row global [lo,hi] hour-bounds broadcast cross
     "qst37_stream_cusum", // same 1-row bounds cross over the streamed hourly frame
+    "qs12_persisted_ivf", // qs03's centroid-assignment broadcast cross (K=16)
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
     "q29_table_profile",  // two 1-row profile passes crossed, by design
@@ -311,6 +312,17 @@ class PlanLintSpec extends SparkSpec {
       s"top-9 term selection is not a TakeOrderedAndProject:\n${plan.take(600)}")
     assert(plan.contains("WindowGroupLimit"),
       "final top-10 rank filter did not push down to WindowGroupLimit")
+  }
+
+  // qs12's scale contract: the serve scan over the persisted inverted
+  // file must be pruned by DYNAMIC partition pruning — the probed-cell
+  // set is only known at runtime (from the broadcast query side), so a
+  // plan without dynamicpruning reads the WHOLE index per query batch.
+  test("qs12 persisted IVF: the index scan carries a dynamic pruning filter") {
+    val plan = Registry.byName("qs12_persisted_ivf").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n${plan.take(800)}")
   }
 
   test("qx10 bloom join: might_contain prefilter present, join stays a merge SMJ") {
