@@ -240,7 +240,14 @@ object Soak {
         // hourly aggregation; qs11's composite (label, bucket) probe
         // must stay one equi-join whose candidates shrink with the
         // filter, never grow with corpus²
-        "qw13_cusum_drift", "qs11_filtered_ann")
+        "qw13_cusum_drift", "qs11_filtered_ann",
+        // qa04 composes two qa01-shaped union+carry window passes (both
+        // user-keyed — corpus-linear); qp03's FK anti-join is the one
+        // expectation that costs a fact-fact shuffle; q33's unit agg is
+        // user-day-keyed; qs12's serve scan must stay DPP-bounded as the
+        // index grows (build cost is the corpus term)
+        "qa04_pit_features", "qp03_data_quality_checks", "q33_ab_test",
+        "qs12_persisted_ivf")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without
