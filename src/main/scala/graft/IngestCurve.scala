@@ -74,11 +74,16 @@ object IngestCurve {
       SpanDedup.simhashChunks(batch)
         .select(col("doc_id"), col("c"), col("chunk"), col("simhash")))
 
-    val nBatches = mult / cpb
+    // ceil(mult / cpb) batches: a trailing mult % cpb remainder gets a
+    // final SHORT batch (upper bound clamped to the corpus end) instead of
+    // being silently dropped (ADVICE r12) — the curve's store_rows and
+    // classify efficacy cover exactly the mult copies the env var implies
+    val nBatches = (mult + cpb - 1) / cpb
     val rows = (0 until nBatches).map { k =>
+      val copies = math.min(cpb, mult - k * cpb)
       val batch = docs.filter(
         col("doc_id") >= k.toLong * cpb * off &&
-        col("doc_id") < (k + 1).toLong * cpb * off)
+        col("doc_id") < math.min((k + 1).toLong * cpb, mult.toLong) * off)
 
       val tc = System.nanoTime()
       val counts = SpanDedup.classifyAgainstState(batch,
@@ -100,7 +105,7 @@ object IngestCurve {
       println(f"[ingest] k=$k classify=$classifySec%.2f merge=$mergeSec%.2f " +
         f"compact=$compactSec%.2f touched=${touched.size} store=$storeRows " +
         s"counts=$counts")
-      f"""{"k":$k,"classify_sec":$classifySec%.2f,"merge_sec":$mergeSec%.2f,""" +
+      f"""{"k":$k,"copies":$copies,"classify_sec":$classifySec%.2f,"merge_sec":$mergeSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"touched":${touched.size},""" +
         s""""store_rows":$storeRows,"exact":${counts.getOrElse("exact_dup", 0L)},""" +
         s""""near":${counts.getOrElse("near_dup", 0L)},"new":${counts.getOrElse("new", 0L)}}"""

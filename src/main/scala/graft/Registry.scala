@@ -18,7 +18,17 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    // Dir-aware oracle override for gates whose strong oracle embeds
+    // values recorded while RUNNING against a specific sf dir (qst27's
+    // quantile literals): Verify dumps oracleFor(sfDir) so a dump for a
+    // dir the query never ran against falls back to the weak form
+    // instead of embedding another dir's literals (ADVICE r12).
+    oracleFor: Option[String => String] = None) {
+  /** The oracle to dump for `sfDir` — dir-aware when the gate needs it. */
+  def oracleAt(sfDir: String): Option[String] =
+    oracleFor.map(f => f(sfDir)).orElse(oracle)
+}
 
 object Registry {
   def all: Seq[Q] =

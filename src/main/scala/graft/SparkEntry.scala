@@ -19,4 +19,10 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Dir-aware variant used by [[Verify]]: gates that record run values
+    * into their oracle (qst27) emit the strong form only for the dir they
+    * actually ran against, the weak form otherwise. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    Registry.all.flatMap(q => q.oracleAt(sfDir).map(sql => q.name -> sql)).toMap
 }

@@ -612,16 +612,27 @@ object Similarity {
       "/graft-ivf-index-" + Integer.toHexString(d.hashCode) +
       "-p" + ProcessHandle.current().pid()
 
+  // "build once, serve many" means the build must not re-run on every
+  // query invocation (a bench timing of the serve path would otherwise
+  // include the full index write — ADVICE r12): the index is built at most
+  // once per (process, sf dir). Safe because the dir's parquet is
+  // immutable and the path is pid-scoped, so no cross-process staleness.
+  private val ivfIndexBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def qs12(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, IvfK)
     val path = ivfIndexDir(d)
-    // build once: the inverted file at rest, one directory per cell
-    cellsOf(cents, e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-      "n_id", "n_emb", keep = 1)
-      .select(col("n_id"), col("n_emb"), col("c_id"))
-      .write.partitionBy("c_id").mode("overwrite").parquet(path)
+    if (ivfIndexBuilt.add(path)) {
+      try
+        // build once: the inverted file at rest, one directory per cell
+        cellsOf(cents, e.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          "n_id", "n_emb", keep = 1)
+          .select(col("n_id"), col("n_emb"), col("c_id"))
+          .write.partitionBy("c_id").mode("overwrite").parquet(path)
+      catch { case e: Throwable => ivfIndexBuilt.remove(path); throw e }
+    }
     val index = s.read.parquet(path)
     // serve: the probed-cells frame broadcasts; joining on the partition
     // column lets DPP prune the index scan to exactly those directories
@@ -632,10 +643,12 @@ object Similarity {
         col("c_id").cast("int").as("c_id")) // match the inferred partition type
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id").asc)
+    // no dedup needed: keep=1 puts each n_id in exactly one cell, so a
+    // (q_id, n_id) pair joins at most once — a distinct() here was a
+    // no-op shuffle (ADVICE r12)
     index.join(broadcast(queryCells), Seq("c_id"))
       .select(col("q_id"), col("n_id"),
         Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }

@@ -515,8 +515,7 @@ object SpanDedup {
           bH.filter(col("dp").isin(touched: _*)))
         val cStage = stageTouched(s, cDir, cSchema, touched,
           bC.filter(col("dp").isin(touched: _*)))
-        swapPartitions(hStage, hDir, touched)
-        swapPartitions(cStage, cDir, touched)
+        swapPartitions(Seq(hStage -> hDir, cStage -> cDir), touched)
         appendRows(bH.filter(!col("dp").isin(touched: _*)), hDir)
         appendRows(bC.filter(!col("dp").isin(touched: _*)), cDir)
       } else {
@@ -540,18 +539,49 @@ object SpanDedup {
       stage
     }
 
-    /** Replace `dp=X` dirs of `dir` for every touched X with the staged
-      * versions (delete-then-move; a table format would commit this). */
-    private def swapPartitions(stage: String, dir: String,
+    /** Replace `dp=X` dirs for every touched X with the staged versions,
+      * across ALL the given (stage, dir) tables under ONE restore scope.
+      * Every live partition moves ASIDE first, then all staged partitions
+      * move in, and only then are the asides deleted — any failure puts
+      * every moved partition of every table back, so a mid-swap crash can
+      * neither lose a partition nor leave the h and chunks tables
+      * desynchronized (ADVICE r12; a table format would commit this
+      * atomically — this is the filesystem approximation). */
+    private def swapPartitions(swaps: Seq[(String, String)],
         touched: Seq[String]): Unit = {
       import java.nio.file._
-      touched.foreach { x =>
-        val live = Paths.get(dir, s"dp=$x")
-        if (Files.exists(live)) rmTree(live)
-        val staged = Paths.get(stage, s"dp=$x")
-        if (Files.exists(staged)) Files.move(staged, live): Unit
+      // (live, aside, staged) across every table, same touched keys
+      val moves = for ((stage, dir) <- swaps; x <- touched) yield
+        (Paths.get(dir, s"dp=$x"), Paths.get(s"$dir.aside", s"dp=$x"),
+          Paths.get(stage, s"dp=$x"))
+      var movedAside: List[(Path, Path)] = Nil // (aside, live) to restore
+      var placed: List[Path] = Nil             // staged dirs now live
+      try {
+        swaps.foreach { case (_, dir) =>
+          val aside = Paths.get(s"$dir.aside")
+          if (Files.exists(aside)) rmTree(aside)
+          Files.createDirectories(aside): Unit
+        }
+        moves.foreach { case (live, aside, _) =>
+          if (Files.exists(live)) {
+            Files.move(live, aside); movedAside ::= (aside, live)
+          }
+        }
+        moves.foreach { case (live, _, staged) =>
+          if (Files.exists(staged)) { Files.move(staged, live); placed ::= live }
+        }
+      } catch {
+        case e: Throwable =>
+          placed.foreach(rmTree)          // undo half-placed stages
+          movedAside.foreach { case (aside, live) =>
+            if (Files.exists(live)) rmTree(live)
+            Files.move(aside, live): Unit // originals back, both tables
+          }
+          swaps.foreach { case (_, dir) => rmTree(Paths.get(s"$dir.aside")) }
+          throw e
       }
-      rmTree(Paths.get(stage))
+      swaps.foreach { case (_, dir) => rmTree(Paths.get(s"$dir.aside")) }
+      swaps.foreach { case (stage, _) => rmTree(Paths.get(stage)) }
     }
 
     /** Fold each partition's accumulated append files into one file —
@@ -566,7 +596,7 @@ object SpanDedup {
         val touched = new java.io.File(dir).listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("dp="))
           .map(_.getName.stripPrefix("dp=")).toSeq
-        swapPartitions(stage, dir, touched)
+        swapPartitions(Seq(stage -> dir), touched)
       }
     }
 

@@ -126,9 +126,24 @@ object Layout {
     def del(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
     }
-    del(new java.io.File(path))
-    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    // swap order keeps a complete copy of the data on disk at every
+    // instant (ADVICE r12 — delete-then-rename had a window where a crash
+    // lost the table): live moves ASIDE first, the compacted dir renames
+    // in, and only then is the old copy deleted; a failed second rename
+    // restores the aside copy.
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) del(old)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(
+        s"compaction swap failed: $path -> $old (live table untouched)")
+    if (!new java.io.File(tmp).renameTo(live)) {
+      val restored = old.renameTo(live)
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path" +
+        (if (restored) " (old table restored)"
+         else s" (RESTORE FAILED — data preserved at $old)"))
+    }
+    del(old)
   }
 
   private def idempotentOverwrite(batch: DataFrame, batchId: Long,

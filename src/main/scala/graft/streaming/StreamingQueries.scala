@@ -88,8 +88,10 @@ object StreamingQueries {
       .select(col("user_id"),
         concat(lit("c"), pmod(col("user_id"), lit(20))).as("campaign_id"))
     runBounded(s, d, "events", "complete") { ev =>
+      // dim is corpus-derived (distinct users) — unhinted, AQE decides;
+      // a pinned broadcast here is the 100 TB driver-OOM pattern
       ev.filter(col("event_type") === "view")
-        .join(broadcast(dim), Seq("user_id"), "inner")
+        .join(dim, Seq("user_id"), "inner")
         .groupBy(window(col("ts"), "6 hours"), col("campaign_id"))
         .agg(count(lit(1)).as("count"), max(col("ts")).as("last_update"))
         .select(unix_millis(col("window.start")).as("time_window"),
@@ -925,9 +927,11 @@ object StreamingQueries {
   // Oracle: qa03's SQL verbatim (streaming/batch consistency contract).
   // ---------------------------------------------------------------------
   private def qst25(s: SparkSession, d: String): DataFrame = {
+    // versions = supplier×3 is SF-proportional → unhinted like batch qa03;
+    // AQE broadcasts it at small SF, shuffles at 100 TB
     val versions = graft.operators.AsOf.scd2Versions(s, d)
     runBounded(s, d, "lineitem", "complete") { li =>
-      graft.operators.AsOf.scd2Rollup(li, broadcast(versions))
+      graft.operators.AsOf.scd2Rollup(li, versions)
     }
   }
 
@@ -1073,13 +1077,15 @@ object StreamingQueries {
   // ---------------------------------------------------------------------
   private val QAccuracy = 100 // ε = 1/accuracy = 0.01
 
-  /** qst27's broadcast quantile values, recorded by the run so the
-    * oracle can restate the rank-window theorems in DuckDB over the same
-    * literals. Verify dumps oracle SQL after running the queries, so the
-    * gate always sees the strong form; an oracle dump where qst27 never
-    * ran falls back to the r11 property-literal oracle. */
+  /** qst27's broadcast quantile values, recorded PER SF DIR by the run so
+    * the oracle can restate the rank-window theorems in DuckDB over the
+    * same literals. Verify dumps oracle SQL after running the queries, so
+    * the gate sees the strong form for the dir it ran against; a dump for
+    * a dir the query never ran against (or where it failed mid-run) falls
+    * back to the r11 property-literal oracle instead of embedding another
+    * dir's stale literals (ADVICE r12). */
   private val qst27Values =
-    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double, Double)]](Nil)
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double, Double)]]()
 
   private def qst27(s: SparkSession, d: String): DataFrame = {
     val streamed = runBounded(s, d, "events", "complete") { ev =>
@@ -1089,7 +1095,7 @@ object StreamingQueries {
     }
     val b = streamed.select(col("event_type"),
       col("qs")(0).as("v50"), col("qs")(1).as("v95"))
-    qst27Values.set(b.collect()
+    qst27Values.put(d, b.collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .toSeq.sortBy(_._1))
     Tables.events(s, d)
@@ -1111,14 +1117,16 @@ object StreamingQueries {
         (col("eq95") > 0).as("p95_member"))
   }
 
-  private def qst27Sql: String = {
-    val vs = qst27Values.get()
-    if (vs.isEmpty)
-      // weak fallback: qst27 did not run before this dump
-      """SELECT event_type, CAST(count(value) AS BIGINT) AS n,
-        |  true AS p50_rank_ok, true AS p95_rank_ok,
-        |  true AS p50_member, true AS p95_member
-        |FROM events GROUP BY event_type""".stripMargin
+  // weak fallback: qst27 did not run against the dumped dir
+  private val qst27WeakSql =
+    """SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+      |  true AS p50_rank_ok, true AS p95_rank_ok,
+      |  true AS p50_member, true AS p95_member
+      |FROM events GROUP BY event_type""".stripMargin
+
+  private def qst27SqlFor(d: String): String = {
+    val vs = qst27Values.getOrDefault(d, Nil)
+    if (vs.isEmpty) qst27WeakSql
     else {
       // the run's quantile values as shortest-round-trip double literals
       // (the cbLitD rendering contract): DuckDB recomputes every count
@@ -1658,7 +1666,8 @@ object StreamingQueries {
     Q("qst26_stream_heavy_hitters", qst26, Some(qst26Sql)),
     // property gate: rank windows are the GK summary's deterministic
     // guarantee; exact group sizes computed by both engines
-    Q("qst27_stream_quantile", qst27, Some(qst27Sql)),
+    Q("qst27_stream_quantile", qst27, Some(qst27WeakSql),
+      oracleFor = Some(qst27SqlFor)),
     // exact-state audit: the final Bloom bit array is an order-independent
     // set union, recomputed bit-for-bit by the oracle from the shared md5
     // hash family

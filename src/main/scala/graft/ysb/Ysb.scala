@@ -16,10 +16,16 @@ import graft.sources.Tables
   * snake_case (`last_update`) rather than the reference's `lastUpdate` for
   * cross-engine alias stability.
   *
-  * Scale: the dimension join is an explicit `broadcast()` (≤100k rows of
-  * dim vs unbounded fact — a shuffle join here would be the classic YSB
-  * bottleneck); the windowed agg shuffles once on (window, campaign_id)
-  * with map-side partial aggregation.
+  * Scale: `enrichCampaign` pins `broadcast()` because the canonical YSB
+  * dimension is BOUNDED BY CONSTRUCTION — the generator emits a fixed
+  * ad→campaign table (1000 ads × 100 campaigns in the reference) whose
+  * size is independent of how many events stream past. That guarantee
+  * does NOT extend to corpus-derived dimensions: qysb02 builds its dim
+  * from `events.select(user_id).distinct()`, which grows with the user
+  * universe, so that join is left UNHINTED for AQE (a pinned broadcast
+  * there would bypass autoBroadcastJoinThreshold and OOM the driver at
+  * 100 TB). The windowed agg shuffles once on (window, campaign_id) with
+  * map-side partial aggregation.
   */
 object Ysb {
 
@@ -86,8 +92,10 @@ object Ysb {
     val dim = ev.select(col("user_id")).distinct()
       .select(col("user_id"),
         concat(lit("c"), pmod(col("user_id"), lit(20))).as("campaign_id"))
+    // dim grows with the user universe (corpus-derived distinct) — unhinted,
+    // AQE broadcasts at small SF and shuffles at scale (see object scaladoc)
     ev.filter(col("event_type") === "view")
-      .join(broadcast(dim), Seq("user_id"), "inner")
+      .join(dim, Seq("user_id"), "inner")
       .groupBy(window(col("ts"), "6 hours"), col("campaign_id"))
       .agg(count(lit(1)).as("count"), max(col("ts")).as("last_update"))
       .select(unix_millis(col("window.start")).as("time_window"),

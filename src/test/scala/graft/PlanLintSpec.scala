@@ -236,10 +236,18 @@ class PlanLintSpec extends SparkSpec {
     assert(days === 7, s"expected 7 pruned day partitions, read $days")
   }
 
-  test("YSB dimension join broadcasts (qysb02)") {
-    val plan = Registry.byName("qysb02_events").run(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+  // qysb02's dim is corpus-derived (distinct users), so the join is
+  // UNHINTED (r12 finding #1): the analyzed plan must carry zero
+  // ResolvedHints, while at this SF the planner still picks a broadcast
+  // join on its own (under autoBroadcastJoinThreshold) — the behavior a
+  // pinned hint would fake at 100 TB where it must become a shuffle.
+  test("YSB dimension join: unhinted, planner broadcasts at small SF (qysb02)") {
+    val df = Registry.byName("qysb02_events").run(spark, sf)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "corpus-derived dim must stay unhinted — AQE decides")
+    df.collect() // finalize AQE
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "planner should still choose a broadcast at this SF")
   }
 
   // ----- pure projections must not shuffle --------------------------------
