@@ -46,13 +46,28 @@ import graft.sources.Tables
   */
 object IngestCurve {
 
-  /** Compact the store's append files every this many batches. */
+  /** Compact the store's append files every this many batches
+    * (SPARK_GRAFT_INGEST_COMPACT_EVERY; 0 disables — the no-compaction
+    * CONTROL whose file counts grow with every append batch, against
+    * which the compacting run's bounded counts are the evidence). */
   val CompactEvery = 10
+
+  /** Parquet data-file count under a store table dir — the read-side
+    * cost driver compaction exists to bound (every probe/classify scan
+    * opens them). Reported per batch as h_files/c_files. */
+  private def fileCount(dir: String): Int = {
+    def walk(f: File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new File(dir))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "30").toInt
     val cpb = sys.env.getOrElse("SPARK_GRAFT_INGEST_COPIES_PER_BATCH", "1").toInt
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_INGEST_COMPACT_EVERY",
+      CompactEvery.toString).toInt
     val dir = s"target/soak/zipf_x$mult"
     val spark = GraftSession.local("graft-ingest-curve",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -98,15 +113,17 @@ object IngestCurve {
       val mergeSec = sec(tm)
 
       val tk = System.nanoTime()
-      if ((k + 1) % CompactEvery == 0) store.compact(spark)
+      if (compactEvery > 0 && (k + 1) % compactEvery == 0) store.compact(spark)
       val compactSec = sec(tk)
 
       val storeRows = store.readH(spark).count()
+      val storeFiles = fileCount(root.toString)
       println(f"[ingest] k=$k classify=$classifySec%.2f merge=$mergeSec%.2f " +
         f"compact=$compactSec%.2f touched=${touched.size} store=$storeRows " +
-        s"counts=$counts")
+        s"files=$storeFiles counts=$counts")
       f"""{"k":$k,"copies":$copies,"classify_sec":$classifySec%.2f,"merge_sec":$mergeSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"touched":${touched.size},""" +
+        s""""store_files":$storeFiles,""" +
         s""""store_rows":$storeRows,"exact":${counts.getOrElse("exact_dup", 0L)},""" +
         s""""near":${counts.getOrElse("near_dup", 0L)},"new":${counts.getOrElse("new", 0L)}}"""
     }
@@ -123,6 +140,7 @@ object IngestCurve {
       f"merge=$reSec%.2f")
 
     println(s"""{"metric":"ingest_curve","mult":$mult,"copies_per_batch":$cpb,""" +
+      s""""compact_every":$compactEvery,""" +
       s""""batches":[${rows.mkString(",")}],""" +
       f""""reingest":{"docs":$nRe,"touched":${reTouched.size},"merge_sec":$reSec%.2f}}""")
     spark.stop()

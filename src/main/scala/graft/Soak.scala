@@ -247,7 +247,10 @@ object Soak {
         // user-day-keyed; qs12's serve scan must stay DPP-bounded as the
         // index grows (build cost is the corpus term)
         "qa04_pit_features", "qp03_data_quality_checks", "q33_ab_test",
-        "qs12_persisted_ivf")
+        "qs12_persisted_ivf",
+        // r13: the single-window N-feature PIT form — its relative cost
+        // vs qa04's sequential composition is the one-shuffle claim
+        "qa04b_pit_single_pass")
     // SPARK_GRAFT_SOAK_ONLY: comma-separated subset of the names above, for
     // targeted large-mult runs (e.g. the 300× dedup/pipeline tier) where
     // re-timing the whole headline suite would dominate wall-clock without

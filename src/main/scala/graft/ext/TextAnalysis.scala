@@ -1322,35 +1322,81 @@ object TextAnalysis {
   // min(|fps|) — flag at ≥ 0.8. Winnowing's guarantee makes the screen
   // sound for any contained run of ≥ k+w−1 tokens.
   //
-  // 100 TB shape: qd03's exactly — one h-keyed shuffle for caps, the
-  // capped posting self-join (pairs bounded by cap²·buckets, never
-  // corpus²), one (a, b)-keyed count, one bounded nf join. Float
-  // parity: containment is ONE IEEE division of exact longs.
+  // 100 TB shape: EXACT-DEDUP-FIRST (the qd17/qp01 lesson, applied r13):
+  // docs with IDENTICAL winnowed fingerprint sets are interchangeable in
+  // every downstream set operation, so the capped posting self-join runs
+  // over one REPRESENTATIVE per distinct set and results expand back to
+  // member pairs afterwards. Under duplication pressure (the soak tiers,
+  // and boilerplate-heavy real corpora) the pair stage's input collapses
+  // to the distinct corpus; the expansion — inherently m_a·m_b output
+  // rows — is a map-side double explode, never a shuffle. Cap semantics
+  // are defined over DOCS, not representatives, so the per-h counts that
+  // feed kept = [2, BucketCap] weight each rep by its group size — the
+  // oracle's HAVING clause is matched exactly at any duplication level.
+  // Float parity: containment is ONE IEEE division of exact longs.
   // ---------------------------------------------------------------------
   private val ContainmentFlag = 0.8
 
   private def qd19(s: SparkSession, d: String): DataFrame = {
     val fps = winnowedFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("h")).distinct()
-    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    // n >= 2 as well as the cap: singleton fingerprints can form no pair,
-    // so dropping them BEFORE the self-join keeps their posting rows out
-    // of the pair shuffle entirely — in a real corpus singletons are the
-    // vast majority of the hash space (here the tiny synthetic vocabulary
-    // shares most hashes, so the gain is modest — but it is never a loss)
-    val kept = fps.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    // one doc-keyed shuffle computes nf AND the set signature together
+    val docSig = fps.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("nf"),
+      expr("md5(cast(sort_array(collect_list(h)) as string))").as("sig"))
+    val groups = docSig.groupBy(col("sig")).agg(
+      min(col("doc_id")).as("rep"),
+      sort_array(collect_list(col("doc_id"))).as("members"),
+      count(lit(1)).as("m"),
+      first(col("nf")).as("nf")) // identical sets ⇒ identical nf
+    val repFps = fps.join(
+      groups.select(col("rep").as("doc_id")).hint("merge"),
+      Seq("doc_id"), "left_semi")
+    // per-h DOC counts via group-size weights (oracle-exact cap semantics)
+    val kept = repFps.join(
+        groups.select(col("rep").as("doc_id"), col("m")).hint("merge"),
+        Seq("doc_id"))
+      .groupBy(col("h")).agg(sum(col("m")).as("n"))
       .filter(col("n").between(2, Dedup.BucketCap)).select(col("h"))
-    val posting = fps.join(kept.hint("merge"), Seq("h"), "left_semi")
-    val shared = posting.select(col("h"), col("doc_id").as("a"))
-      .join(posting.select(col("h"), col("doc_id").as("b")).hint("merge"),
+    val posting = repFps.join(kept.hint("merge"), Seq("h"), "left_semi")
+    // the expensive stage, now in representative space
+    val sharedRep = posting.select(col("h"), col("doc_id").as("ra"))
+      .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
         Seq("h"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(nf.select(col("doc_id").as("a"), col("nf").as("nf_a")).hint("merge"),
-        Seq("a"))
-      .join(nf.select(col("doc_id").as("b"), col("nf").as("nf_b")).hint("merge"),
-        Seq("b"))
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("shared"))
+    // cross-group member pairs: every (x ∈ A, y ∈ B) shares exactly the
+    // rep pair's fingerprints; reorder ids and carry each side's nf along
+    val cross = sharedRep
+      .join(groups.select(col("rep").as("ra"), col("members").as("mem_a"),
+        col("nf").as("nf_ga")).hint("merge"), Seq("ra"))
+      .join(groups.select(col("rep").as("rb"), col("members").as("mem_b"),
+        col("nf").as("nf_gb")).hint("merge"), Seq("rb"))
+      .select(col("shared"), col("nf_ga"), col("nf_gb"), col("mem_b"),
+        explode(col("mem_a")).as("x"))
+      .select(col("shared"), col("nf_ga"), col("nf_gb"), col("x"),
+        explode(col("mem_b")).as("y"))
+      .select(
+        least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"),
+        col("shared"),
+        when(col("x") < col("y"), col("nf_ga")).otherwise(col("nf_gb")).as("nf_a"),
+        when(col("x") < col("y"), col("nf_gb")).otherwise(col("nf_ga")).as("nf_b"))
+    // within-group member pairs: identical sets ⇒ shared = |kept ∩ set|
+    val swithin = posting.groupBy(col("doc_id").as("rep"))
+      .agg(count(lit(1)).as("shared"))
+    val within = groups.filter(col("m") >= 2)
+      .join(swithin.hint("merge"), Seq("rep"), "left")
+      .select(col("members"), coalesce(col("shared"), lit(0L)).as("shared"),
+        col("nf"))
+      .select(col("shared"), col("nf"), col("members"),
+        posexplode(col("members")).as(Seq("i", "x")))
+      .select(col("shared"), col("nf"), col("x"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("y"))
+      .select(col("x").as("a"), col("y").as("b"), col("shared"),
+        col("nf").as("nf_a"), col("nf").as("nf_b"))
+    cross.unionByName(within)
       .select(col("a"), col("b"), col("shared"),
         (col("shared").cast("double") / least(col("nf_a"), col("nf_b")))
           .as("containment"),

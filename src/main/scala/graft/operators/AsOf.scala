@@ -212,6 +212,61 @@ object AsOf {
         col("click_value"), col("purchase_value"))
   }
 
+  /** N-feature point-in-time assembly in ONE key-shuffle (qa04b): all
+    * feature tables union into the observation frame, each tagged into its
+    * own value column, and every feature's at-or-before carry is a
+    * last(ignoreNulls) over the SAME window spec — Catalyst computes all N
+    * carries inside a single Window operator over a single key-partitioned
+    * sort, so the plan is 1 Exchange + 1 Sort + 1 Window REGARDLESS of
+    * feature count. qa04's sequential composition costs N key-shuffles for
+    * N features (the union before each window breaks partitioning reuse —
+    * its scaladoc notes the break; VERDICT r12 Next #7 asked for this
+    * form). Carries stay per-column independent, so the `<=` time-travel
+    * semantics per feature are qa04's exactly. */
+  def pitMulti(obs: DataFrame, features: Seq[(DataFrame, String)],
+      keyCol: String, tsCol: String): DataFrame = {
+    val obsExtra = obs.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val featNames = features.map(_._2)
+    val obsTagged = obs.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__is_obs")) ++
+        obsExtra.map(col) ++
+        features.map { case (fdf, name) =>
+          lit(null).cast(fdf.schema(name).dataType).as(s"__f_$name") }: _*)
+    val featTagged = features.map { case (fdf, name) =>
+      fdf.select(
+        Seq(col(keyCol), col(tsCol), lit(0).as("__is_obs")) ++
+          obsExtra.map(c => lit(null).cast(obs.schema(c).dataType).as(c)) ++
+          features.map { case (fdf2, n2) =>
+            (if (n2 == name) col(name)
+             else lit(null).cast(fdf2.schema(n2).dataType)).as(s"__f_$n2") }: _*)
+    }
+    // feature rows sort before obs rows at equal ts (__is_obs 0 < 1) —
+    // ASOF `<=` semantics, asofJoin's tie rule verbatim
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__is_obs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    featTagged.foldLeft(obsTagged)(_ unionByName _)
+      .select((Seq(col(keyCol), col(tsCol), col("__is_obs")) ++
+        obsExtra.map(col) ++
+        featNames.map(n =>
+          last(col(s"__f_$n"), ignoreNulls = true).over(w).as(n))): _*)
+      .filter(col("__is_obs") === 1).drop("__is_obs")
+  }
+
+  private def qa04b(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def feat(t: String, name: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as(name))
+    pitMulti(views,
+      Seq(feat("click", "click_value") -> "click_value",
+        feat("purchase", "purchase_value") -> "purchase_value"),
+      "user_id", "ts")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   private val qa04Sql =
     """WITH views AS (
       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
@@ -277,5 +332,7 @@ object AsOf {
     Q("qa02_range_join", qa02, Some(qa02Sql)),
     Q("qa03_scd2_join", qa03, Some(qa03Sql)),
     Q("qa04_pit_features", qa04, Some(qa04Sql)),
+    // same semantics + oracle as qa04, one shuffle regardless of feature count
+    Q("qa04b_pit_single_pass", qa04b, Some(qa04Sql)),
     Q("qa05_asof_tolerance", qa05, Some(qa05Sql)))
 }

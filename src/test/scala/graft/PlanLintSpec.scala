@@ -137,6 +137,43 @@ class PlanLintSpec extends SparkSpec {
     assert(shuffleExchanges(graft.ext.Dedup.simhashBucketStage(spark, sf)) == 1)
   }
 
+  // qa04b's whole point: N features, ONE key shuffle. The carry stage is a
+  // single Window operator computing every feature's last() over one
+  // (user_id)-partitioned sort; the only other exchanges are the per-
+  // feature pre-aggregations (shared with qa04, which pays those PLUS one
+  // window shuffle per feature).
+  test("qa04b N-feature PIT: exactly one Window operator for all carries") {
+    val plan = Registry.byName("qa04b_pit_single_pass").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"expected 1 Window operator:\n${plan.take(800)}")
+  }
+
+  test("pitMulti core: one shuffle + one Window for two features") {
+    import spark.implicits._
+    val obs = Seq((1L, 10L, "e1")).toDF("user_id", "ts", "event_id")
+    val f1 = Seq((1L, 5L, 2.0)).toDF("user_id", "ts", "v1")
+    val f2 = Seq((1L, 6L, 3.0)).toDF("user_id", "ts", "v2")
+    val df = graft.operators.AsOf.pitMulti(obs, Seq(f1 -> "v1", f2 -> "v2"),
+      "user_id", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffleExchanges(df) == 1,
+      s"expected exactly 1 hash Exchange:\n${plan.take(800)}")
+    assert("Window \\[".r.findAllIn(plan).size == 1, "expected 1 Window")
+  }
+
+  // qd19's r13 contract: the posting self-join runs in REPRESENTATIVE
+  // space (exact-dedup-first) and the member expansion is a map-side
+  // Generate chain — no broadcast anywhere (corpus-sized frames only).
+  test("qd19 containment: no broadcast of corpus-sized frames (rep-space pair join)") {
+    val plan = Registry.byName("qd19_containment_dup").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "corpus-sized frame broadcast in qd19")
+    assert(plan.contains("Generate"),
+      "member expansion should be an explode (Generate), not a join")
+  }
+
   test("qt21 winnowing profile: ZERO shuffle Exchanges (pure projection)") {
     // the round-12 rewrite's contract: selection is per-document local,
     // so the whole per-doc profile is scan → project — a refactor that
