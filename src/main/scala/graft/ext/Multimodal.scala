@@ -145,6 +145,82 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // qm09: PERCEPTUAL-HASH image dedup — the multimodal member of the
+  // dedup family: each doc's image (qm02's synthesis, encoded and decoded
+  // through the REAL BmpCodec) is reduced to an average-hash (aHash,
+  // public method: one bit per pixel, set when the pixel's integer luma
+  // strictly exceeds the image mean — 299r+587g+114b milli-luma, compared
+  // as l·n > Σl so the gate is integer-exact), prefixed with the
+  // dimensions so only same-geometry images can collide. Images whose
+  // pixels differ only below the luma-mean threshold collapse to one
+  // hash — the perceptual analogue of qd01's exact groups. Dedup
+  // semantics are qd01's: keeper = min doc_id per hash group.
+  // 100 TB shape: per-row decode+hash projection (mapPartitions codec,
+  // no shuffle), ONE phash-keyed agg shuffle, merge-pinned rejoin (both
+  // sides corpus-sized — never broadcast). The oracle recomputes the
+  // bit string from the synthesis arithmetic alone, so any codec defect
+  // (stride, BGR order, bottom-up rows) breaks the hash gate.
+  // ---------------------------------------------------------------------
+  final case class PHashRow(doc_id: Long, phash: String)
+
+  /** Encode→decode→aHash per row (package-visible so the spec can plant
+    * duplicate/distinct image pairs and pin the threshold semantics). */
+  private[graft] def perceptualHash(docs: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = synthPixels(r.doc_id, r.text)
+        val img = BmpCodec.decode(BmpCodec.encode(w, h, px))
+        val n = img.pixels.length
+        val lum = img.pixels.map(p =>
+          299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) + 114L * (p & 0xFF))
+        val tot = lum.sum
+        val bits = lum.map(l => if (l * n > tot) '1' else '0').mkString
+        PHashRow(r.doc_id, s"${img.width}x${img.height}:$bits")
+      }
+    }
+  }
+
+  private def qm09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(length(col("text")) >= 40) // qm02's bound: >= max npix
+      .select(col("doc_id"), col("text")).as[MediaRow]
+    val ph = perceptualHash(docs).toDF()
+    val groups = ph.groupBy(col("phash")).agg(
+      min(col("doc_id")).as("keeper_id"), count(lit(1)).as("group_n"))
+    ph.join(groups.hint("merge"), Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("keeper_id"), col("group_n"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+  }
+
+  private val qm09Sql = {
+    def code(v: String) =
+      s"unicode(substr(text, 1 + $v * (length(text) // (w*h)), 1))"
+    def luma(v: String) =
+      s"299*((${code(v)}) % 256) + 587*(((${code(v)}) * 2) % 256) + " +
+        s"114*(((${code(v)}) + $v) % 256)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+       |    list_sum(list_transform(range(0, (4 + doc_id % 5) * (3 + doc_id % 3)),
+       |      j -> ${luma("j").replace("w*h", "((4 + doc_id % 5) * (3 + doc_id % 3))")})) AS tot
+       |  FROM documents WHERE length(text) >= 40),
+       |ph AS (
+       |  SELECT doc_id,
+       |    w || 'x' || h || ':' ||
+       |    list_aggregate(list_transform(range(0, w*h),
+       |      k -> CASE WHEN (${luma("k")}) * (w*h) > tot
+       |           THEN '1' ELSE '0' END), 'string_agg', '') AS phash
+       |  FROM base),
+       |g AS (SELECT phash, min(doc_id) AS keeper_id,
+       |        CAST(count(*) AS BIGINT) AS group_n
+       |      FROM ph GROUP BY phash)
+       |SELECT p.doc_id AS doc_id, p.phash AS phash, g.keeper_id AS keeper_id,
+       |  g.group_n AS group_n, p.doc_id <> g.keeper_id AS is_dup
+       |FROM ph p JOIN g USING (phash)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // qm03: frame sampling — 1→N expansion of a media blob into per-frame
   // rows (`n_frames` from the metadata), each with a deterministic frame
   // fingerprint. The explode keeps partitioning; no shuffle.
@@ -578,6 +654,7 @@ object Multimodal {
 
   def queries: Seq[Q] = Seq(
     Q("qm01_binary_meta", qm01, Some(qm01Sql)),
+    Q("qm09_perceptual_dedup", qm09, Some(qm09Sql)),
     Q("qm02_decode_features", qm02, Some(qm02Sql)),
     Q("qm03_frame_sampling", qm03, Some(qm03Sql)),
     Q("qm04_audio_features", qm04, Some(qm04Sql)),

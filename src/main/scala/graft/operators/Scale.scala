@@ -663,6 +663,53 @@ object Scale {
       |      FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // qx18: NEAR-DUP-safe train/val/test split — the composition qx13's
+  // scaladoc defers to, now gated: the split key is the near-dup
+  // CONNECTED COMPONENT id (qd08 over qd03's LSH pairs), so documents
+  // linked by ANY chain of near-duplicate pairs land in the same split —
+  // the strongest leakage guard short of semantic dedup (qx13's
+  // md5(text) key only co-locates VERBATIM copies; a paraphrased or
+  // boilerplate-wrapped near-copy of a training doc in the test split is
+  // exactly the contamination eval suites get burned by). Docs in no
+  // component (no near-dup pair anywhere) fall back to qx13's exact-text
+  // key, so the assignment is total and still RNG-free/retry-stable.
+  // Same salted md5 bucketing and 90/5/5 thresholds as qx13.
+  // 100 TB shape: qd03+qd08's (the component build dominates; its
+  // iteration count is log₂ of the duplicate-graph diameter), then ONE
+  // doc-keyed merge join (corpus×components — never broadcast) and a
+  // map-side projection.
+  // ---------------------------------------------------------------------
+  private def qx18(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.ext.Dedup.nearDupComponents(s, d) // (doc_id, component)
+    Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("th"))
+      .join(comp.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(
+        concat(lit("c:"), col("component")), concat(lit("x:"), col("th"))))
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('split:', split_key)), 1, 15), 16, 10) as bigint) % 1000"))
+      .select(col("doc_id"), col("split_key"), col("bucket"),
+        expr("CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' ELSE 'test' END")
+          .as("split"))
+  }
+
+  private val qx18Sql =
+    s"""WITH RECURSIVE ${graft.ext.Dedup.componentsSqlCte},
+       |keyed AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    coalesce('c:' || CAST(c.component AS VARCHAR),
+       |             'x:' || md5(d.text)) AS split_key
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, split_key,
+       |    CAST('0x' || substr(md5('split:' || split_key), 1, 15) AS BIGINT)
+       |      % 1000 AS bucket
+       |  FROM keyed)
+       |SELECT doc_id, split_key, bucket,
+       |  CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // qx14: sequence packing on REAL tokenizer counts — qx05's packing
   // arithmetic with the per-doc budget measured by the trained BPE
   // vocabulary (qt16's merges applied qt17-style) instead of the
@@ -877,5 +924,6 @@ object Scale {
     Q("qx14_bpe_packing", qx14, Some(qx14Sql)),
     Q("qx15_weighted_sample", qx15, Some(qx15Sql)),
     Q("qx16_weighted_bernoulli", qx16, Some(qx16Sql)),
-    Q("qx17_zorder_layout", qx17, Some(qx17Sql)))
+    Q("qx17_zorder_layout", qx17, Some(qx17Sql)),
+    Q("qx18_component_split", qx18, Some(qx18Sql)))
 }

@@ -1585,6 +1585,34 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_bytes") =!= length(col("text"))) // ASCII corpus: bytes == chars
     assert(out.count() === 0)
   }
+
+  test("qm09 aHash: verbatim copies collapse, contrast pattern separates") {
+    import spark.implicits._
+    // ids 0/15/30 share dims (all ≡0 mod 5 and mod 3 → 4×3); identical
+    // text must produce an identical hash THROUGH the codec round trip;
+    // monotone-luma text (uniform chars: bits 000000111111) must differ
+    // from alternating-luma text (aZ…: bits 101010101010)
+    val uni = "a" * 12
+    val alt = "aZ" * 6
+    val h = Multimodal.perceptualHash(Seq(
+        Multimodal.MediaRow(0L, uni), Multimodal.MediaRow(15L, uni),
+        Multimodal.MediaRow(30L, alt)).toDS())
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    assert(h(0L) === h(15L), "verbatim copy did not collapse")
+    assert(h(0L) !== h(30L), "contrast pattern did not separate")
+    assert(h(0L).startsWith("4x3:"), s"unexpected dims prefix: ${h(0L)}")
+  }
+
+  test("qx18 near-dup components are split-atomic") {
+    val split = Registry.byName("qx18_component_split").run(spark, sf)
+    val comp = Dedup.nearDupComponents(spark, sf)
+    val straddling = split.join(comp, "doc_id")
+      .groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddling.count() === 0,
+      "a near-dup component straddles train/val/test")
+  }
 }
 
 class SpanDedupSpec extends SparkSpec {
