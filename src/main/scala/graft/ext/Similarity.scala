@@ -633,9 +633,18 @@ object Similarity {
           .write.partitionBy("c_id").mode("overwrite").parquet(path)
       catch { case e: Throwable => ivfIndexBuilt.remove(path); throw e }
     }
+    serveIvf(s, path, cents, e)
+  }
+
+  /** The DPP-pruned serve plan shared by qs12/qs13: the probed-cells
+    * frame broadcasts; joining on the partition column lets dynamic
+    * partition pruning reduce the index scan to exactly those
+    * directories. No dedup needed: keep=1 puts each n_id in exactly one
+    * cell, so a (q_id, n_id) pair joins at most once (a distinct() here
+    * was a no-op shuffle — ADVICE r12). */
+  private def serveIvf(s: SparkSession, path: String,
+      cents: DataFrame, e: DataFrame): DataFrame = {
     val index = s.read.parquet(path)
-    // serve: the probed-cells frame broadcasts; joining on the partition
-    // column lets DPP prune the index scan to exactly those directories
     val queryCells = cellsOf(cents, e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       "q_id", "q_emb", keep = 2)
@@ -643,14 +652,46 @@ object Similarity {
         col("c_id").cast("int").as("c_id")) // match the inferred partition type
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("n_id").asc)
-    // no dedup needed: keep=1 puts each n_id in exactly one cell, so a
-    // (q_id, n_id) pair joins at most once — a distinct() here was a
-    // no-op shuffle (ADVICE r12)
     index.join(broadcast(queryCells), Seq("c_id"))
       .select(col("q_id"), col("n_id"),
         Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
+  }
+
+  // ---------------------------------------------------------------------
+  // qs13: INCREMENTAL IVF index maintenance — the third face of the
+  // persisted-index story (qs12 = build once + serve pruned; this =
+  // maintain WITHOUT rebuilding): day-0 builds the inverted file from
+  // half the corpus (even vec_ids), then the other half arrives as a
+  // later batch and is APPENDED into its cell directories — assignment
+  // is the same fixed-centroid projection, the write touches only the
+  // new rows' cell partitions, and the existing index is never read or
+  // rewritten (the qd18 log-structured move applied to ANN serving; a
+  // production cadence compacts cells like the signature store does).
+  // Serve is qs12's DPP plan over the unified index, and because the
+  // two slices partition the corpus and centroids are frozen, the gate
+  // is qs03's oracle VERBATIM — incremental build ≡ full build, proved
+  // by hash equality.
+  // ---------------------------------------------------------------------
+  private def qs13(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = ivfCentroids(s, d, IvfK)
+    val path = ivfIndexDir(d) + "-inc"
+    if (ivfIndexBuilt.add(path)) {
+      try {
+        def slice(pred: org.apache.spark.sql.Column) = cellsOf(cents,
+          e.filter(col("vec_id") >= 10 && pred)
+            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          "n_id", "n_emb", keep = 1)
+          .select(col("n_id"), col("n_emb"), col("c_id"))
+        slice(col("vec_id") % 2 === 0)
+          .write.partitionBy("c_id").mode("overwrite").parquet(path)
+        slice(col("vec_id") % 2 === 1)
+          .write.partitionBy("c_id").mode("append").parquet(path)
+      } catch { case e: Throwable => ivfIndexBuilt.remove(path); throw e }
+    }
+    serveIvf(s, path, cents, e)
   }
 
   private val RrfK = 60
@@ -759,5 +800,7 @@ object Similarity {
     Q("qs11_filtered_ann", qs11, Some(qs11Sql)),
     // qs03's oracle verbatim: the persisted DPP-served index must
     // reproduce the in-memory IVF ranking exactly
-    Q("qs12_persisted_ivf", qs12, Some(qs03Sql)))
+    Q("qs12_persisted_ivf", qs12, Some(qs03Sql)),
+    // incremental build ≡ full build: qs03's oracle verbatim
+    Q("qs13_incremental_ivf", qs13, Some(qs03Sql)))
 }

@@ -32,6 +32,7 @@ class PlanLintSpec extends SparkSpec {
     "qw13_cusum_drift",   // 1-row global [lo,hi] hour-bounds broadcast cross
     "qst37_stream_cusum", // same 1-row bounds cross over the streamed hourly frame
     "qs12_persisted_ivf", // qs03's centroid-assignment broadcast cross (K=16)
+    "qs13_incremental_ivf", // same assignment cross; serve join is equi on cell id
     "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
     "q30_merge_apply",    // 1-row max-key broadcast cross, by design
     "q29_table_profile",  // two 1-row profile passes crossed, by design
@@ -368,6 +369,15 @@ class PlanLintSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the index scan:\n${plan.take(800)}")
+  }
+
+  // qs13's serve must inherit qs12's DPP contract over the INCREMENTALLY
+  // maintained index (append-extended cell dirs prune identically)
+  test("qs13 incremental IVF: the appended index scan still carries dynamic pruning") {
+    val plan = Registry.byName("qs13_incremental_ivf").run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the incremental index scan:\n${plan.take(800)}")
   }
 
   test("qx10 bloom join: might_contain prefilter present, join stays a merge SMJ") {
