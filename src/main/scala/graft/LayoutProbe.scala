@@ -50,6 +50,8 @@ object LayoutProbe {
       .write.mode("overwrite").parquet(s"$base/linear")
     graft.sinks.Layout.writeZOrdered(li, s"$base/zorder",
       "l_orderkey", "l_partkey", files)
+    graft.sinks.Layout.writeHilbertOrdered(li, s"$base/hilbert",
+      "l_orderkey", "l_partkey", files)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
@@ -64,7 +66,8 @@ object LayoutProbe {
       scanRows(spark.read.parquet(s"$base/$layout").filter(pred))
 
     val fields = for {
-      (layout, tag) <- Seq("linear" -> "linear", "zorder" -> "zorder")
+      (layout, tag) <- Seq("linear" -> "linear", "zorder" -> "zorder",
+        "hilbert" -> "hilbert")
       (pred, ptag) <- Seq(pOrder -> "orderkey", pPart -> "partkey",
         (pOrder && pPart) -> "both")
     } yield s""""${tag}_$ptag":${rows(layout, pred)}"""

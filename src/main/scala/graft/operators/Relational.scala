@@ -890,6 +890,57 @@ object Relational {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q34: incremental DISTINCT-COUNT maintenance via mergeable HLL
+  // sketches — q31's maintenance story for the aggregate that CANNOT be
+  // maintained exactly without unbounded per-group key state: the
+  // per-group sketch (Spark's Datasketches hll_sketch_agg, fixed-size
+  // registers) is the persisted table; a new batch contributes its own
+  // sketches and the merge is hll_union — algebraic, O(groups · 2^lgK)
+  // bytes, never re-reading history. In sparse (SET) mode the union is
+  // exactly the from-scratch sketch (measured: estimate-equal at
+  // sf0.01); past the sparse→dense promotion the Datasketches union
+  // gadget introduces sub-percent representation drift vs a single-pass
+  // sketch (measured at sf0.1: merged 1488 vs full 1494 vs exact 1500 —
+  // 0.4%), so the honest maintenance contract is BOUNDED DRIFT, not bit
+  // equality: `merge_drift_ok` pins |merged − full| ≤ max(1, 1% · full),
+  // deterministic for fixed data + Spark version. `approx_within_bound`
+  // is qst21's deterministic property vs the exact count. Oracle: the
+  // q18 pattern (DuckDB recomputes the exact side, booleans carry the
+  // Spark-side force). Scale shape: two keyed sketch aggregations
+  // (map-side combined) + one group-keyed join of keyspace-sized frames.
+  // ---------------------------------------------------------------------
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = ev.filter(col("event_id") % 7 =!= 0)
+    val delta = ev.filter(col("event_id") % 7 === 0)
+    def sk(part: DataFrame, name: String) =
+      part.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as(name))
+    val merged = sk(base, "sk_b")
+      .join(sk(delta, "sk_d"), Seq("event_type"), "full_outer")
+      .select(col("event_type"), hll_sketch_estimate(
+        when(col("sk_b").isNull, col("sk_d"))
+          .when(col("sk_d").isNull, col("sk_b"))
+          .otherwise(hll_union(col("sk_b"), col("sk_d")))).as("est_merged"))
+    val full = ev.groupBy(col("event_type")).agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_full"),
+      countDistinct(col("user_id")).as("exact_users"),
+      count(lit(1)).as("n"))
+    merged.join(full, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("est_merged") - col("est_full"))
+          <= greatest(lit(1L), (col("est_full") / lit(100L))))
+          .as("merge_drift_ok"),
+        (abs(col("est_merged") - col("exact_users"))
+          <= col("exact_users") * lit(0.15)).as("approx_within_bound"))
+  }
+
+  private val q34Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  count(*) AS n, TRUE AS merge_drift_ok, TRUE AS approx_within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q33: A/B experiment readout — the two-proportion pooled z-test every
   // events pipeline runs on an experiment flag. Assignment is per-user
   // (variant = user_id % 2, the unit a real experiment randomizes); the
@@ -988,5 +1039,6 @@ object Relational {
     Q("q29b_profile_hll", q29b, Some(q29bSql)),
     Q("q30_merge_apply", q30, Some(q30Sql)),
     Q("q31_incremental_agg", q31, Some(q31Sql)),
-    Q("q33_ab_test", q33, Some(q33Sql)))
+    Q("q33_ab_test", q33, Some(q33Sql)),
+    Q("q34_incremental_hll", q34, Some(q34Sql)))
 }

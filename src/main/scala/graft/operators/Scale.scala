@@ -900,6 +900,34 @@ object Scale {
         max(col("l_orderkey")).as("max_order"))
   }
 
+  // ---------------------------------------------------------------------
+  // qx19: HILBERT-curve clustered layout — qx17's lossless-layout
+  // contract with the continuous curve: consecutive Hilbert positions are
+  // Manhattan-adjacent (Z jumps at quadrant seams), so a contiguous curve
+  // range maps to a more compact rectangle and per-file envelopes come
+  // out tighter at the same file count — better row-group pruning for
+  // identical write cost. The curve value is a native codegen Expression
+  // (see functions.HilbertExpression — a pure-Column formulation would
+  // nest rotation when()-trees exponentially in bits). Same gate shape as
+  // qx17: write clustered, re-read with the partkey-only range predicate,
+  // aggregate; the oracle replays the predicate on the raw table — layout
+  // changes results never, IO always (pruning measured in LayoutProbe).
+  // ---------------------------------------------------------------------
+  private def qx19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val path = zorderDir(d) + "-hilbert"
+    graft.sinks.Layout.writeHilbertOrdered(li, path, "l_orderkey", "l_partkey",
+      files = 32)
+    s.read.parquet(path)
+      .filter(col("l_partkey") <= 40)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)")
+          .as("sum_qty"),
+        max(col("l_orderkey")).as("max_order"))
+  }
+
   private val qx17Sql =
     """SELECT l_partkey, count(*) AS n,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -925,5 +953,7 @@ object Scale {
     Q("qx15_weighted_sample", qx15, Some(qx15Sql)),
     Q("qx16_weighted_bernoulli", qx16, Some(qx16Sql)),
     Q("qx17_zorder_layout", qx17, Some(qx17Sql)),
-    Q("qx18_component_split", qx18, Some(qx18Sql)))
+    Q("qx18_component_split", qx18, Some(qx18Sql)),
+    // same lossless-layout contract and oracle as qx17, Hilbert curve
+    Q("qx19_hilbert_layout", qx19, Some(qx17Sql)))
 }

@@ -48,6 +48,19 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert-clustered variant of [[writeZOrdered]] — same rank
+    * normalization and range-partition-by-curve plumbing, with the
+    * CONTINUOUS Hilbert curve (native codegen Expression — see
+    * [[graft.functions.HilbertExpression]]) in place of Morton bit
+    * interleave: a contiguous curve range maps to a more compact
+    * rectangle, so per-file min/max envelopes are tighter in both
+    * dimensions at the same file count (LayoutProbe measures the delta). */
+  def writeHilbertOrdered(df: DataFrame, path: String, cx: String, cy: String,
+                          files: Int, rankBits: Int = 12): Unit =
+    curveClustered(df, cx, cy, files, rankBits,
+      graft.functions.HilbertExpression.hilbertIndex(_, _, rankBits))
+      .write.mode("overwrite").parquet(path)
+
   /** Write `df` z-ordered on (`cx`, `cy`): range-partition by the Morton
     * value into `files` output files, sort within each, drop the key. The
     * range partitioner's sampled bounds make the files near-equal-sized
@@ -72,7 +85,15 @@ object Layout {
   /** The normalized-rank Morton clustering shape shared by the batch
     * writer and the streaming clustered sink. */
   private def zClustered(df: DataFrame, cx: String, cy: String,
-                         files: Int, rankBits: Int): DataFrame = {
+                         files: Int, rankBits: Int): DataFrame =
+    curveClustered(df, cx, cy, files, rankBits, zorder2(_, _, rankBits))
+
+  /** Rank-normalize, compute a space-filling-curve key, range-partition
+    * and sort by it — the clustering plumbing shared by the Morton and
+    * Hilbert writers (the curve is the only pluggable piece). */
+  private def curveClustered(df: DataFrame, cx: String, cy: String,
+      files: Int, rankBits: Int,
+      curve: (Column, Column) => Column): DataFrame = {
     val stats = df.agg(
       min(col(cx)).cast("long").as("__xmin"),
       max(col(cx)).cast("long").as("__xmax"),
@@ -82,8 +103,8 @@ object Layout {
     def rank(c: String, lo: String, hi: String) =
       (col(c).cast("long") - col(lo)) * scale / (col(hi) - col(lo) + 1L)
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", zorder2(
-        rank(cx, "__xmin", "__xmax"), rank(cy, "__ymin", "__ymax"), rankBits))
+      .withColumn("__z", curve(
+        rank(cx, "__xmin", "__xmax"), rank(cy, "__ymin", "__ymax")))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z", "__xmin", "__xmax", "__ymin", "__ymax")

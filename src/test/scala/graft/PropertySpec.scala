@@ -169,6 +169,42 @@ class PropertySpec extends SparkSpec {
     check(prop, tests = 10)
   }
 
+  // qa04b's equivalence claim, pinned on arbitrary inputs: the ONE-shuffle
+  // pitMulti (all feature carries in a single Window) must equal the
+  // N-shuffle sequential asofJoin composition feature-for-feature — any
+  // divergence in tie handling (__is_obs ordering) or per-column carry
+  // independence shows up here before it could reach a gate.
+  test("property: pitMulti equals sequential asofJoin composition on 3 features") {
+    val obsGen = SGen.listOfN(20, SGen.zip(SGen.chooseNum(1L, 3L), tsGen))
+    val featGen = SGen.listOfN(15,
+      SGen.zip(SGen.chooseNum(1L, 3L), SGen.zip(tsGen, SGen.chooseNum(1, 100))))
+    val prop = Prop.forAll(obsGen, featGen, featGen, featGen) { (os, f1, f2, f3) =>
+      os.isEmpty || {
+        def featDf(rows: List[(Long, (Long, Int))], name: String) = {
+          // unique (key, ts), as the operator requires
+          val uniq = rows.map { case (k, (t, v)) => ((k, t), v) }.toMap.toList
+          uniq.map { case ((k, t), v) => (k, new Timestamp(base + t * 1000), v) }
+            .toDF("k", "ts", name)
+        }
+        val obs = os.zipWithIndex
+          .map { case ((u, s), i) => (u, new Timestamp(base + s * 1000), i.toLong) }
+          .toDF("k", "ts", "oid")
+        val feats = Seq(featDf(f1, "v1") -> "v1", featDf(f2, "v2") -> "v2",
+          featDf(f3, "v3") -> "v3")
+        def key(r: org.apache.spark.sql.Row) =
+          r.getLong(r.fieldIndex("oid")) ->
+            Seq("v1", "v2", "v3").map(c =>
+              if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getInt(r.fieldIndex(c))))
+        val single = AsOf.pitMulti(obs, feats, "k", "ts").collect().map(key).toMap
+        val sequential = feats.foldLeft(obs) { case (acc, (fdf, name)) =>
+          AsOf.asofJoin(acc, fdf, "k", "ts", Seq(name))
+        }.collect().map(key).toMap
+        single == sequential
+      }
+    }
+    check(prop, tests = 8)
+  }
+
   test("property: pointer-doubling components match union-find on random graphs") {
     val edgeGen = SGen.listOfN(40,
       SGen.zip(SGen.chooseNum(0L, 29L), SGen.chooseNum(0L, 29L)))

@@ -536,4 +536,48 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").filter(pPart).count() ===
       li.filter(pPart).count())
   }
+
+  test("hilbert index: bijection on the full 4-bit grid, consecutive cells adjacent") {
+    import spark.implicits._
+    import graft.functions.HilbertExpression.hilbertIndex
+    val n = 16 // 2^4 per side
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), hilbertIndex(col("x"), col("y"), 4).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    // bijection: 256 distinct d covering exactly [0, 256)
+    val byD = grid.toMap
+    assert(byD.size === n * n, "hilbert index is not injective on the grid")
+    assert(byD.keySet === (0 until n * n).map(_.toLong).toSet)
+    // CONTINUITY — the property Morton lacks: consecutive curve positions
+    // are Manhattan-adjacent cells (|dx| + |dy| == 1), so contiguous curve
+    // ranges are compact rectangles (the tighter-envelope claim's cause)
+    (0 until n * n - 1).foreach { d =>
+      val (x1, y1) = byD(d.toLong); val (x2, y2) = byD(d.toLong + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"curve jumps between d=$d ($x1,$y1) and d=${d + 1} ($x2,$y2)")
+    }
+    // interpreted eval path agrees with codegen (nullSafeEval mirror)
+    val expr = graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(3L),
+      org.apache.spark.sql.catalyst.expressions.Literal(5L), 4)
+    assert(expr.eval(null) === byD.find(_._2 == ((3L, 5L))).get._1)
+  }
+
+  test("hilbert layout prunes both dimensions and is lossless (qx17 parity)") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-hilbert-spec-${ProcessHandle.current().pid()}"
+    Layout.writeHilbertOrdered(li, s"$base/hilbert", "l_orderkey", "l_partkey", 32)
+    def rows(pred: org.apache.spark.sql.Column): Long =
+      scanRows(spark.read.parquet(s"$base/hilbert").filter(pred))
+    val pOrder = col("l_orderkey") <= 300
+    val pPart = col("l_partkey") <= 40
+    assert(rows(pOrder) < total / 2, "hilbert failed to prune dim 1")
+    assert(rows(pPart) < (total * 7) / 10, "hilbert failed to prune dim 2")
+    assert(spark.read.parquet(s"$base/hilbert").filter(pPart).count() ===
+      li.filter(pPart).count(), "hilbert layout is not lossless")
+  }
 }
