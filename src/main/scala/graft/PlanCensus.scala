@@ -48,7 +48,14 @@ object PlanCensus {
     val rows = Registry.all.filterNot(q => skip(q.name)).sortBy(_.name).map { q =>
       val counts =
         try {
-          val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+          val df = q.run(spark, sfDir)
+          // Execute BEFORE capturing: with AQE the un-executed plan is the
+          // initial (isFinalPlan=false) one — broadcast-vs-SMJ flips and
+          // runtime-coalesced exchanges only appear in the final plan
+          // (ADVICE r13; same finalize-then-read pattern as PlanLintSpec).
+          // Gate results are oracle-bounded, so collect() is driver-safe.
+          df.collect(): Unit
+          val plan = df.queryExecution.executedPlan.toString
           metrics.map { case (k, pat) =>
             k -> plan.sliding(pat.length).count(_ == pat)
           }

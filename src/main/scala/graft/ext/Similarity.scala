@@ -617,21 +617,28 @@ object Similarity {
   // include the full index write — ADVICE r12): the index is built at most
   // once per (process, sf dir). Safe because the dir's parquet is
   // immutable and the path is pid-scoped, so no cross-process staleness.
-  private val ivfIndexBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // computeIfAbsent (not a bare keySet.add) so a SECOND thread arriving
+  // mid-build BLOCKS until the first finishes rather than serving a
+  // partial index, and a failed build leaves no mapping → retried
+  // (ADVICE r13).
+  private val ivfIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def buildIndexOnce(path: String)(build: => Unit): Unit =
+    ivfIndexBuilt.computeIfAbsent(path,
+      _ => { build; java.lang.Boolean.TRUE }): Unit
 
   private def qs12(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, IvfK)
     val path = ivfIndexDir(d)
-    if (ivfIndexBuilt.add(path)) {
-      try
-        // build once: the inverted file at rest, one directory per cell
-        cellsOf(cents, e.filter(col("vec_id") >= 10)
-            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-          "n_id", "n_emb", keep = 1)
-          .select(col("n_id"), col("n_emb"), col("c_id"))
-          .write.partitionBy("c_id").mode("overwrite").parquet(path)
-      catch { case e: Throwable => ivfIndexBuilt.remove(path); throw e }
+    buildIndexOnce(path) {
+      // build once: the inverted file at rest, one directory per cell
+      cellsOf(cents, e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id", "n_emb", keep = 1)
+        .select(col("n_id"), col("n_emb"), col("c_id"))
+        .write.partitionBy("c_id").mode("overwrite").parquet(path)
     }
     serveIvf(s, path, cents, e)
   }
@@ -678,18 +685,16 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val cents = ivfCentroids(s, d, IvfK)
     val path = ivfIndexDir(d) + "-inc"
-    if (ivfIndexBuilt.add(path)) {
-      try {
-        def slice(pred: org.apache.spark.sql.Column) = cellsOf(cents,
-          e.filter(col("vec_id") >= 10 && pred)
-            .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
-          "n_id", "n_emb", keep = 1)
-          .select(col("n_id"), col("n_emb"), col("c_id"))
-        slice(col("vec_id") % 2 === 0)
-          .write.partitionBy("c_id").mode("overwrite").parquet(path)
-        slice(col("vec_id") % 2 === 1)
-          .write.partitionBy("c_id").mode("append").parquet(path)
-      } catch { case e: Throwable => ivfIndexBuilt.remove(path); throw e }
+    buildIndexOnce(path) {
+      def slice(pred: org.apache.spark.sql.Column) = cellsOf(cents,
+        e.filter(col("vec_id") >= 10 && pred)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id", "n_emb", keep = 1)
+        .select(col("n_id"), col("n_emb"), col("c_id"))
+      slice(col("vec_id") % 2 === 0)
+        .write.partitionBy("c_id").mode("overwrite").parquet(path)
+      slice(col("vec_id") % 2 === 1)
+        .write.partitionBy("c_id").mode("append").parquet(path)
     }
     serveIvf(s, path, cents, e)
   }

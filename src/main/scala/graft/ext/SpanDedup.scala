@@ -479,6 +479,7 @@ object SpanDedup {
     def init(): this.type = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(hDir))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cDir))
+      restoreAside(hDir); restoreAside(cDir) // recover a crashed swap
       this
     }
 
@@ -527,6 +528,29 @@ object SpanDedup {
     private def appendRows(rows: DataFrame, dir: String): Unit =
       rows.write.mode("append").partitionBy("dp").parquet(dir)
 
+    /** Crash recovery (ADVICE r13): a HARD crash inside [[swapPartitions]]
+      * between the aside-move and the staged-move leaves the ONLY copy of
+      * a partition under `$dir.aside` — the old code rmTree'd it on the
+      * next swap, silently destroying it. Restore any `dp=*` whose live
+      * dir is missing, then clear the aside. If live exists, the crash
+      * was after placement and the aside copy is superseded — drop it.
+      * Called at store open ([[init]]) so reads after a restart see the
+      * recovered partitions, and again at swap entry as a backstop. */
+    private def restoreAside(dir: String): Unit = {
+      import java.nio.file._
+      val aside = Paths.get(s"$dir.aside")
+      if (Files.exists(aside)) {
+        val leftover = Files.list(aside).iterator()
+        while (leftover.hasNext) {
+          val orphan = leftover.next()
+          val live = Paths.get(dir, orphan.getFileName.toString)
+          if (orphan.getFileName.toString.startsWith("dp=") &&
+              !Files.exists(live)) Files.move(orphan, live): Unit
+        }
+        rmTree(aside)
+      }
+    }
+
     private def stageTouched(s: SparkSession, dir: String,
         schema: org.apache.spark.sql.types.StructType, touched: Seq[String],
         batchSlice: DataFrame): String = {
@@ -558,9 +582,8 @@ object SpanDedup {
       var placed: List[Path] = Nil             // staged dirs now live
       try {
         swaps.foreach { case (_, dir) =>
-          val aside = Paths.get(s"$dir.aside")
-          if (Files.exists(aside)) rmTree(aside)
-          Files.createDirectories(aside): Unit
+          restoreAside(dir) // backstop; init() already ran this at open
+          Files.createDirectories(Paths.get(s"$dir.aside")): Unit
         }
         moves.foreach { case (live, aside, _) =>
           if (Files.exists(live)) {

@@ -142,6 +142,17 @@ object Layout {
   def compactClustered(spark: SparkSession, path: String,
       cx: String, cy: String, files: Int, rankBits: Int = 12): Unit = {
     val tmp = path + ".compacting"
+    // Restart recovery (ADVICE r13): a HARD crash between the two renames
+    // below leaves no dir at `path` and the only copy under `.old` —
+    // restore it before reading (and before the del(old) below can
+    // destroy it). If live exists, any `.old` is a superseded leftover.
+    locally {
+      val liveIn = new java.io.File(path)
+      val oldIn = new java.io.File(path + ".old")
+      if (!liveIn.exists() && oldIn.exists() && !oldIn.renameTo(liveIn))
+        throw new java.io.IOException(
+          s"recovery rename failed: $oldIn -> $path (data preserved at $oldIn)")
+    }
     writeZOrdered(spark.read.parquet(path).drop("batch_id"),
       tmp, cx, cy, files, rankBits)
     def del(f: java.io.File): Unit = {

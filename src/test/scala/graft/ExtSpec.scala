@@ -1789,6 +1789,68 @@ class SpanDedupSpec extends SparkSpec {
     store.delete()
   }
 
+  test("partitioned store: init() restores partitions orphaned in .aside (crash recovery)") {
+    import spark.implicits._
+    // ADVICE r13: a hard crash inside the swap, between the aside-move
+    // and the staged-move, leaves the ONLY copy of a partition under
+    // `h.aside` — re-opening the store must restore it, not destroy it.
+    val root = java.nio.file.Files.createTempDirectory("graft-recover-spec-")
+    SpanDedup.registerTempRoot(root)
+    val store = SpanDedup.SignatureStore(root).init()
+    def sigs(rows: Seq[(Long, String)]) = {
+      val docs = rows.toDF("doc_id", "text")
+      (docs.select(col("doc_id"), md5(col("text")).as("h")),
+        SpanDedup.simhashChunks(docs)
+          .select(col("doc_id"), col("c"), col("chunk"), col("simhash")))
+    }
+    val (h1, c1) = sigs((1L to 8L).map(i =>
+      i -> (1 to 30).map(j => s"d${i}w$j").mkString(" ")))
+    store.merge(spark, h1, c1): Unit
+    val before = store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // simulate the crash window: one live partition exists only in .aside
+    val hDir = new java.io.File(s"$root/h")
+    val victim = hDir.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("dp=")).head
+    val aside = new java.io.File(s"$root/h.aside")
+    assert(aside.mkdirs())
+    assert(victim.renameTo(new java.io.File(aside, victim.getName)))
+    // restart: re-open the store at the same root
+    val reopened = SpanDedup.SignatureStore(root).init()
+    assert(new java.io.File(hDir, victim.getName).exists(),
+      "orphaned partition not restored from .aside")
+    assert(!aside.exists(), ".aside not cleared after restore")
+    assert(reopened.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === before,
+      "content changed across crash recovery")
+    store.delete()
+  }
+
+  test("compactClustered: restart recovery restores a table stranded at .old") {
+    // ADVICE r13: a hard crash between the two swap renames leaves no dir
+    // at `path` and the only copy at `path.old`; the next compaction must
+    // rename it back instead of failing (or worse, deleting .old).
+    val path = s"/tmp/graft-layout-recover-p${ProcessHandle.current().pid()}"
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(500)
+    sinks.Layout.writeClusteredBatch(ev, 0, path, "user_id", "event_id", files = 4)
+    val before = spark.read.parquet(path).drop("batch_id")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // simulate the crash window: live gone, data only under .old
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    sinks.Layout.compactClustered(spark, path, "user_id", "event_id", files = 2)
+    val after = spark.read.parquet(path)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(after === before, "recovery + compaction changed table content")
+    assert(!new java.io.File(path + ".old").exists(),
+      ".old not cleaned up after successful swap")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+    }
+    del(new java.io.File(path))
+  }
+
   test("persisted ingest loop: arrival order decides status (planted)") {
     import spark.implicits._
     // batch_id = (doc_id div 5) % 4 for seen (doc_id % 5 != 0), 4 for
