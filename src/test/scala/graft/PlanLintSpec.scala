@@ -11,42 +11,8 @@ import graft.sources.Tables
 class PlanLintSpec extends SparkSpec {
 
   // queries whose *intended* shape is an all-pairs comparison at small SF
-  private val allowNestedLoop = Set(
-    "q17_cross_join",     // 1-row × 1-row metric frames (J3, by design)
-    "qs01_knn_brute",     // exact baseline: deliberate broadcast cross join
-    "qd05_embedding_dup", // brute-force pairs (scale path is qd03/qs02)
-    "qs03_ann_ivf",       // centroid assignment: broadcast cross vs tiny centroid set
-    "qs04_quantized_rerank", // coarse pass: broadcast cross vs 10 query code rows
-    "qs05_ivf_quant_rerank", // qs03's centroid-assignment broadcast cross (K=16), by design
-    "qs06_mmr_rerank",    // qs01's candidate cross (bounded queries), by design
-    "qs07_pq_adc_search", // bounded query broadcast cross over code rows, by design
-    "qs08_ivf_pq_search", // qs03's centroid-assignment broadcast cross (K=16), by design; serve joins are equi
-    "qe05_pq_residual",   // same centroid-assignment broadcast cross; encode is a projection
-    "qs09_ivfadc_residual", // same assignment cross; serve joins are equi on cell id
-    "qt06_tfidf",         // corpus-N: broadcast cross vs a 1-row count frame
-    "qt07_unigram_logprob", // same 1-row corpus-N broadcast cross
-    "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
-    "qt20_bigram_logprob", // same 1-row corpus-N cross; dicts capped, by design
-    "qt23_bm25_rank",     // 1-row (n_docs, avgdl) stats broadcast cross, by design
-    "qs10_hybrid_rrf",    // qs01 + qs04-coarse legs: bounded query broadcast crosses
-    "qw13_cusum_drift",   // 1-row global [lo,hi] hour-bounds broadcast cross
-    "qst37_stream_cusum", // same 1-row bounds cross over the streamed hourly frame
-    "qs12_persisted_ivf", // qs03's centroid-assignment broadcast cross (K=16)
-    "qs13_incremental_ivf", // same assignment cross; serve join is equi on cell id
-    "qx04_domain_mix",    // 1-row weight-sum broadcast cross, by design
-    "q30_merge_apply",    // 1-row max-key broadcast cross, by design
-    "q29_table_profile",  // two 1-row profile passes crossed, by design
-    "q29b_profile_hll",   // same two-pass cross
-    "qx07_temperature_mix", // two 1-row broadcast crosses (total + wsum), by design
-    "qx09_epoch_mix",     // same two 1-row crosses + bounded per-source plan frame
-    "qc01_kmeans_step",   // centroid assignment: broadcast cross vs K centroids
-    "qc03_classifier_step", // 1-row n_docs/accuracy broadcast cross, by design
-    "qx15_weighted_sample", // 1-row total-weight broadcast cross, by design
-    "qc02_kmeans_iter2",  // same assignment shape, refined centroids
-    "qd11_semdedup",      // same broadcast-K assignment; pair join merge-pinned
-    "qp02_curation_pipeline", // composes qd11 verbatim (its broadcast-K crosses)
-    "qa01_asof_join",     // range condition on window carry output
-    "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
+  // — single source of truth shared with the census diff (PlanCensus)
+  private val allowNestedLoop = PlanCensus.AllowNestedLoop
 
   // streaming / side-effecting queries execute eagerly — skip plan capture
   private val skip = Set("qst01_stream_tumbling", "qst02_stream_ysb",
