@@ -42,12 +42,15 @@ object HllDriftProbe {
   private def run(s: SparkSession, tag: String, df: DataFrame,
       groupCol: String, idCol: String, splitCol: String): String = {
     val rows = drift(df, groupCol, idCol, splitCol).collect()
+    // hll_sketch_estimate returns LongType
     val maxDrift = rows.map { r =>
-      val m = r.getAs[Double]("est_merged"); val f = r.getAs[Double]("est_full")
+      val m = r.getAs[Long]("est_merged").toDouble
+      val f = r.getAs[Long]("est_full").toDouble
       math.abs(m - f) / math.max(f, 1.0)
     }.max
     val maxErr = rows.map { r =>
-      val m = r.getAs[Double]("est_merged"); val e = r.getAs[Long]("exact")
+      val m = r.getAs[Long]("est_merged").toDouble
+      val e = r.getAs[Long]("exact")
       math.abs(m - e) / math.max(e.toDouble, 1.0)
     }.max
     val nGroups = rows.length

@@ -906,7 +906,17 @@ object Scale {
   // Manhattan-adjacent (Z jumps at quadrant seams), so a contiguous curve
   // range maps to a more compact rectangle and per-file envelopes come
   // out tighter at the same file count — better row-group pruning for
-  // identical write cost. The curve value is a native codegen Expression
+  // identical write cost. Measured scope (LAYOUT_PROBE_r14 ladder,
+  // 16–2048 files, two corpora): Hilbert reads 3–9% fewer rows than
+  // Morton on SINGLE-dimension predicates at every granularity;
+  // conjunctive-predicate deltas between the curves sit BELOW the
+  // layout-write sampling variance (repartitionByRange boundary luck
+  // swings them ±2× at ≤64 envelopes — r13's apparent 64-envelope
+  // Morton win was one such draw), and at ≥16 files on an 18M-row table
+  // the conjunctive is already at the row-group min/max floor for both
+  // curves. Default to Hilbert; size ROW GROUPS, not just file counts,
+  // for target conjunctive selectivity.
+  // The curve value is a native codegen Expression
   // (see functions.HilbertExpression — a pure-Column formulation would
   // nest rotation when()-trees exponentially in bits). Same gate shape as
   // qx17: write clustered, re-read with the partkey-only range predicate,
