@@ -279,7 +279,7 @@ object AsOf {
         col("click_value"), col("purchase_value"))
   }
 
-  private val qa04Sql =
+  private[graft] val qa04Sql =
     """WITH views AS (
       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
       |clicks AS (

@@ -935,6 +935,29 @@ object StreamingQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // qst41: streaming point-in-time feature assembly — pitMulti's
+  // streaming face (see [[StreamPit]] for semantics, delivery contract,
+  // and the TTL note). One stateful operator carries the latest
+  // (click, purchase) per user; each arriving view emits its enriched
+  // row once. Oracle: qa04's DuckDB double-ASOF verbatim — the
+  // streaming/batch consistency contract for the feature store's ingest
+  // path, the same pairing qst25 gives the SCD2 lookup.
+  // ---------------------------------------------------------------------
+  private def qst41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    runBounded(s, d, "events", "update") { ev =>
+      StreamPit.enriched(
+        ev.filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("event_id"), col("value"))
+          .as[StreamPit.Ev])
+        .toDF()
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_value"), col("purchase_value"))
+    }
+  }
+
   private def qst21(s: SparkSession, d: String): DataFrame = {
     val streamed = runBounded(s, d, "events", "complete") { ev =>
       ev.groupBy(col("event_type"))
@@ -1717,5 +1740,8 @@ object StreamingQueries {
     // qs11's oracle verbatim: the streamed composite-index probe must
     // reproduce the batch filtered ranking exactly
     Q("qst40_stream_filtered_ann", qst40,
-      Some(graft.ext.Similarity.qs11Sql)))
+      Some(graft.ext.Similarity.qs11Sql)),
+    // qa04's oracle verbatim: per-key state-carried PIT enrichment at
+    // ingest must equal the batch ASOF assembly exactly
+    Q("qst41_stream_pit", qst41, Some(graft.operators.AsOf.qa04Sql)))
 }

@@ -1308,6 +1308,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows("events_user_nonnull") === ((1L, false, 4L)))
     } finally q.stop()
   }
+
+  test("qst41 streaming PIT: state carries features across micro-batches") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamPit
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamPit.Ev]
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val q = StreamPit.enriched(ms.toDS()).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pit_carry_test").start()
+    try {
+      // batch 1: user 1 clicks (ts 1, v=2.0; ts 3, v=5.0), views at ts 2
+      ms.addData(
+        StreamPit.Ev(1L, t(1), "click", 100L, 2.0),
+        StreamPit.Ev(1L, t(3), "click", 101L, 5.0),
+        StreamPit.Ev(1L, t(2), "view", 10L, 0.0))
+      q.processAllAvailable()
+      // batch 2 (event-time-ordered delivery): view at ts 4 must see the
+      // ts-3 click CARRIED IN STATE from batch 1; a purchase at ts 4
+      // (feature-before-obs tie rule) and an equal-ts click max check
+      ms.addData(
+        StreamPit.Ev(1L, t(4), "purchase", 102L, 7.0),
+        StreamPit.Ev(1L, t(4), "click", 103L, 1.0),
+        StreamPit.Ev(1L, t(4), "view", 11L, 0.0),
+        StreamPit.Ev(2L, t(5), "view", 12L, 0.0)) // fresh key: both null
+      q.processAllAvailable()
+      val got = spark.table("pit_carry_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+      assert(got === Set(
+        (1L, 10L, Some(2.0), None),  // ts-2 view: only the ts-1 click visible
+        (1L, 11L, Some(1.0), Some(7.0)), // ts-4 click REPLACES ts-3 (later ts wins, not max across ts)
+        (2L, 12L, None, None)))
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
