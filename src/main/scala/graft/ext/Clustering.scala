@@ -243,6 +243,11 @@ object Clustering {
       .withColumn("r", row_number().over(w))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))
+      // read 3× (both dup self-join sides + the final flag join): the
+      // corpus × K assignment cross re-executed per reference. DISK_ONLY:
+      // corpus-sized with the embedding column (the qd19/qt22 r14 rule —
+      // in-heap copies of corpus-sized frames OOM grown tiers).
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dup = members.alias("a")
       .join(members.alias("b").hint("merge"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))

@@ -458,6 +458,12 @@ object Similarity {
         Vectors.fastCosine(col("q_emb"), col("n_emb")).as("cos_sim"))
       .withColumn("rn", row_number().over(wRel))
       .filter(col("rn") <= MmrC).drop("rn")
+      // referenced by sel1 and by every pick()'s anti-join: without a
+      // checkpoint the corpus scan + relevance window re-executes ~4×
+      // (r14 census: qs06 was the registry's Exchange maximum at 40).
+      // The frame is |Q|·C = 80 rows by construction — eager in-memory
+      // checkpoint, the qd19 lineage fix on a bounded frame.
+      .localCheckpoint(true)
 
     val sel1 = cands
       .withColumn("rn", row_number().over(wRel))
@@ -484,7 +490,11 @@ object Similarity {
           col("n_emb").as("s_emb"), col("mmr"))
     }
 
-    val sel2 = sel1.union(pick(sel1, 2))
+    // each selection round reads the previous one 3× (anti-join, penalty
+    // join, union) — checkpoint the ≤|Q|·t-row frames so each round's
+    // windows compute once (same rationale as cands above)
+    val sel1c = sel1.localCheckpoint(true)
+    val sel2 = sel1c.union(pick(sel1c, 2)).localCheckpoint(true)
     val sel3 = sel2.union(pick(sel2, 3))
     sel3.select(col("q_id"), col("sel_rank"), col("n_id"), col("mmr"))
   }
