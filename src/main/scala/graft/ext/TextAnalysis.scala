@@ -1507,8 +1507,13 @@ object TextAnalysis {
   /** Per-(query, doc) BM25 scores in micro-units — the distributed tf
     * path (qt23 ranks it; the streaming face gates against it). */
   private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
+    // tf (the token explode + count, the dominant cost) feeds dl, qterms
+    // AND matched — 3 executions without a checkpoint; dl feeds stats and
+    // the score join. Corpus-sized ⇒ DISK_ONLY (the r14 lineage rule).
     val tf = bm25Tf(docs)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = bm25QTerms(tf)
