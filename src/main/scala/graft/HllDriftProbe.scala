@@ -42,6 +42,9 @@ object HllDriftProbe {
   private def run(s: SparkSession, tag: String, df: DataFrame,
       groupCol: String, idCol: String, splitCol: String): String = {
     val rows = drift(df, groupCol, idCol, splitCol).collect()
+    // empty tier (exists but zero groups after the modulus split) must
+    // report groups:0, not crash the probe on .max (ADVICE r14)
+    if (rows.isEmpty) return f""""$tag":{"groups":0,"total_exact":0}"""
     // hll_sketch_estimate returns LongType
     val maxDrift = rows.map { r =>
       val m = r.getAs[Long]("est_merged").toDouble

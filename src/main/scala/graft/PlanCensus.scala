@@ -162,7 +162,8 @@ object PlanCensus {
           // Gate results are oracle-bounded, so collect() is driver-safe.
           df.collect(): Unit
           val plan = df.queryExecution.executedPlan.toString
-          metrics.map { case (k, _) => k -> countPlan(plan)(k) }
+          val c = countPlan(plan) // scan the plan string once (ADVICE r14)
+          metrics.map { case (k, _) => k -> c(k) }
         } catch {
           case e: Throwable =>
             System.err.println(s"[census] ${q.name} failed: ${e.getMessage}")

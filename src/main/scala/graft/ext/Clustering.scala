@@ -232,7 +232,10 @@ object Clustering {
   private[graft] def semDedupFlags(s: SparkSession, d: String, k: Int): DataFrame =
     qd11(s, d, k)
 
-  private def qd11(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** `ckpt` defaults to the single-JVM corpus-sized tier; a cluster
+    * passes [[CheckpointStrategy.Reliable]] (VERDICT r14 #1). */
+  private[graft] def qd11(s: SparkSession, d: String, k: Int,
+      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk): DataFrame = {
     val cents1 = refinedCentroids(s, d, k).select(col("c_id"), col("ms"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
@@ -244,10 +247,10 @@ object Clustering {
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))
       // read 3× (both dup self-join sides + the final flag join): the
-      // corpus × K assignment cross re-executed per reference. DISK_ONLY:
+      // corpus × K assignment cross re-executed per reference. LocalDisk:
       // corpus-sized with the embedding column (the qd19/qt22 r14 rule —
       // in-heap copies of corpus-sized frames OOM grown tiers).
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(ckpt(_))
     val dup = members.alias("a")
       .join(members.alias("b").hint("merge"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))

@@ -8,17 +8,29 @@ import graft.functions.Vectors
 import graft.sources.Tables
 
 /** Lineage-truncation strategy for the iterative operators (connected
-  * components, PageRank): each round's frame MUST be checkpointed or the
-  * logical plan grows exponentially (see [[Dedup.components]]).
+  * components, PageRank) and for the multiply-referenced subtrees the r14
+  * lineage fixes checkpoint once (qd19/qt22/qt23/qd11/qs06): each such
+  * frame MUST be checkpointed or the plan re-executes per reference (or,
+  * for the iterative ops, grows exponentially — see [[Dedup.components]]).
   *
   *  - [[CheckpointStrategy.Local]] — `localCheckpoint(eager)`: RDD blocks
-  *    on executors, no filesystem round-trip. The single-JVM default;
-  *    an executor loss at cluster scale kills the lineage-less blocks.
-  *  - [[CheckpointStrategy.Reliable]] — `checkpoint(eager)`: rounds are
+  *    on executors at the default MEMORY_AND_DISK tier, no filesystem
+  *    round-trip. The single-JVM default for BOUNDED frames; an executor
+  *    loss at cluster scale kills the lineage-less blocks.
+  *  - [[CheckpointStrategy.LocalDisk]] — `localCheckpoint(eager,
+  *    DISK_ONLY)`: the single-JVM default for CORPUS-SIZED frames — the
+  *    deserialized in-heap copy of a corpus-sized checkpoint OOMed the
+  *    1000×-doc tier (r14 measured, qd19), while DISK_ONLY blocks stream
+  *    back per use at a cost the scale ratios absorb. Same executor-loss
+  *    caveat as Local.
+  *  - [[CheckpointStrategy.Reliable]] — `checkpoint(eager)`: frames are
   *    written to the SparkContext checkpoint dir (HDFS/object store at
-  *    cluster scale — survives executor loss). Requires
-  *    `sparkContext.setCheckpointDir` first; this is the 100 TB story,
-  *    selectable as a parameter rather than a comment.
+  *    cluster scale — survives executor loss and stays recomputable-free
+  *    across the whole query). Requires `sparkContext.setCheckpointDir`
+  *    first; this is the 100 TB story and the CLUSTER DEFAULT — on a real
+  *    cluster every Local/LocalDisk site below should run Reliable, which
+  *    is why each site takes the strategy as a parameter (VERDICT r14 #1)
+  *    rather than hardcoding the single-JVM choice.
   */
 sealed trait CheckpointStrategy {
   def apply(df: DataFrame): DataFrame
@@ -26,6 +38,10 @@ sealed trait CheckpointStrategy {
 object CheckpointStrategy {
   case object Local extends CheckpointStrategy {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+  case object LocalDisk extends CheckpointStrategy {
+    def apply(df: DataFrame): DataFrame =
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
   }
   case object Reliable extends CheckpointStrategy {
     def apply(df: DataFrame): DataFrame = df.checkpoint(true)

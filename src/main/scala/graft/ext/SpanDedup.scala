@@ -479,7 +479,7 @@ object SpanDedup {
     def init(): this.type = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(hDir))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cDir))
-      restoreAside(hDir); restoreAside(cDir) // recover a crashed swap
+      recoverSwap() // recover a crashed swap (roll back or forward)
       this
     }
 
@@ -528,27 +528,46 @@ object SpanDedup {
     private def appendRows(rows: DataFrame, dir: String): Unit =
       rows.write.mode("append").partitionBy("dp").parquet(dir)
 
-    /** Crash recovery (ADVICE r13): a HARD crash inside [[swapPartitions]]
-      * between the aside-move and the staged-move leaves the ONLY copy of
-      * a partition under `$dir.aside` — the old code rmTree'd it on the
-      * next swap, silently destroying it. Restore any `dp=*` whose live
-      * dir is missing, then clear the aside. If live exists, the crash
-      * was after placement and the aside copy is superseded — drop it.
-      * Called at store open ([[init]]) so reads after a restart see the
-      * recovered partitions, and again at swap entry as a backstop. */
-    private def restoreAside(dir: String): Unit = {
+    /** Path of the swap commit marker — ONE file at the store root (not
+      * per-table), written by [[swapPartitions]] only after EVERY staged
+      * partition of EVERY table in the swap has been placed. A single
+      * root-level marker is what makes hard-crash recovery transactional
+      * ACROSS the h and chunks tables: per-table markers would let a
+      * crash between two marker writes roll one table forward and the
+      * other back (ADVICE r14). */
+    private val swapMarker = java.nio.file.Paths.get(s"$root/SWAP_COMMITTED")
+
+    /** Hard-crash recovery (ADVICE r13/r14). Decides ONCE, from the
+      * root-level commit marker, whether a crashed swap rolls FORWARD
+      * (marker present: every placement finished, the asides are
+      * superseded old copies — drop them) or BACK (marker absent: the
+      * crash landed mid-aside-move or mid-placement — delete any
+      * partially-placed new copy and restore the aside original), then
+      * applies that one decision to BOTH tables. Either way the h and
+      * chunks tables land on the same side of the swap. Idempotent: a
+      * crash inside recovery re-enters the same branch. Called at store
+      * open ([[init]]) and at swap entry as a backstop. */
+    private def recoverSwap(): Unit = {
       import java.nio.file._
-      val aside = Paths.get(s"$dir.aside")
-      if (Files.exists(aside)) {
-        val leftover = Files.list(aside).iterator()
-        while (leftover.hasNext) {
-          val orphan = leftover.next()
-          val live = Paths.get(dir, orphan.getFileName.toString)
-          if (orphan.getFileName.toString.startsWith("dp=") &&
-              !Files.exists(live)) Files.move(orphan, live): Unit
+      val forward = Files.exists(swapMarker)
+      Seq(hDir, cDir).foreach { dir =>
+        val aside = Paths.get(s"$dir.aside")
+        if (Files.exists(aside)) {
+          if (!forward) {
+            // roll back: aside holds the pre-swap original; any live
+            // dp= dir that coexists with an aside entry is a partially
+            // placed new copy — remove it and put the original back.
+            Option(aside.toFile.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("dp=")).foreach { orphan =>
+                val live = Paths.get(dir, orphan.getName)
+                if (Files.exists(live)) rmTree(live)
+                Files.move(orphan.toPath, live): Unit
+              }
+          }
+          rmTree(aside)
         }
-        rmTree(aside)
       }
+      Files.deleteIfExists(swapMarker): Unit
     }
 
     private def stageTouched(s: SparkSession, dir: String,
@@ -566,10 +585,14 @@ object SpanDedup {
     /** Replace `dp=X` dirs for every touched X with the staged versions,
       * across ALL the given (stage, dir) tables under ONE restore scope.
       * Every live partition moves ASIDE first, then all staged partitions
-      * move in, and only then are the asides deleted — any failure puts
-      * every moved partition of every table back, so a mid-swap crash can
-      * neither lose a partition nor leave the h and chunks tables
-      * desynchronized (ADVICE r12; a table format would commit this
+      * move in, then the root-level [[swapMarker]] commits the swap, and
+      * only then are the asides deleted — any in-process failure puts
+      * every moved partition of every table back, and a HARD crash at any
+      * point is resolved transactionally by [[recoverSwap]]: marker
+      * absent → every table rolls back to its aside originals; marker
+      * present → every table keeps the placed copies. So a mid-swap crash
+      * can neither lose a partition nor leave the h and chunks tables
+      * desynchronized (ADVICE r12/r14; a table format would commit this
       * atomically — this is the filesystem approximation). */
     private def swapPartitions(swaps: Seq[(String, String)],
         touched: Seq[String]): Unit = {
@@ -581,8 +604,8 @@ object SpanDedup {
       var movedAside: List[(Path, Path)] = Nil // (aside, live) to restore
       var placed: List[Path] = Nil             // staged dirs now live
       try {
+        recoverSwap() // backstop; init() already ran this at open
         swaps.foreach { case (_, dir) =>
-          restoreAside(dir) // backstop; init() already ran this at open
           Files.createDirectories(Paths.get(s"$dir.aside")): Unit
         }
         moves.foreach { case (live, aside, _) =>
@@ -593,6 +616,7 @@ object SpanDedup {
         moves.foreach { case (live, _, staged) =>
           if (Files.exists(staged)) { Files.move(staged, live); placed ::= live }
         }
+        Files.createFile(swapMarker): Unit // commit point (all placed)
       } catch {
         case e: Throwable =>
           placed.foreach(rmTree)          // undo half-placed stages
@@ -604,6 +628,7 @@ object SpanDedup {
           throw e
       }
       swaps.foreach { case (_, dir) => rmTree(Paths.get(s"$dir.aside")) }
+      Files.deleteIfExists(swapMarker): Unit
       swaps.foreach { case (stage, _) => rmTree(Paths.get(stage)) }
     }
 

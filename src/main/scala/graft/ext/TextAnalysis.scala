@@ -1274,15 +1274,16 @@ object TextAnalysis {
 
   /** The qt22 computation over an arbitrary (doc_id, text) frame —
     * package-private so the spec can plant shared runs across the
-    * seen/incoming split. */
-  private[graft] def fingerprintContamination(docs: DataFrame): DataFrame = {
+    * seen/incoming split. `ckpt` defaults to the single-JVM corpus-sized
+    * tier; a cluster runs [[CheckpointStrategy.Reliable]] so executor
+    * loss recomputes instead of killing the query (VERDICT r14 #1). */
+  private[graft] def fingerprintContamination(docs: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk): DataFrame = {
     // fps feeds the seen index AND both uses of the incoming slice — with
     // plain lineage the winnowing selection (the dominant cost) executes
-    // 3×. Eager checkpoint runs it once (qd19's r14 fix, same subtree;
-    // CheckpointStrategy.Reliable is the cluster-scale swap, as in qd08).
-    // DISK_ONLY: corpus-sized — in-heap caching OOMs the decade tier.
-    val fps = winnowedFingerprints(docs)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // 3×. Eager checkpoint runs it once (qd19's r14 fix, same subtree).
+    // LocalDisk: corpus-sized — in-heap caching OOMs the decade tier.
+    val fps = ckpt(winnowedFingerprints(docs))
     val seenH = fps.filter(col("doc_id") % 5 =!= 0)
       .select(col("h")).distinct()
     val inc = fps.filter(col("doc_id") % 5 === 0)
@@ -1343,31 +1344,37 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private val ContainmentFlag = 0.8
 
-  private def qd19(s: SparkSession, d: String): DataFrame = {
+  private def qd19(s: SparkSession, d: String): DataFrame =
+    qd19Impl(s, d, CheckpointStrategy.LocalDisk)
+
+  /** qd19 with the lineage-checkpoint strategy as a parameter: LocalDisk
+    * is the single-JVM default (see [[CheckpointStrategy]]); a cluster
+    * passes Reliable so executor loss recomputes the checkpointed frames
+    * instead of killing the query. Package-private so the spec can gate
+    * Reliable against the default's exact rows (VERDICT r14 #1). */
+  private[graft] def qd19Impl(s: SparkSession, d: String,
+      ckpt: CheckpointStrategy): DataFrame = {
     // fps feeds docSig AND (via repFps) both sides of the pair join: with
     // plain lineage the whole winnowing projection re-executes per
     // reference — the r13 census counted 64 Exchanges here, the registry
     // maximum. Eagerly checkpoint the three multiply-referenced frames
-    // (the qc04/qd08 lineage lesson); at cluster scale swap for
-    // CheckpointStrategy.Reliable exactly as qd08 parameterizes it.
-    // DISK_ONLY, not the default MEMORY_AND_DISK: under UNIFORM (dup-free)
-    // data these frames are corpus-sized — at the 1000×-doc tier the
-    // deserialized in-heap copy OOMed the single JVM (r14 measured), while
-    // disk blocks stream back per use at a cost the 30× ratio absorbs.
-    val fps = winnowedFingerprints(Tables.documents(s, d))
-      .select(col("doc_id"), col("h")).distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // (the qc04/qd08 lineage lesson).
+    // LocalDisk, not in-heap Local: under UNIFORM (dup-free) data these
+    // frames are corpus-sized — at the 1000×-doc tier the deserialized
+    // in-heap copy OOMed the single JVM (r14 measured), while disk blocks
+    // stream back per use at a cost the 30× ratio absorbs.
+    val fps = ckpt(winnowedFingerprints(Tables.documents(s, d))
+      .select(col("doc_id"), col("h")).distinct())
     // one doc-keyed shuffle computes nf AND the set signature together
     val docSig = fps.groupBy(col("doc_id")).agg(
       count(lit(1)).as("nf"),
       expr("md5(cast(sort_array(collect_list(h)) as string))").as("sig"))
-    val groups = docSig.groupBy(col("sig")).agg(
+    // one row per DISTINCT set — corpus-sized when nothing duplicates
+    val groups = ckpt(docSig.groupBy(col("sig")).agg(
       min(col("doc_id")).as("rep"),
       sort_array(collect_list(col("doc_id"))).as("members"),
       count(lit(1)).as("m"),
-      first(col("nf")).as("nf")) // identical sets ⇒ identical nf
-      // one row per DISTINCT set — corpus-sized when nothing duplicates
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      first(col("nf")).as("nf"))) // identical sets ⇒ identical nf
     val repFps = fps.join(
       groups.select(col("rep").as("doc_id")).hint("merge"),
       Seq("doc_id"), "left_semi")
@@ -1377,9 +1384,8 @@ object TextAnalysis {
         Seq("doc_id"))
       .groupBy(col("h")).agg(sum(col("m")).as("n"))
       .filter(col("n").between(2, Dedup.BucketCap)).select(col("h"))
-    val posting = repFps.join(kept.hint("merge"), Seq("h"), "left_semi")
-      // read 3×: both pair-join sides + swithin
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // read 3×: both pair-join sides + swithin
+    val posting = ckpt(repFps.join(kept.hint("merge"), Seq("h"), "left_semi"))
     // the expensive stage, now in representative space
     val sharedRep = posting.select(col("h"), col("doc_id").as("ra"))
       .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
@@ -1505,15 +1511,16 @@ object TextAnalysis {
       .select(col("token"), ((col("trank") - 1) % 3 + 1).as("query_id"))
 
   /** Per-(query, doc) BM25 scores in micro-units — the distributed tf
-    * path (qt23 ranks it; the streaming face gates against it). */
-  private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
+    * path (qt23 ranks it; the streaming face gates against it). `ckpt`
+    * defaults to the single-JVM corpus-sized tier; a cluster passes
+    * [[CheckpointStrategy.Reliable]] (VERDICT r14 #1). */
+  private[graft] def bm25Scores(docs: DataFrame,
+      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk): DataFrame = {
     // tf (the token explode + count, the dominant cost) feeds dl, qterms
     // AND matched — 3 executions without a checkpoint; dl feeds stats and
-    // the score join. Corpus-sized ⇒ DISK_ONLY (the r14 lineage rule).
-    val tf = bm25Tf(docs)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // the score join. Corpus-sized ⇒ LocalDisk (the r14 lineage rule).
+    val tf = ckpt(bm25Tf(docs))
+    val dl = ckpt(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = bm25QTerms(tf)

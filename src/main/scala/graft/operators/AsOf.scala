@@ -305,7 +305,7 @@ object AsOf {
   // exact integer microseconds (null when never-observed), so the gate
   // is arithmetic-exact.
   // ---------------------------------------------------------------------
-  private val StaleTolUs = 2L * 86400L * 1000000L // 2 days
+  private[graft] val StaleTolUs = 2L * 86400L * 1000000L // 2 days
 
   private def qa05(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

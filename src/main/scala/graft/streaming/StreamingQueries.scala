@@ -62,6 +62,71 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Stream `table` through `transform` in `numBatches` EVENT-TIME-ORDERED
+    * micro-batches (VERDICT r14 #2: a single-batch replay makes a
+    * cross-batch state-carry contract hold vacuously — this states it in
+    * the gate). One distributed pass slices the corpus into even-WIDTH
+    * `ts` ranges — the split predicate is on the ts VALUE, so equal-ts
+    * rows can never straddle a batch boundary, which is exactly the
+    * StreamPit delivery contract (equal-ts feature/observation pairs in
+    * the same micro-batch) holding by construction — writes exactly one
+    * parquet file per non-empty slice (partitionBy keeps a slice in one
+    * task, so one file) with strictly increasing modification times, then
+    * replays them through the file source at `maxFilesPerTrigger=1`:
+    * slice i IS micro-batch i, batches arrive in event-time order.
+    * Requires ≥2 data-carrying micro-batches, so the state-carry path is
+    * provably exercised. The even-width (not even-count) split is fine
+    * for a gate — skew across batches changes nothing the contract cares
+    * about; a production ingest replaces this replay with real arrival. */
+  private[graft] def runBoundedTsBatches(spark: SparkSession, dir: String,
+      table: String, mode: String, numBatches: Int)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$table.parquet")
+    val src = if (table == "events") Tables.normalizeEvents(raw) else raw
+    val root = Files.createTempDirectory(s"graft-tsbatches-")
+    graft.ext.SpanDedup.registerTempRoot(root)
+    val bounds = src.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).collect()(0) // 2 scalars
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // pure Long arithmetic: (ts-lo) ≤ range ≪ Long.Max/numBatches, so no
+    // overflow; equal ts → identical slice; monotone in ts; max = n-1
+    val slice = ((unix_micros(col("ts")) - lit(lo)) * numBatches
+      / lit(hi - lo + 1)).cast("int")
+    val staging = s"$root/staging"
+    src.withColumn("__slice", slice)
+      .repartition(numBatches, col("__slice"))
+      .write.partitionBy("__slice").parquet(staging)
+    val streamDir = s"$root/stream"
+    Files.createDirectories(Paths.get(streamDir))
+    val placed = (0 until numBatches).flatMap { i =>
+      Option(new java.io.File(s"$staging/__slice=$i").listFiles()).toSeq
+        .flatMap(_.filter(_.getName.endsWith(".parquet")).toSeq)
+        .map { f =>
+          val dst = new java.io.File(streamDir, f"slice_$i%05d.parquet")
+          require(f.renameTo(dst), s"move failed: $f")
+          require(dst.setLastModified((i + 1) * 60000L)) // replay order
+          dst
+        }
+    }
+    require(placed.size >= 2 && placed.size <= numBatches,
+      s"ts-split produced ${placed.size} slices (need 2..$numBatches, one file each)")
+    val schema = spark.read.parquet(placed.head.getPath).schema
+    val name = s"graft_${table}_${counter.incrementAndGet()}"
+    val q = transform(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(streamDir))
+      .writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    require(dataBatches >= 2,
+      s"replay ran $dataBatches data-carrying micro-batches; need ≥2 " +
+        "for the cross-batch state-carry contract to be non-vacuous")
+    spark.table(name)
+  }
+
   // ---------------------------------------------------------------------
   // qst01: streaming tumbling-window aggregation (complete mode) — the W1/A1
   // stateful HashAggregate path; final state must equal the batch answer.
@@ -940,13 +1005,17 @@ object StreamingQueries {
   // streaming face (see [[StreamPit]] for semantics, delivery contract,
   // and the TTL note). One stateful operator carries the latest
   // (click, purchase) per user; each arriving view emits its enriched
-  // row once. Oracle: qa04's DuckDB double-ASOF verbatim — the
-  // streaming/batch consistency contract for the feature store's ingest
-  // path, the same pairing qst25 gives the SCD2 lookup.
+  // row once. The corpus replays through ≥3 event-time-ordered
+  // micro-batches ([[runBoundedTsBatches]]), so the CROSS-BATCH state
+  // carry — the thing that makes this streaming — is what the gate
+  // exercises (VERDICT r14 #2; previously single-batch, where the
+  // delivery contract held vacuously). Oracle: qa04's DuckDB double-ASOF
+  // verbatim — the streaming/batch consistency contract for the feature
+  // store's ingest path, the same pairing qst25 gives the SCD2 lookup.
   // ---------------------------------------------------------------------
   private def qst41(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    runBounded(s, d, "events", "update") { ev =>
+    runBoundedTsBatches(s, d, "events", "update", numBatches = 4) { ev =>
       StreamPit.enriched(
         ev.filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), col("ts"), col("event_type"),
@@ -957,6 +1026,52 @@ object StreamingQueries {
           col("click_value"), col("purchase_value"))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // qst42: qst41 with qa05's staleness bound as EVENT-TIME STATE TTL
+  // (VERDICT r14 #5) — the production configuration of the streaming
+  // feature store: a carried click expires once the watermark passes
+  // click_ts + tolerance, so state is bounded by arrival rate × tolerance
+  // instead of the distinct-user universe (see [[StreamPit.enrichedTtl]]
+  // for the proof that expiry is semantics-preserving, not approximate).
+  // Oracle: qa05's staleness CASE verbatim, minus its age_us column —
+  // the exact age of a STALE match is the one number a TTL'd system has
+  // deliberately forgotten (that state is what the TTL drops); the
+  // model-visible surface (freshness flag, freshness-gated value) is
+  // hash-exact. Multi-batch ordered replay, same as qst41, so expiry
+  // genuinely fires across batch boundaries (2-day tolerance, ~30-day
+  // corpus, 4 slices ≈ 7.5 days each).
+  // ---------------------------------------------------------------------
+  private def qst42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    runBoundedTsBatches(s, d, "events", "update", numBatches = 4) { ev =>
+      StreamPit.enrichedTtl(
+        ev.withWatermark("ts", "1 hour")
+          .filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("event_id"), col("value"))
+          .as[StreamPit.Ev],
+        graft.operators.AsOf.StaleTolUs)
+        .toDF()
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_value"), col("fresh"))
+    }
+  }
+
+  private val qst42Sql =
+    s"""WITH views AS (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+       |clicks AS (
+       |  SELECT user_id, ts AS click_ts, max(value) AS click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+       |SELECT v.user_id AS user_id, v.event_id AS event_id, v.ts AS ts,
+       |  CASE WHEN epoch_us(v.ts) - epoch_us(c.click_ts)
+       |            <= ${graft.operators.AsOf.StaleTolUs}
+       |       THEN c.click_value END AS click_value,
+       |  coalesce(epoch_us(v.ts) - epoch_us(c.click_ts)
+       |             <= ${graft.operators.AsOf.StaleTolUs}, false) AS fresh
+       |FROM views v ASOF LEFT JOIN clicks c
+       |  ON v.user_id = c.user_id AND v.ts >= c.click_ts""".stripMargin
 
   private def qst21(s: SparkSession, d: String): DataFrame = {
     val streamed = runBounded(s, d, "events", "complete") { ev =>
@@ -1743,5 +1858,6 @@ object StreamingQueries {
       Some(graft.ext.Similarity.qs11Sql)),
     // qa04's oracle verbatim: per-key state-carried PIT enrichment at
     // ingest must equal the batch ASOF assembly exactly
-    Q("qst41_stream_pit", qst41, Some(graft.operators.AsOf.qa04Sql)))
+    Q("qst41_stream_pit", qst41, Some(graft.operators.AsOf.qa04Sql)),
+    Q("qst42_stream_pit_ttl", qst42, Some(qst42Sql)))
 }

@@ -879,6 +879,32 @@ class TextSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
   }
 
+  test("CheckpointStrategy.Reliable: qd19 and qt23's bm25 produce the exact default-strategy rows") {
+    // VERDICT r14 #1: the eager-checkpoint sites take the strategy as a
+    // parameter — on a cluster, Reliable survives executor loss where
+    // local checkpoint blocks are non-recomputable. The contract: the
+    // strategy changes ONLY fault-tolerance, never a row.
+    import graft.ext.{CheckpointStrategy, TextAnalysis}
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt-")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val qd19Default = canon(Registry.byName("qd19_containment_dup").run(spark, sf))
+      val qd19Reliable = canon(TextAnalysis.qd19Impl(spark, sf, CheckpointStrategy.Reliable))
+      assert(qd19Reliable === qd19Default, "qd19 rows differ under Reliable")
+      assert(qd19Default.nonEmpty)
+      val docs = graft.sources.Tables.documents(spark, sf)
+      assert(canon(TextAnalysis.bm25Scores(docs, CheckpointStrategy.Reliable))
+        === canon(TextAnalysis.bm25Scores(docs)), "bm25 rows differ under Reliable")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ckptDir.toFile)
+    }
+  }
+
   test("qt20 bigram model: both the hit and backoff paths are exercised") {
     val out = Registry.byName("qt20_bigram_logprob").run(spark, sf).collect()
     assert(out.nonEmpty)
@@ -1823,6 +1849,58 @@ class SpanDedupSpec extends SparkSpec {
     assert(reopened.readH(spark).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet === before,
       "content changed across crash recovery")
+    store.delete()
+  }
+
+  test("partitioned store: torn mid-placement crash rolls BOTH tables back; commit marker rolls both forward") {
+    import spark.implicits._
+    // ADVICE r14: a hard crash landing mid-placement (some staged dp=
+    // dirs placed, others still only in .aside) must not leave a torn
+    // new/old mix across the h and chunks tables. The root-level
+    // SWAP_COMMITTED marker decides ONCE for both tables: absent → roll
+    // back everything; present → keep every placed copy.
+    val root = java.nio.file.Files.createTempDirectory("graft-torn-spec-")
+    SpanDedup.registerTempRoot(root)
+    val store = SpanDedup.SignatureStore(root).init()
+    val docs = (1L to 8L).map(i =>
+      i -> (1 to 30).map(j => s"d${i}w$j").mkString(" ")).toDF("doc_id", "text")
+    store.merge(spark,
+      docs.select(col("doc_id"), md5(col("text")).as("h")),
+      SpanDedup.simhashChunks(docs)
+        .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))): Unit
+    val beforeH = store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val beforeC = store.readChunks(spark).count()
+    def dpDirs(t: String) = new java.io.File(s"$root/$t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dp=")).sortBy(_.getName)
+    val victim = dpDirs("h").head.getName // same dp key exists in chunks
+    def tear(table: String, placeFake: Boolean): Unit = {
+      val aside = new java.io.File(s"$root/$table.aside"); assert(aside.mkdirs())
+      val live = new java.io.File(s"$root/$table/$victim")
+      assert(live.renameTo(new java.io.File(aside, victim)))
+      // a "placed" new copy: an empty dp= dir (content loss is observable)
+      if (placeFake) assert(live.mkdirs())
+    }
+    // crash window 1: h placed its new copy, chunks has not — NO marker.
+    tear("h", placeFake = true); tear("chunks", placeFake = false)
+    SpanDedup.SignatureStore(root).init()
+    assert(store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === beforeH,
+      "h not rolled back to pre-swap content (torn placement kept)")
+    assert(store.readChunks(spark).count() === beforeC,
+      "chunks not rolled back to pre-swap content")
+    // crash window 2: both tables fully placed, marker written, crash
+    // before aside cleanup — recovery must keep the NEW copies.
+    tear("h", placeFake = true); tear("chunks", placeFake = true)
+    val marker = new java.io.File(s"$root/SWAP_COMMITTED")
+    assert(marker.createNewFile())
+    SpanDedup.SignatureStore(root).init()
+    assert(!marker.exists(), "commit marker not cleared after recovery")
+    assert(!new java.io.File(s"$root/h.aside").exists())
+    val afterH = store.readH(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterH.size < beforeH.size && afterH.subsetOf(beforeH),
+      "marker present: placed (empty) copies must be kept, asides dropped")
     store.delete()
   }
 

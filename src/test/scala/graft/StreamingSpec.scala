@@ -1344,6 +1344,55 @@ class StreamingSpec extends SparkSpec {
         (2L, 12L, None, None)))
     } finally q.stop()
   }
+
+  test("qst42 TTL'd streaming PIT: stale click state expires (removed from the store) and re-keeps") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamPit
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[StreamPit.Ev]
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val tolUs = 10L * 1000000L // 10-second staleness bound
+    val q = StreamPit.enrichedTtl(
+        ms.toDS().withWatermark("ts", "1 second"), tolUs).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pit_ttl_test").start()
+    try {
+      // b1: u1 clicks then views fresh; u2 clicks and goes silent
+      ms.addData(
+        StreamPit.Ev(1L, t(0), "click", 100L, 3.0),
+        StreamPit.Ev(1L, t(5), "view", 10L, 0.0),
+        StreamPit.Ev(2L, t(0), "click", 101L, 9.9))
+      q.processAllAvailable()
+      // b2: u1's view is past the tolerance — stale output, and the
+      // carried click's timeout (t=10s) is now armed behind wm=11s
+      ms.addData(StreamPit.Ev(1L, t(12), "view", 11L, 0.0))
+      q.processAllAvailable()
+      // b3: unrelated key — u1 and u2's expired clicks must TIME OUT
+      // (state rows physically removed), not linger as dead state
+      ms.addData(StreamPit.Ev(3L, t(30), "view", 12L, 0.0))
+      q.processAllAvailable()
+      // b4: u2 clicks again after expiry — re-keep, then a fresh view
+      ms.addData(
+        StreamPit.Ev(2L, t(40), "click", 102L, 1.5),
+        StreamPit.Ev(2L, t(41), "view", 13L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("pit_ttl_test")
+        .collect().map(r => (r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSet
+      assert(got === Set(
+        (10L, Some(3.0), true),  // age 5s ≤ 10s: fresh
+        (11L, None, false),      // age 12s > 10s: stale (value withheld)
+        (12L, None, false),      // never clicked
+        (13L, Some(1.5), true))) // re-keep after expiry
+      // the TTL's point — expired clicks leave the store: u1+u2 removed,
+      // only u2's re-keep (b4) remains; u3 (view-only) stored nothing
+      val sops = q.recentProgress.flatMap(_.stateOperators)
+      assert(sops.map(_.numRowsRemoved).sum === 2,
+        s"expected 2 expired state rows, got ${sops.map(_.numRowsRemoved).sum}")
+      assert(sops.last.numRowsTotal === 1,
+        s"expected 1 surviving state row, got ${sops.last.numRowsTotal}")
+    } finally q.stop()
+  }
 }
 
 /** Test-only stateful processor for the state-commit-boundary crash spec:
