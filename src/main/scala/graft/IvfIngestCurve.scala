@@ -39,11 +39,28 @@ object IvfIngestCurve {
     walk(new File(dir))
   }
 
+  /** Max parquet-file count over the `c_id=*` cell directories — the
+    * serve-side cost driver stated per cell: a probed cell opens ALL its
+    * append files, so the worst cell's count bounds per-probe open/footer
+    * cost regardless of how many batches produced it. */
+  private def maxFilesPerCell(dir: String): Int =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+      .map(f => fileCount(f.getPath))
+      .foldLeft(0)(math.max)
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_IVF_BATCHES", "20").toInt
     val compactEvery =
       sys.env.getOrElse("SPARK_GRAFT_IVF_COMPACT_EVERY", "0").toInt
+    // File-count-aware trigger (VERDICT r14 Next #7): compact when the
+    // WORST cell's file count exceeds this, instead of on a batch cadence.
+    // The r14 curve showed serve cost tracks open files, not batches — a
+    // 100 TB operator states the knob in the unit that drives the cost.
+    // 0 = off; takes precedence over COMPACT_EVERY when both are set.
+    val maxFilesCell =
+      sys.env.getOrElse("SPARK_GRAFT_IVF_MAX_FILES_PER_CELL", "0").toInt
     val spark = GraftSession.local("graft-ivf-ingest-curve",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,23 +91,35 @@ object IvfIngestCurve {
       batch.write.partitionBy("c_id")
         .mode(if (k == 0) "overwrite" else "append").parquet(path)
       val appendSec = sec(tA)
+      val shouldCompact =
+        if (maxFilesCell > 0) maxFilesPerCell(path) > maxFilesCell
+        else compactEvery > 0 && k > 0 && k % compactEvery == 0
       val compactSec =
-        if (compactEvery > 0 && k > 0 && k % compactEvery == 0) {
+        if (shouldCompact) {
           val tC = System.nanoTime()
           Similarity.compactIvfIndex(spark, path)
           sec(tC)
         } else 0.0
       val files = fileCount(path)
+      val perCell = maxFilesPerCell(path)
       val tS = System.nanoTime()
       lastServeRows =
         Similarity.serveIvf(spark, path, cents, e).count()
       val serveSec = sec(tS)
       f"""{"k":$k,"append_sec":$appendSec%.3f,"serve_sec":$serveSec%.3f,""" +
-        f""""files":$files,"compact_sec":$compactSec%.3f}"""
+        f""""files":$files,"files_per_cell_max":$perCell,""" +
+        f""""compact_sec":$compactSec%.3f}"""
     }
+    // Content-hash invariant: compaction (any trigger) must not change what
+    // serve returns. Order-insensitive sum of per-row hashes over the full
+    // top-k result — identical across control / cadence / threshold runs.
+    val serveHash = Similarity.serveIvf(spark, path, cents, e)
+      .select(xxhash64(col("q_id"), col("n_id"), col("rank")).as("h"))
+      .agg(sum(col("h"))).collect()(0).getLong(0)
     println(s"""{"metric":"ivf_ingest_curve","dir":"$dir",""" +
       s""""batches_n":$nBatches,"compact_every":$compactEvery,""" +
-      s""""final_serve_rows":$lastServeRows,""" +
+      s""""max_files_per_cell":$maxFilesCell,""" +
+      s""""final_serve_rows":$lastServeRows,"serve_hash":$serveHash,""" +
       s""""batches":[${rows.mkString(",")}]}""")
     spark.stop()
   }

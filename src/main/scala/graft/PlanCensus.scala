@@ -62,15 +62,13 @@ object PlanCensus {
     "qa01_asof_join",     // range condition on window carry output
     "q05_semi_join", "q06_anti_join") // tiny dim, Spark may pick BNLJ under AQE
 
-  // mirror of PlanLintSpec.skip — side-effecting captures with no stable plan
-  private val skip = Set("qst01_stream_tumbling", "qst02_stream_ysb",
-    "qst03_stream_dedup", "qst04_stream_watermark_append",
-    "qst05_replay_source_ysb", "qst06_stream_session",
-    "qst07_stream_interval_join", "qst08_stream_running_counters",
-    "qst09_stream_outer_join", "qst10_stream_neardup",
-    "qst11_stream_contamination", "qst12_stream_pii",
-    "qst13_stream_sample", "qst14_stream_quality", "qst15_stream_sessions",
-    "qx02_bucketed_join")
+  // Batch-frame capture skip. qst* queries are NOT here any more: since
+  // r15 they are censused via their micro-batch plans (StreamPlanCapture —
+  // VERDICT r14 Next #6), which exist for every streaming gate even when
+  // the returned memory-sink rollup frame has no stable plan (the reason
+  // the first 15 were skipped before). qx02 stays skipped: its bucketed
+  // write side-effects make repeat capture unstable (PlanLintSpec's skip).
+  private val skip = Set("qx02_bucketed_join")
 
   private val metrics: Seq[(String, String)] = Seq(
     "bx" -> "BroadcastExchange",          // broadcast exchanges
@@ -152,6 +150,9 @@ object PlanCensus {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val rows = Registry.all.filterNot(q => skip(q.name))
       .filter(q => only.forall(_.contains(q.name))).sortBy(_.name).map { q =>
+      val isStream = q.name.startsWith("qst")
+      val cap = if (isStream)
+        Some(graft.streaming.StreamPlanCapture.begin(spark)) else None
       val counts =
         try {
           val df = q.run(spark, sfDir)
@@ -161,11 +162,22 @@ object PlanCensus {
           // (ADVICE r13; same finalize-then-read pattern as PlanLintSpec).
           // Gate results are oracle-bounded, so collect() is driver-safe.
           df.collect(): Unit
-          val plan = df.queryExecution.executedPlan.toString
+          // Streaming gates: census the LAST micro-batch plan of each
+          // stream the gate ran (summed — where AQE is off and a bad join
+          // strategy is forever), not the memory-sink rollup frame.
+          val plan = cap match {
+            case Some(c) =>
+              val micro = c.end()
+              require(micro.nonEmpty,
+                s"${q.name}: no streaming micro-batch plan captured")
+              micro.mkString("\n")
+            case None => df.queryExecution.executedPlan.toString
+          }
           val c = countPlan(plan) // scan the plan string once (ADVICE r14)
           metrics.map { case (k, _) => k -> c(k) }
         } catch {
           case e: Throwable =>
+            cap.foreach(_.end(): Unit) // unregister the listener (idempotent)
             System.err.println(s"[census] ${q.name} failed: ${e.getMessage}")
             metrics.map { case (k, _) => k -> -1 }
         }

@@ -344,17 +344,30 @@ object Clustering {
       .groupBy(col("doc_id"), col("y"), col("j"))
       .agg(count(lit(1)).as("x"))
 
-  private def qc03(s: SparkSession, d: String): DataFrame = {
-    val feats = featFrame(s, d)
+  private def qc03(s: SparkSession, d: String): DataFrame =
+    qc03Impl(s, d, CheckpointStrategy.LocalDisk)
+
+  /** qc03 with the lineage-checkpoint strategy as a parameter (the qd19
+    * treatment, VERDICT r14 #8): without it the design matrix — the
+    * dominant token-explode subtree — executes 3× (once under `scored`
+    * feeding `tot`, once under the gradient join's `err` side, once as
+    * the gradient join's feature side), the same multiply-referenced
+    * shape qc04 already checkpoints. LocalDisk is the single-JVM default;
+    * a cluster passes Reliable (see [[CheckpointStrategy]]). */
+  private[graft] def qc03Impl(s: SparkSession, d: String,
+      ckpt: CheckpointStrategy): DataFrame = {
+    val feats = ckpt(featFrame(s, d))
     val scored = feats
       .groupBy(col("doc_id"), col("y"))
       .agg(sum(col("x") * wOf(col("j"))).as("z"))
       .select(col("doc_id"), col("y"),
         least(lit(1000L), greatest(lit(0L),
           lit(500L) + floor(col("z") / 4000.0))).as("p"))
-    val err = scored.select(col("doc_id"),
+    // err is read twice (tot + the gradient join); checkpointing it stops
+    // the score aggregation re-running — corpus-sized but thin (1 row/doc)
+    val err = ckpt(scored.select(col("doc_id"),
       (col("p") - lit(1000L) * col("y")).as("e"),
-      when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok"))
+      when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok")))
     val tot = err.agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
     val grads = feats.join(err.select(col("doc_id"), col("e")).hint("merge"),
         Seq("doc_id"))

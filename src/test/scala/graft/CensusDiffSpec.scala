@@ -75,6 +75,39 @@ class CensusDiffSpec extends SparkSpec {
       s.contains("BroadcastNestedLoopJoin")), v.mkString("; "))
   }
 
+  test("a deliberately-bad STREAMING plan is caught via StreamPlanCapture") {
+    // The streaming census path (VERDICT r14 Next #6): qst* gates are
+    // censused on their micro-batch plans, where AQE is off so a bad join
+    // strategy is forever. Prove the whole path — listener capture of
+    // lastExecution after stop, countPlan over the micro-batch plan, diff —
+    // catches a stream-static nested-loop join nobody allowlisted.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    // clean shape: stream-static EQUI join (broadcast hash, no BNLJ)
+    val dim = (1L to 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    def run(join: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Map[String, Int] = {
+      val cap = graft.streaming.StreamPlanCapture.begin(spark)
+      val ms = MemoryStream[Long]
+      val q = join(ms.toDF().toDF("id"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try { ms.addData(1L to 100L: _*); q.processAllAvailable() } finally q.stop()
+      val plans = cap.end()
+      assert(plans.nonEmpty, "no micro-batch plan captured")
+      PlanCensus.countPlan(plans.mkString("\n"))
+    }
+    val base = Map("qstx" -> run(s => s.join(dim, s("id") === dim("k")), "cen_good"))
+    assert(base("qstx").getOrElse("bnlj", 0) === 0, base.toString)
+    // the regression: someone makes the stream-static join non-equi
+    val cur = Map("qstx" -> run(s => s.join(dim, s("id") >= dim("k")), "cen_bad"))
+    val v = PlanCensus.diff(base, cur, Set.empty)
+    assert(v.nonEmpty, s"bad streaming join not caught: ${cur.toString}")
+    assert(v.exists(s => s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("CartesianProduct")), v.mkString("; "))
+  }
+
   test("parseCensus round-trips the main output format") {
     val json = """{"metric":"plan_census","sf_dir":"x","queries":{""" +
       """"qa":{"bx":1,"shx":2,"cart":0},"qb":{"bx":0,"shx":-1,"cart":3}}}"""

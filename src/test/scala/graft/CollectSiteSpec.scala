@@ -44,7 +44,9 @@ class CollectSiteSpec extends AnyFunSuite {
     ("streaming/StreamingQueries.scala", ".collect().toSeq") ->
       (1, "per-shard sketch summaries: <= shards x capacity rows (SpaceSaving bound)"),
     ("streaming/StreamingQueries.scala", "qst27Values.put(d, b.collect()") ->
-      (1, "per-event-type quantile rows: <= |event types| (enum-bounded)"))
+      (1, "per-event-type quantile rows: <= |event types| (enum-bounded)"),
+    ("streaming/StreamingQueries.scala", """max(unix_micros(col("ts"))).as("hi")).collect()(0) // 2 scalars""") ->
+      (1, "1-row global (min ts, max ts) bounds frame for the replay split"))
 
   private def scalaFiles(dir: File): Seq[File] =
     if (!dir.exists()) Nil

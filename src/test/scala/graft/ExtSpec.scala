@@ -879,6 +879,63 @@ class TextSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
   }
 
+  test("qd19 size filter: both-eligible, mixed, and pruned pair classes match a Scala mini-oracle") {
+    import spark.implicits._
+    import graft.ext.{Dedup, TextAnalysis}
+    // Three pair classes the size filter must treat exactly (VERDICT r14
+    // #4): (1) MIXED — small doc contained whole in a big doc (only the
+    // small side clears kc >= 0.8*nf); (2) BOTH-ELIGIBLE — near-identical
+    // twins, the class where the orientation-symmetric pair join yields
+    // two rows and the max() rollup must NOT double shared; (3) PRUNED —
+    // two docs sharing a short run inside mostly-unique text (neither
+    // side eligible; pre-filter they'd reach the containment filter and
+    // fail, post-filter they never enter the pair shuffle).
+    val small = (1 to 20).map(i => s"core$i").mkString(" ")
+    val twin = (1 to 120).map(i => s"tw$i").mkString(" ")
+    val run = (1 to 10).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, (1 to 30).map(i => s"pre$i").mkString(" ") + " " + small + " " +
+        (1 to 30).map(i => s"post$i").mkString(" ")),
+      (3L, twin + " enda"),
+      (4L, twin + " endb"),
+      (5L, (1 to 40).map(i => s"u$i").mkString(" ") + " " + run),
+      (6L, run + " " + (1 to 40).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft-qd19-sizefilter"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // Scala mini-oracle: the qd19Sql definition verbatim over the fps sets
+    val fps = TextAnalysis.winnowedFingerprints(docs)
+      .select(col("doc_id"), col("h")).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val docFreq = fps.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val keptH = docFreq.filter { case (_, n) => n >= 2 && n <= Dedup.BucketCap }.keySet
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fps(a) & fps(b) & keptH).size.toLong if shared > 0
+      cont = shared.toDouble / math.min(fps(a).size, fps(b).size)
+      if cont >= 0.8
+    } yield (a, b, shared, cont,
+      if (fps(a).size <= fps(b).size) a else b)).toSet
+
+    // the planted classes actually occur — guard the test's own relevance
+    def elig(d: Long) = (fps(d) & keptH).size.toDouble / fps(d).size >= 0.8
+    assert(elig(1L) && !elig(2L), "pair (1,2) must be the MIXED class")
+    assert(elig(3L) && elig(4L), "pair (3,4) must be the BOTH-ELIGIBLE class")
+    assert(!elig(5L) && !elig(6L) && (fps(5L) & fps(6L) & keptH).nonEmpty,
+      "pair (5,6) must share kept fingerprints with neither side eligible")
+    assert(expected.exists(p => p._1 === 1L && p._2 === 2L), "mixed pair must qualify")
+    assert(expected.exists(p => p._1 === 3L && p._2 === 4L), "twin pair must qualify")
+    assert(!expected.exists(p => p._1 === 5L && p._2 === 6L))
+
+    val got = Registry.byName("qd19_containment_dup").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(got === expected, s"qd19 rows diverge from the mini-oracle:\n$got\nvs\n$expected")
+  }
+
   test("CheckpointStrategy.Reliable: qd19 and qt23's bm25 produce the exact default-strategy rows") {
     // VERDICT r14 #1: the eager-checkpoint sites take the strategy as a
     // parameter — on a cluster, Reliable survives executor loss where
@@ -897,6 +954,9 @@ class TextSpec extends SparkSpec {
       val docs = graft.sources.Tables.documents(spark, sf)
       assert(canon(TextAnalysis.bm25Scores(docs, CheckpointStrategy.Reliable))
         === canon(TextAnalysis.bm25Scores(docs)), "bm25 rows differ under Reliable")
+      assert(canon(graft.ext.Clustering.qc03Impl(spark, sf, CheckpointStrategy.Reliable))
+        === canon(Registry.byName("qc03_classifier_step").run(spark, sf)),
+        "qc03 rows differ under Reliable")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
