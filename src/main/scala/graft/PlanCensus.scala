@@ -42,6 +42,7 @@ object PlanCensus {
     "qt08_unigram_capped", // same 1-row corpus-N broadcast cross, by design
     "qt20_bigram_logprob", // same 1-row corpus-N cross; dicts capped, by design
     "qt23_bm25_rank",     // 1-row (n_docs, avgdl) stats broadcast cross, by design
+    "qst34_stream_bm25",  // qt23's same 1-row stats crosses in the micro-batch plan
     "qs10_hybrid_rrf",    // qs01 + qs04-coarse legs: bounded query broadcast crosses
     "qw13_cusum_drift",   // 1-row global [lo,hi] hour-bounds broadcast cross
     "qst37_stream_cusum", // same 1-row bounds cross over the streamed hourly frame

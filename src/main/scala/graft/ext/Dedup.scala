@@ -46,6 +46,13 @@ object CheckpointStrategy {
   case object Reliable extends CheckpointStrategy {
     def apply(df: DataFrame): DataFrame = df.checkpoint(true)
   }
+  /** No-op: keep plain lineage (the subtree re-executes per reference).
+    * NOT a production tier — the measurement control for same-sitting
+    * A/B probes of what a checkpoint site buys (PairFilterProbe), where
+    * cross-sitting comparisons are confounded by box load. */
+  case object Off extends CheckpointStrategy {
+    def apply(df: DataFrame): DataFrame = df
+  }
 }
 
 /** Document deduplication operators for training-data pipelines:

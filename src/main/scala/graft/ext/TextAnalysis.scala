@@ -1359,9 +1359,13 @@ object TextAnalysis {
     * is the single-JVM default (see [[CheckpointStrategy]]); a cluster
     * passes Reliable so executor loss recomputes the checkpointed frames
     * instead of killing the query. Package-private so the spec can gate
-    * Reliable against the default's exact rows (VERDICT r14 #1). */
+    * Reliable against the default's exact rows (VERDICT r14 #1).
+    * `sizeFilter = false` disables the pair-pruning size filter — output
+    * is identical either way (spec-pinned); the flag exists ONLY so
+    * PairFilterProbe can A/B the two pair stages in one sitting, since
+    * cross-sitting timings are confounded by box load. */
   private[graft] def qd19Impl(s: SparkSession, d: String,
-      ckpt: CheckpointStrategy): DataFrame = {
+      ckpt: CheckpointStrategy, sizeFilter: Boolean = true): DataFrame = {
     // fps feeds docSig AND (via repFps) both sides of the pair join: with
     // plain lineage the whole winnowing projection re-executes per
     // reference — the r13 census counted 64 Exchanges here, the registry
@@ -1423,14 +1427,21 @@ object TextAnalysis {
     // both orientations with IDENTICAL shared counts (the h-match rows
     // are orientation-symmetric), a mixed pair in exactly one — so the
     // unordered rollup takes max(shared), which equals the single value.
-    val sharedRep = postElig.select(col("h"), col("doc_id").as("ra"))
-      .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
-        Seq("h"))
-      .filter(col("ra") =!= col("rb"))
-      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("shared"))
-      .groupBy(least(col("ra"), col("rb")).as("ra"),
-        greatest(col("ra"), col("rb")).as("rb"))
-      .agg(max(col("shared")).as("shared"))
+    val sharedRep = if (sizeFilter)
+      postElig.select(col("h"), col("doc_id").as("ra"))
+        .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
+          Seq("h"))
+        .filter(col("ra") =!= col("rb"))
+        .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("shared"))
+        .groupBy(least(col("ra"), col("rb")).as("ra"),
+          greatest(col("ra"), col("rb")).as("rb"))
+        .agg(max(col("shared")).as("shared"))
+    else // the pre-r15 unpruned pair stage (A/B control)
+      posting.select(col("h"), col("doc_id").as("ra"))
+        .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
+          Seq("h"))
+        .filter(col("ra") < col("rb"))
+        .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("shared"))
     // cross-group member pairs: every (x ∈ A, y ∈ B) shares exactly the
     // rep pair's fingerprints; reorder ids and carry each side's nf along
     val cross = sharedRep

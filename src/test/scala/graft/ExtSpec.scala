@@ -934,6 +934,14 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getLong(4))).toSet
     assert(got === expected, s"qd19 rows diverge from the mini-oracle:\n$got\nvs\n$expected")
+
+    // the A/B control (PairFilterProbe's unpruned pair stage) is
+    // row-identical — the filter only prunes pairs that fail the gate
+    val off = graft.ext.TextAnalysis.qd19Impl(spark, dir,
+        graft.ext.CheckpointStrategy.LocalDisk, sizeFilter = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(off === expected, "sizeFilter=false control diverges")
   }
 
   test("CheckpointStrategy.Reliable: qd19 and qt23's bm25 produce the exact default-strategy rows") {
