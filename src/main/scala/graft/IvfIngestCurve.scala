@@ -111,11 +111,14 @@ object IvfIngestCurve {
         f""""compact_sec":$compactSec%.3f}"""
     }
     // Content-hash invariant: compaction (any trigger) must not change what
-    // serve returns. Order-insensitive sum of per-row hashes over the full
+    // serve returns. Order-insensitive XOR of per-row hashes over the full
     // top-k result — identical across control / cadence / threshold runs.
+    // (bit_xor, not sum: a 64-bit hash sum overflows under ANSI; XOR is
+    // total, and the (q_id, n_id, rank) rows are distinct so no pair of
+    // identical hashes can cancel.)
     val serveHash = Similarity.serveIvf(spark, path, cents, e)
       .select(xxhash64(col("q_id"), col("n_id"), col("rank")).as("h"))
-      .agg(sum(col("h"))).collect()(0).getLong(0)
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
     println(s"""{"metric":"ivf_ingest_curve","dir":"$dir",""" +
       s""""batches_n":$nBatches,"compact_every":$compactEvery,""" +
       s""""max_files_per_cell":$maxFilesCell,""" +

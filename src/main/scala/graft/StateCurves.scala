@@ -244,6 +244,39 @@ object StateCurves {
       }
     }
 
+    // VERDICT r14 #5: the streaming feature store's state story. The gate
+    // corpus keeps a FIXED user universe, so qst41's per-user carry would
+    // saturate trivially; here the keyspace is OPENED (copy k's events get
+    // fresh user ids, derived from the event_id copy offset already baked
+    // into the corpus) — the 100 TB trajectory, where the user universe
+    // grows with the corpus. The un-TTL'd carry then grows monotonically
+    // (one FeatState row per user ever seen with a feature), while qst42's
+    // event-time TTL expires any carried click once the watermark passes
+    // click_ts + the qa05 staleness tolerance (2 days; copies sit +31 days
+    // apart, so each copy boundary expires the previous copy's users):
+    // state plateaus at arrival rate × tolerance, the qst18/qst19 shape.
+    locally {
+      import spark.implicits._
+      val baseEv = Tables.events(spark, base)
+      val evOff = baseEv.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+      val userOff = baseEv.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+      def openUsers(ev: DataFrame): DataFrame = ev.withColumn("user_id",
+        col("user_id") + floor(col("event_id") / evOff).cast("long") * userOff)
+      def asEv(ev: DataFrame) = ev
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), col("value"))
+        .as[graft.streaming.StreamPit.Ev]
+      curve(spark, "qst41_pit_open_users", evDir, 2, "update") { ev =>
+        graft.streaming.StreamPit.enriched(asEv(openUsers(ev))).toDF()
+      }
+      curve(spark, "qst42_pit_ttl", evDir, 2, "update") { ev =>
+        graft.streaming.StreamPit.enrichedTtl(
+          asEv(openUsers(ev).withWatermark("ts", "1 hour")),
+          graft.operators.AsOf.StaleTolUs).toDF()
+      }
+    }
+
     // VERDICT r07 Next #3: close the RocksDB bytes caveat. Under the
     // back-to-back replay above, memoryUsedBytes (SST + memtable) grows in
     // BOTH the TTL'd and unbounded dedup runs because compaction lags the
