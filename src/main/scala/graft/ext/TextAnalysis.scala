@@ -1396,11 +1396,12 @@ object TextAnalysis {
         Seq("doc_id"))
       .groupBy(col("h")).agg(sum(col("m")).as("n"))
       .filter(col("n").between(2, Dedup.BucketCap)).select(col("h"))
-    // read 4×: both pair-join sides + kcnt + (via kcnt) swithin
+    // read 3×: both pair-join sides (left via postElig) + kcnt
     val posting = ckpt(repFps.join(kept.hint("merge"), Seq("h"), "left_semi"))
     // kept-fingerprint count per rep — feeds the size filter AND the
-    // within-group shared count (identical sets ⇒ shared = |kept ∩ set|)
-    val kcnt = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("kc"))
+    // within-group shared count (identical sets ⇒ shared = |kept ∩ set|);
+    // checkpointed so the posting scan + agg runs once, not per reference
+    val kcnt = ckpt(posting.groupBy(col("doc_id")).agg(count(lit(1)).as("kc")))
     // Size filter (Bayardo et al., "Scaling Up All Pairs Similarity
     // Search", WWW'07 — the min-overlap bound, adapted to containment):
     // a pair passes shared / min(nf_a, nf_b) >= 0.8 only if its MIN-nf
