@@ -46,7 +46,9 @@ class CollectSiteSpec extends AnyFunSuite {
     ("streaming/StreamingQueries.scala", "qst27Values.put(d, b.collect()") ->
       (1, "per-event-type quantile rows: <= |event types| (enum-bounded)"),
     ("streaming/StreamingQueries.scala", """max(unix_micros(col("ts"))).as("hi")).collect()(0) // 2 scalars""") ->
-      (1, "1-row global (min ts, max ts) bounds frame for the replay split"))
+      (1, "1-row global (min ts, max ts) bounds frame for the replay split"),
+    ("streaming/StreamingQueries.scala", """java.util.Arrays.asList(built.collect(): _*), built.schema)""") ->
+      (1, "bm25 query-term index: one row per derived query (= 3) by construction"))
 
   private def scalaFiles(dir: File): Seq[File] =
     if (!dir.exists()) Nil
