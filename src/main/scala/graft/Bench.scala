@@ -84,9 +84,15 @@ object Bench {
     // reference, the artifact stamps itself degraded so downstream tooling
     // never quotes its timings unqualified — the load was present during
     // (post) or before (pre) the query passes either way.
-    val calIdleRef = 1.0
+    // calIdleRef is a property of the BOX (idle probe wall time at this
+    // core count), not of the engine — overridable via env on different
+    // hardware / SPARK_GRAFT_CPUS, and emitted in the JSON so the
+    // threshold each artifact was judged against is recorded in it
+    // (ADVICE r15).
+    val calIdleRef =
+      sys.env.get("SPARK_GRAFT_CAL_IDLE_REF").map(_.toDouble).getOrElse(1.0)
     val degraded = math.max(calPre, calPost) > 1.5 * calIdleRef
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost},"degraded":$degraded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost,"idle_ref":$calIdleRef},"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

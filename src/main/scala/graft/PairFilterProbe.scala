@@ -38,16 +38,38 @@ object PairFilterProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Each timed build eagerly checkpoints corpus-sized frames (DISK_ONLY
+    // blocks owned by the ContextCleaner, whose GC-driven cleanup is not
+    // prompt) — without an explicit clear the blocks ACCUMULATE across the
+    // sitting and later passes run under growing storage/disk pressure, a
+    // monotone bias the A,B,B,A ordering cancels only for slow drift, not
+    // accumulation (ADVICE r15). Drop all persisted RDDs after every pass
+    // so each starts from the same storage state.
+    def clearStorage(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
     def ab(name: String, a: => Unit, b: => Unit): Unit = {
-      val tA1 = timeIt(a); val tB1 = timeIt(b)
-      val tB2 = timeIt(b); val tA2 = timeIt(a)
+      def pass(f: => Unit): Double = { val t = timeIt(f); clearStorage(); t }
+      val tA1 = pass(a); val tB1 = pass(b)
+      val tB2 = pass(b); val tA2 = pass(a)
       println(f"""{"metric":"ab_probe","query":"$name","dir":"$dir","on_sec":${math.min(tA1, tA2)}%.3f,"off_sec":${math.min(tB1, tB2)}%.3f,"on_passes":[$tA1%.3f,$tA2%.3f],"off_passes":[$tB1%.3f,$tB2%.3f]}""")
     }
 
     ab("qd19_size_filter",
-      noop(TextAnalysis.qd19Impl(spark, dir, CheckpointStrategy.LocalDisk)),
       noop(TextAnalysis.qd19Impl(spark, dir, CheckpointStrategy.LocalDisk,
-        sizeFilter = false)))
+        sizeFilter = Some(true))),
+      noop(TextAnalysis.qd19Impl(spark, dir, CheckpointStrategy.LocalDisk,
+        sizeFilter = Some(false))))
+    // auto mode (the shipping default, VERDICT r15 #6a): record which
+    // side the posting-count threshold picks at this tier and what it
+    // costs — the artifact row that shows auto == the winning variant
+    locally {
+      val t = timeIt(noop(
+        TextAnalysis.qd19Impl(spark, dir, CheckpointStrategy.LocalDisk)))
+      clearStorage()
+      val (n, used) = TextAnalysis.lastSizeFilterDecision.getOrElse((-1L, false))
+      println(f"""{"metric":"ab_probe_auto","query":"qd19_size_filter","dir":"$dir","auto_sec":$t%.3f,"posting_rows":$n,"filter_used":$used,"threshold":${TextAnalysis.SizeFilterMinPostings}}""")
+    }
     ab("qc03_ckpt",
       noop(Clustering.qc03Impl(spark, dir, CheckpointStrategy.LocalDisk)),
       noop(Clustering.qc03Impl(spark, dir, CheckpointStrategy.Off)))

@@ -69,15 +69,20 @@ object StateCurves {
       triggerEveryMs: Option[Long] = None,
       expectedRows: Option[Long] = None,
       compactOnCommit: Boolean = false,
+      confs: Map[String, String] = Map.empty,
       liveAudit: Option[(SparkSession, String) => String] = None)(
       transform: DataFrame => DataFrame): Unit = {
     if (!only.forall(_.contains(name))) return
     if (compactOnCommit) spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try curveRun(spark, name, dir, filesPerTrigger, mode, triggerEveryMs,
       expectedRows, compactOnCommit, liveAudit)(transform)
-    finally if (compactOnCommit) spark.conf.unset(
-      "spark.sql.streaming.stateStore.rocksdb.compactOnCommit")
+    finally {
+      if (compactOnCommit) spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit")
+      confs.keys.foreach(spark.conf.unset)
+    }
   }
 
   private def curveRun(spark: SparkSession, name: String, dir: String,
@@ -178,6 +183,20 @@ object StateCurves {
 
     val evDir = s"$out/events"
     val docDir = s"$out/documents"
+    // Corpus meta stamp (ADVICE r15): the generated corpus is REUSED
+    // whenever the directory exists, but the open-keyspace curves below
+    // need the copy offsets the corpus was GENERATED with — recomputing
+    // them from the CURRENT base silently mis-assigns copy indices if the
+    // base corpus changed under the cached directory. Stamp (base,
+    // offsets) at generation time, read them back on reuse, and fail fast
+    // on a base mismatch instead of producing quietly-wrong curves.
+    val metaFile = new File(s"$out/meta.json")
+    def readMeta(): Map[String, String] = {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
+      """"([a-z_]+)":"?([^",}]+)"?""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
     if (!new File(evDir).exists()) {
       val ev = Tables.events(spark, base)
       val evOff = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
@@ -202,7 +221,18 @@ object StateCurves {
         docs.withColumn("text", text)
           .withColumn("doc_id", col("doc_id") + lit(k * docOff))
       }
+      val userOff = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+      java.nio.file.Files.write(metaFile.toPath,
+        s"""{"base":"$base","mult":$mult,"ev_off":$evOff,"user_off":$userOff,"doc_off":$docOff}"""
+          .getBytes("UTF-8")): Unit
     }
+    require(metaFile.exists(),
+      s"$out exists without its meta.json stamp — regenerate (rm -r $out)")
+    val meta = readMeta()
+    require(meta("base") == base && meta("mult") == mult.toString,
+      s"cached corpus at $out was generated from base=${meta("base")} " +
+        s"mult=${meta("mult")}, but this run uses base=$base mult=$mult — " +
+        s"offsets would mis-assign copy indices; rm -r $out to regenerate")
 
     curve(spark, "qst03_fixed_keys", evDir, 2, "append") { ev =>
       ev.select(col("user_id"), col("event_type"))
@@ -257,9 +287,10 @@ object StateCurves {
     // state plateaus at arrival rate × tolerance, the qst18/qst19 shape.
     locally {
       import spark.implicits._
-      val baseEv = Tables.events(spark, base)
-      val evOff = baseEv.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
-      val userOff = baseEv.agg(max(col("user_id"))).collect()(0).getLong(0) + 1
+      // offsets come from the corpus's meta stamp, NOT recomputed from the
+      // current base (ADVICE r15) — see the generation block above
+      val evOff = meta("ev_off").toLong
+      val userOff = meta("user_off").toLong
       def openUsers(ev: DataFrame): DataFrame = ev.withColumn("user_id",
         col("user_id") + floor(col("event_id") / evOff).cast("long") * userOff)
       def asEv(ev: DataFrame) = ev
@@ -271,6 +302,25 @@ object StateCurves {
         graft.streaming.StreamPit.enriched(asEv(openUsers(ev))).toDF()
       }
       curve(spark, "qst42_pit_ttl", evDir, 2, "update") { ev =>
+        graft.streaming.StreamPit.enrichedTtl(
+          asEv(openUsers(ev).withWatermark("ts", "1 hour")),
+          graft.operators.AsOf.StaleTolUs).toDF()
+      }
+      // VERDICT r15 #3: qst42's live rows plateau from trigger 1 but the
+      // provider's memoryUsedBytes climbs ~350 KB/trigger — RocksDB block
+      // cache + memtable + retained readers, a CACHE that grows with
+      // traffic. For an always-on 100 TB stream the bounded-state story
+      // must bound the cache too, and RocksDB's bounded-memory mode is
+      // the production knob: ONE shared LRU block cache + write-buffer
+      // pool per executor, capped at maxMemoryUsageMB, evicting instead
+      // of growing. Same TTL'd query, stated cap of 16 MB (the 100-
+      // trigger unbounded line crosses ~35 MB, so the cap demonstrably
+      // BINDS): state_rows must reproduce the unbounded plateau exactly
+      // while the byte line holds under the cap.
+      curve(spark, "qst42_pit_ttl_bounded", evDir, 2, "update",
+        confs = Map(
+          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+          "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "16")) { ev =>
         graft.streaming.StreamPit.enrichedTtl(
           asEv(openUsers(ev).withWatermark("ts", "1 hour")),
           graft.operators.AsOf.StaleTolUs).toDF()

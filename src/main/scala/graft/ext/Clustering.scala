@@ -440,9 +440,17 @@ object Clustering {
   // ---------------------------------------------------------------------
   private val TrainSteps = 3
 
-  private def qc04(s: SparkSession, d: String): DataFrame = {
+  private def qc04(s: SparkSession, d: String): DataFrame =
+    qc04Impl(s, d, CheckpointStrategy.LocalDisk)
+
+  /** qc04 with the lineage-checkpoint strategy as a parameter (VERDICT
+    * r15 #1 retrofit): the design matrix is the SAME corpus-sized
+    * featFrame qc03Impl LocalDisks — the in-heap copy is the r14-measured
+    * decade-tier OOM shape. A cluster passes Reliable. */
+  private[graft] def qc04Impl(s: SparkSession, d: String,
+      ckpt: CheckpointStrategy): DataFrame = {
     import s.implicits._
-    val feats = featFrame(s, d).localCheckpoint(true)
+    val feats = ckpt(featFrame(s, d))
     var w: Map[Long, Long] = s.range(NumFeat)
       .select(col("id").as("j"), wOf(col("id")).as("w")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

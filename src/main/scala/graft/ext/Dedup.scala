@@ -221,17 +221,22 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
-  private def qd03(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (not cache): sigs is read three times below, so it is
+  private def qd03(s: SparkSession, d: String): DataFrame =
+    qd03Impl(s, d, CheckpointStrategy.LocalDisk)
+
+  /** qd03 with the lineage-checkpoint strategy as a parameter (the
+    * engine rule from [[CheckpointStrategy]]: corpus-sized ⇒ LocalDisk on
+    * a single JVM, Reliable on a cluster — VERDICT r15 #1 retrofit). */
+  private[graft] def qd03Impl(s: SparkSession, d: String,
+      ckpt: CheckpointStrategy): DataFrame = {
+    // checkpoint (not cache): sigs is read three times below, so it is
     // materialized once either way, but the checkpoint's lifetime is owned
     // by the GC/ContextCleaner instead of leaking a session-lifetime cache
-    // entry per invocation (bench best-of-2 / repeated tests). Constraint:
-    // localCheckpoint truncates lineage and stores blocks on executors
-    // only, so under executor loss / dynamic allocation the job fails
-    // unrecoverably instead of recomputing — right for this single-node
-    // bench; at cluster scale prefer reliable `checkpoint()` (HDFS-backed)
-    // or caller-owned cache() whose blocks can be rebuilt from lineage.
-    val sigs = withSignature(Tables.documents(s, d)).localCheckpoint(true)
+    // entry per invocation (bench best-of-2 / repeated tests). sigs is
+    // CORPUS-SIZED (one row per doc carrying a 128-hash signature array):
+    // the in-heap deserialized copy is the exact shape whose 1000×-doc
+    // tier OOM r14 measured on qd19, hence LocalDisk, not Local.
+    val sigs = ckpt(withSignature(Tables.documents(s, d)))
     val cand = lshBuckets(sigs)
       .filter(size(col("ids")).between(2, BucketCap))
       .select(explode(pairExplode).as("p"))
@@ -1069,21 +1074,28 @@ object Dedup {
   //     near-miss blocks: oversized blocks are excluded from pairing.
   private val EditBlockCap = 64
 
-  private def qd17(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint (qd03's treatment): `blocked` feeds the cap groupBy
+  private def qd17(s: SparkSession, d: String): DataFrame =
+    qd17Impl(s, d, CheckpointStrategy.LocalDisk)
+
+  /** qd17 with the lineage-checkpoint strategy as a parameter (VERDICT
+    * r15 #1 retrofit — see [[CheckpointStrategy]]). */
+  private[graft] def qd17Impl(s: SparkSession, d: String,
+      ckpt: CheckpointStrategy): DataFrame = {
+    // checkpoint (qd03's treatment): `blocked` feeds the cap groupBy
     // AND both self-join sides — without it the double-regex norm pass
     // over the full corpus re-executes 4×, which measured as the entire
-    // cost at the Zipf 1000× tier (the reps frame itself is vocab-sized:
-    // one row per distinct normalized text)
+    // cost at the Zipf 1000× tier. The reps frame is one row per DISTINCT
+    // normalized text — on a dup-free corpus that IS corpus-sized, each
+    // row carrying the full normalized text, so LocalDisk (the r14 qd19
+    // OOM shape), not in-heap Local.
     // AsciiNormalize = the regex chain's codegen'd single-pass equivalent
     // (spec-pinned equality); Java regex measured as qd17's entire cost
-    val blocked = Tables.documents(s, d).select(col("doc_id"),
+    val blocked = ckpt(Tables.documents(s, d).select(col("doc_id"),
       graft.functions.TextNorm.asciiNormalize(col("text")).as("n"))
       .groupBy(col("n")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("n"),
         expr(s"length(n) div $EditBlockBand").as("lb"),
-        substring(col("n"), 1, EditPrefix).as("pfx"))
-      .localCheckpoint(true)
+        substring(col("n"), 1, EditPrefix).as("pfx")))
     val small = blocked.groupBy(col("lb"), col("pfx"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= EditBlockCap)
       .select(col("lb"), col("pfx"))

@@ -240,8 +240,8 @@ object TextAnalysis {
   /** N merge rules (lhs, rhs, weighted pair count at selection time) from
     * a (freq, enc) vocabulary. Exposed for the spec.
     *
-    * Each iteration CHECKPOINTS the merged vocabulary (eager
-    * `localCheckpoint` — plan truncated to the materialized RDD), so
+    * Each iteration CHECKPOINTS the merged vocabulary (eager, via
+    * `ckpt` — plan truncated to the materialized RDD), so
     * iteration i's plan is always "one replace over a materialized
     * table". Without this, `cur`'s lineage grows by one replace per
     * merge: iteration i re-applies all i−1 prior merges (O(n²) replace
@@ -251,17 +251,24 @@ object TextAnalysis {
     * 11). Checkpointing keeps plan size O(1) in i, so cost per merge is
     * one pair-count shuffle + one O(vocab) replace — flat in i (measured
     * at 30×: see BASELINE.md BPE row) and depth is bounded by wall-clock
-    * budget, not plan growth. On a cluster use reliable `checkpoint`
-    * (HDFS/S3) for fault tolerance; local mode needs no recovery. The
+    * budget, not plan growth. On a cluster pass
+    * [[CheckpointStrategy.Reliable]] for fault tolerance; local mode
+    * needs no recovery. The
     * superseded snapshot's blocks are dropped by the ContextCleaner once
     * unreferenced. `onStep` reports (step, nanos) per merge for the
     * BpeCurve probe. */
   private[graft] def trainBpe(vocab: DataFrame, n: Int,
-      onStep: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+      onStep: (Int, Long) => Unit = (_, _) => (),
+      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk): Seq[(String, String, Long)] = {
     val pairsOf =
       "transform(sequence(1, size(syms) - 1), " +
         "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-    var cur = vocab.localCheckpoint(true)
+    // The fold-chain frame is one row per WORD TYPE carrying the full
+    // encoded form — Heap's-law sublinear in the corpus but still
+    // hundreds of millions of rows at 100 TB, so it takes the corpus-
+    // sized default (LocalDisk; a cluster passes Reliable — VERDICT r15
+    // #1 retrofit, see [[CheckpointStrategy]]).
+    var cur = ckpt(vocab)
     val merges = Seq.newBuilder[(String, String, Long)]
     for (i <- 1 to n) {
       val t0 = System.nanoTime()
@@ -275,9 +282,8 @@ object TextAnalysis {
       val Array(l, r) = top.getString(0).split(' ')
       merges += ((l, r, top.getLong(1)))
       if (i < n) // the last fold is never read (mirrors the oracle CTEs)
-        cur = cur.withColumn("enc",
-          replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")))
-          .localCheckpoint(true)
+        cur = ckpt(cur.withColumn("enc",
+          replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r "))))
       onStep(i, System.nanoTime() - t0)
     }
     merges.result()
@@ -1352,6 +1358,23 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
   private val ContainmentFlag = 0.8
 
+  /** Auto-mode posting-row threshold below which qd19 skips the size
+    * filter (VERDICT r15 #6a): the filter's elig/postElig stages cost a
+    * near-constant ~3.8 s of extra joins and checkpoint writes at the
+    * sf0.1 base tier, where posting is small (dup-light corpora drop
+    * docfreq-1 fingerprints) and the unpruned pair stage is already
+    * cheap — the prune only pays where pair volume lives (1.27–1.72×
+    * at the 30×/decade tiers, AB_PROBE_r15/r16). Output is identical on
+    * both sides of the threshold (spec-pinned), so this is a cost-based
+    * physical choice, not a semantic one. Env-overridable for probes. */
+  private[graft] val SizeFilterMinPostings: Long =
+    sys.env.get("SPARK_GRAFT_QD19_FILTER_MIN").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** Last auto decision: (posting rows, filter used) — probe telemetry
+    * so AB_PROBE artifacts can record which side auto took per tier. */
+  @volatile private[graft] var lastSizeFilterDecision: Option[(Long, Boolean)] = None
+
   private def qd19(s: SparkSession, d: String): DataFrame =
     qd19Impl(s, d, CheckpointStrategy.LocalDisk)
 
@@ -1360,12 +1383,15 @@ object TextAnalysis {
     * passes Reliable so executor loss recomputes the checkpointed frames
     * instead of killing the query. Package-private so the spec can gate
     * Reliable against the default's exact rows (VERDICT r14 #1).
-    * `sizeFilter = false` disables the pair-pruning size filter — output
-    * is identical either way (spec-pinned); the flag exists ONLY so
-    * PairFilterProbe can A/B the two pair stages in one sitting, since
-    * cross-sitting timings are confounded by box load. */
+    * `sizeFilter`: None (the default) decides from the materialized
+    * posting count against [[SizeFilterMinPostings]]; Some(b) forces the
+    * pair stage — output is identical either way (spec-pinned); the
+    * forced modes exist so PairFilterProbe can A/B the two pair stages
+    * in one sitting, since cross-sitting timings are confounded by box
+    * load. */
   private[graft] def qd19Impl(s: SparkSession, d: String,
-      ckpt: CheckpointStrategy, sizeFilter: Boolean = true): DataFrame = {
+      ckpt: CheckpointStrategy,
+      sizeFilter: Option[Boolean] = None): DataFrame = {
     // fps feeds docSig AND (via repFps) both sides of the pair join: with
     // plain lineage the whole winnowing projection re-executes per
     // reference — the r13 census counted 64 Exchanges here, the registry
@@ -1417,18 +1443,27 @@ object TextAnalysis {
     // the same double division as the output filter; for a qualifying
     // pair shared <= kc_m and IEEE division by a fixed positive nf is
     // monotone, so kc_m/nf_m >= shared/nf_m >= 0.8 — no false prune.
+    // auto mode: posting is already materialized (eager ckpt above), so
+    // the count is one cheap pass over checkpoint blocks — the cost-based
+    // decision reads the SAME quantity the filter prunes (pair-stage
+    // input rows), not a proxy like corpus rows
+    val useFilter = sizeFilter.getOrElse {
+      val n = posting.count()
+      lastSizeFilterDecision = Some((n, n >= SizeFilterMinPostings))
+      n >= SizeFilterMinPostings
+    }
     val elig = kcnt.join(
         groups.select(col("rep").as("doc_id"), col("nf")).hint("merge"),
         Seq("doc_id"))
       .filter(col("kc").cast("double") / col("nf") >= ContainmentFlag)
       .select(col("doc_id"))
-    val postElig = posting.join(elig.hint("merge"), Seq("doc_id"), "left_semi")
+    def postElig = posting.join(elig.hint("merge"), Seq("doc_id"), "left_semi")
     // Pair stage with the filtered LEFT side: every candidate pair has an
     // eligible side on the left. A both-eligible pair is generated in
     // both orientations with IDENTICAL shared counts (the h-match rows
     // are orientation-symmetric), a mixed pair in exactly one — so the
     // unordered rollup takes max(shared), which equals the single value.
-    val sharedRep = if (sizeFilter)
+    val sharedRep = if (useFilter)
       postElig.select(col("h"), col("doc_id").as("ra"))
         .join(posting.select(col("h"), col("doc_id").as("rb")).hint("merge"),
           Seq("h"))

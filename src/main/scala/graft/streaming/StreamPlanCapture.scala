@@ -26,6 +26,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object StreamPlanCapture {
 
   final class Handle private[StreamPlanCapture] (spark: SparkSession) {
+    // The listener is session-global: EVERY stream started while the
+    // handle is live is stashed. The census runs gates sequentially, one
+    // stream set per handle — a concurrent or leaked background stream
+    // would silently pollute the censused plan counts, so fail loudly at
+    // begin() if anything is already running (ADVICE r15).
+    require(spark.streams.active.isEmpty,
+      "StreamPlanCapture.begin() with streams already active — " +
+        "census rows would mix plans from: " +
+        spark.streams.active.map(q => s"${q.name}/${q.id}").mkString(", "))
     private val stashed = ArrayBuffer.empty[StreamExecution]
     private val listener = new StreamingQueryListener {
       override def onQueryStarted(
@@ -44,21 +53,50 @@ object StreamPlanCapture {
 
     @volatile private var ended = false
 
+    // inner BATCH plans contributed by foreachBatch gates (see
+    // [[StreamPlanCapture.contribute]]); latest per key, so the censused
+    // counts are stable in the trigger count
+    private val extra =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    private[StreamPlanCapture] def addExtra(key: String, plan: String): Unit =
+      extra.synchronized { extra(key) = plan }: Unit
+
     /** Unregister and return the LAST micro-batch physical plan of every
-      * stream started while this handle was live. Empty only if no stream
-      * ran a trigger (the census treats that as a capture error).
-      * Idempotent: a second call (the census error path's cleanup after a
-      * successful end) is a no-op returning Nil. */
+      * stream started while this handle was live, plus any contributed
+      * foreachBatch inner plans. Empty only if no stream ran a trigger
+      * (the census treats that as a capture error). Idempotent: a second
+      * call (the census error path's cleanup after a successful end) is a
+      * no-op returning Nil. */
     def end(): Seq[String] = {
       if (ended) return Nil
       ended = true
+      current.compareAndSet(this, null): Unit
       spark.streams.removeListener(listener)
       stashed.synchronized {
         stashed.toSeq.flatMap(se =>
           Option(se.lastExecution).map(_.executedPlan.toString))
-      }
+      } ++ extra.synchronized { extra.values.toSeq }
     }
   }
 
-  def begin(spark: SparkSession): Handle = new Handle(spark)
+  // the live handle, if any (census runs gates sequentially; begin()
+  // asserts no concurrent streams, so one live handle is an invariant)
+  private val current =
+    new java.util.concurrent.atomic.AtomicReference[Handle](null)
+
+  def begin(spark: SparkSession): Handle = {
+    val h = new Handle(spark)
+    current.set(h)
+    h
+  }
+
+  /** Census channel for gates whose per-trigger work runs as BATCH
+    * queries inside foreachBatch — those plans never appear in any
+    * StreamExecution's `lastExecution`, so without this the census would
+    * see only the source→sink shell and miss the join strategy that
+    * actually serves each trigger (qst43's pruned store join). Latest
+    * plan per key wins; `plan` is by-name so gates pay nothing when no
+    * census capture is live (the Verify/Bench path). */
+  def contribute(key: String, plan: => String): Unit =
+    Option(current.get()).foreach(_.addExtra(key, plan))
 }

@@ -1659,7 +1659,9 @@ object StreamingQueries {
     * physical). `ckpt` defaults to the single-JVM corpus-sized tier;
     * a cluster passes Reliable. The per-trigger broadcast of seenH is
     * the small-SF gate plan only — at 100 TB the screen joins the
-    * PERSISTED hash-prefix store instead (qst29's shape). */
+    * PERSISTED hash-prefix store instead, which is no longer a claim:
+    * qst43 ([[screenAgainstStore]]) gates exactly that shape against the
+    * same qt22 oracle. */
   private[graft] def fingerprintScreen(seen: DataFrame,
       ckpt: graft.ext.CheckpointStrategy = graft.ext.CheckpointStrategy.LocalDisk)(
       incoming: DataFrame): DataFrame = {
@@ -1681,6 +1683,103 @@ object StreamingQueries {
     runBounded(s, d, "documents", "complete") { docs =>
       fingerprintScreen(seen)(docs.filter(col("doc_id") % 5 === 0))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // qst43: qst33's 100 TB serving shape made physical (VERDICT r15 #2) —
+  // the screen joins a PERSISTED hash-prefix fingerprint store instead of
+  // a per-trigger broadcast of a session-built seenH. Batch side: the
+  // seen corpus's distinct winnowed fingerprints land ONCE as a parquet
+  // table partitioned by hp = pmod(h, 16). The key is the CONTENT
+  // hash, not the doc id — the screen probes by fingerprint value, so a
+  // content-keyed layout is what partition-prunes the probe (contrast
+  // qd18's doc-keyed store, whose key serves upsert-by-doc; a production
+  // ingest maintains both, qd18 for merges and this index for screens).
+  // Stream side: foreachBatch — per arriving micro-batch the probe's
+  // distinct prefixes are collected (≤16 rows BY CONSTRUCTION: the
+  // partition-key space is pmod 16) and the store scan is PRUNED to
+  // exactly those partitions before the equi-join on (hp, h). Per-trigger
+  // IO is O(store partitions the batch actually touches), never
+  // O(|store|), and the inner query is a BATCH plan, so AQE picks the
+  // join strategy per trigger from runtime sizes (broadcast the bounded
+  // probe when small, shuffle when a catch-up batch is big) — unhinted,
+  // per the J1 rule: the store side is corpus-derived, never pinned
+  // broadcast. The executed inner plan is contributed to the streaming
+  // census ([[StreamPlanCapture.contribute]]) so the pruned join is
+  // censused, not narrated; StreamingSpec additionally asserts the
+  // store scan's selected partition count equals the probe's prefix
+  // count. Oracle: qt22's SQL verbatim — the same rollup as qst33, so
+  // store-served and broadcast-served screens must hash identically.
+  // ---------------------------------------------------------------------
+  /** 16-way content-hash partition key over the winnowed fingerprint
+    * value (a 64-bit rolling hash, so the low bits are uniform). */
+  private def fpPrefix = pmod(col("h"), lit(16)).cast("int")
+
+  /** Build the persisted content-keyed fingerprint index for `seen` at
+    * `idxDir` (parquet, partitioned by hp). */
+  private[graft] def writeFingerprintIndex(seen: DataFrame, idxDir: String): Unit =
+    graft.ext.TextAnalysis.winnowedFingerprints(seen)
+      .select(col("h")).distinct()
+      .withColumn("hp", fpPrefix)
+      .write.partitionBy("hp").parquet(idxDir)
+
+  /** The qst43 per-batch screen against a persisted index at `idxDir` —
+    * package-private so the spec can replay planted corpora and pin the
+    * pruned-scan contract on the physical plan. */
+  private[graft] def screenAgainstStore(s: SparkSession, idxDir: String)(
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    // trigger-bounded (one ingest batch), read twice (prefix probe + join)
+    val fps = graft.ext.TextAnalysis.winnowedFingerprints(batch)
+      .withColumn("hp", fpPrefix)
+      .localCheckpoint(true)
+    // ≤16 rows by construction: hp ranges over pmod(h, 16)
+    val hps = fps.select(col("hp")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // explicit schema: the partition values must read back as the int the
+    // probe side computes, independent of partition-value type inference
+    val store = s.read.schema(StructType(Seq(
+        StructField("h", LongType), StructField("hp", IntegerType))))
+      .parquet(idxDir)
+      .filter(col("hp").isin(hps: _*))
+      .withColumn("hit", lit(1L))
+    fps.join(store, Seq("hp", "h"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_fps"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_fps")).as("shared_frac"),
+        (col("n_shared") > 0).as("flagged"))
+  }
+
+  private def qst43(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-qst43-idx-")
+    graft.ext.SpanDedup.registerTempRoot(root)
+    val idxDir = s"$root/fp"
+    writeFingerprintIndex(
+      Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0), idxDir)
+    val outs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qst43-ckpt-")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val src = streamTable(s, d, "documents", schema)
+      .filter(col("doc_id") % 5 === 0)
+    val q = src.writeStream.option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val res = screenAgainstStore(s, idxDir)(b)
+        // eager: pins this batch's bounded |docs-in-batch|-row result
+        // before the next trigger, and finalizes the AQE plan so the
+        // census contribution below reads the plan that actually ran
+        outs.add(res.localCheckpoint(true)): Unit
+        StreamPlanCapture.contribute("qst43_inner",
+          res.queryExecution.executedPlan.toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    deleteOnExit(ckpt)
+    import scala.jdk.CollectionConverters._
+    outs.asScala.toSeq.reduce(_.union(_))
   }
 
   // ---------------------------------------------------------------------
@@ -1886,5 +1985,10 @@ object StreamingQueries {
     // qa04's oracle verbatim: per-key state-carried PIT enrichment at
     // ingest must equal the batch ASOF assembly exactly
     Q("qst41_stream_pit", qst41, Some(graft.operators.AsOf.qa04Sql)),
-    Q("qst42_stream_pit_ttl", qst42, Some(qst42Sql)))
+    Q("qst42_stream_pit_ttl", qst42, Some(qst42Sql)),
+    // qt22's oracle verbatim (qst33's oracle): the persisted-store screen
+    // must hash-match the broadcast-served screen — the claimed 100 TB
+    // serving shape as a gate, not a scaladoc sentence (VERDICT r15 #2)
+    Q("qst43_stream_screen_store", qst43,
+      Some(graft.ext.TextAnalysis.qt22Sql)))
 }

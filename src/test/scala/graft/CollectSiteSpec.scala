@@ -48,7 +48,9 @@ class CollectSiteSpec extends AnyFunSuite {
     ("streaming/StreamingQueries.scala", """max(unix_micros(col("ts"))).as("hi")).collect()(0) // 2 scalars""") ->
       (1, "1-row global (min ts, max ts) bounds frame for the replay split"),
     ("streaming/StreamingQueries.scala", """java.util.Arrays.asList(built.collect(): _*), built.schema)""") ->
-      (1, "bm25 query-term index: one row per derived query (= 3) by construction"))
+      (1, "bm25 query-term index: one row per derived query (= 3) by construction"),
+    ("streaming/StreamingQueries.scala", """.collect().map(_.getInt(0)).toSeq.sorted""") ->
+      (1, "qst43 probe prefixes: <= 16 pmod-16 partition keys by construction"))
 
   private def scalaFiles(dir: File): Seq[File] =
     if (!dir.exists()) Nil

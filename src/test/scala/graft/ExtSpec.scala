@@ -938,10 +938,17 @@ class TextSpec extends SparkSpec {
     // the A/B control (PairFilterProbe's unpruned pair stage) is
     // row-identical — the filter only prunes pairs that fail the gate
     val off = graft.ext.TextAnalysis.qd19Impl(spark, dir,
-        graft.ext.CheckpointStrategy.LocalDisk, sizeFilter = false).collect()
+        graft.ext.CheckpointStrategy.LocalDisk, sizeFilter = Some(false)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getLong(4))).toSet
     assert(off === expected, "sizeFilter=false control diverges")
+    // the forced-ON side too: below the auto threshold the registry run
+    // above took the unpruned stage, so pin the pruned stage explicitly
+    val on = graft.ext.TextAnalysis.qd19Impl(spark, dir,
+        graft.ext.CheckpointStrategy.LocalDisk, sizeFilter = Some(true)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(on === expected, "sizeFilter=true forced mode diverges")
   }
 
   test("CheckpointStrategy.Reliable: qd19 and qt23's bm25 produce the exact default-strategy rows") {
@@ -965,6 +972,14 @@ class TextSpec extends SparkSpec {
       assert(canon(graft.ext.Clustering.qc03Impl(spark, sf, CheckpointStrategy.Reliable))
         === canon(Registry.byName("qc03_classifier_step").run(spark, sf)),
         "qc03 rows differ under Reliable")
+      // r15 #1 retrofit sites: the four legacy corpus-sized checkpoint
+      // frames now take the strategy too — same row-invariance contract.
+      assert(canon(graft.ext.Dedup.qd03Impl(spark, sf, CheckpointStrategy.Reliable))
+        === canon(Registry.byName("qd03_minhash_lsh_pairs").run(spark, sf)),
+        "qd03 rows differ under Reliable")
+      assert(canon(graft.ext.Clustering.qc04Impl(spark, sf, CheckpointStrategy.Reliable))
+        === canon(Registry.byName("qc04_classifier_train").run(spark, sf)),
+        "qc04 rows differ under Reliable")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit

@@ -1171,6 +1171,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persisted-store screen: per-batch results equal batch qt22 and the store scan is partition-pruned (qst43 face)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // larger seen corpus so the store populates many pmod-16 partitions;
+    // incoming batches are SMALL, so their prefix sets genuinely prune
+    val run = (1 to 8).map(i => s"fp$i").mkString(" ")
+    val seenDocs = (1L to 40L).filter(_ % 5 != 0).map { i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" ") +
+        (if (i == 1L) " " + run else ""))
+    }
+    val d5 = (5L, run + " " + (1 to 15).map(i => s"x$i").mkString(" "))
+    val d10 = (10L, (1 to 25).map(i => s"y$i").mkString(" "))
+    val all = (seenDocs ++ Seq(d5, d10)).toDF("doc_id", "text")
+    val expected = graft.ext.TextAnalysis.fingerprintContamination(all)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+
+    val root = java.nio.file.Files.createTempDirectory("graft-qst43-spec-")
+    graft.ext.SpanDedup.registerTempRoot(root)
+    val idxDir = s"$root/fp"
+    StreamingQueries.writeFingerprintIndex(
+      all.filter(col("doc_id") % 5 =!= 0), idxDir)
+    val storeParts = Option(new java.io.File(idxDir).listFiles()).toSeq
+      .flatMap(_.toSeq).count(_.getName.startsWith("hp="))
+
+    // AQE off for this probe only: the assertions below walk the plan tree
+    // for the store's FileSourceScanExec, which AQE wraps in query stages
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val perBatch = Seq(Seq(d5), Seq(d10)).map { batch =>
+        val b = batch.toDF("doc_id", "text")
+        val res = StreamingQueries.screenAgainstStore(spark, idxDir)(b)
+        val rows = res.collect()
+        // pruning contract: the store scan carries a partition filter and
+        // reads no more partitions than the probe's prefix set
+        val probeHps = graft.ext.TextAnalysis.winnowedFingerprints(b)
+          .select(pmod(col("h"), lit(16)).cast("int").as("hp"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val scan = res.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        } match {
+          case Seq(one) => one
+          case other => fail(s"expected exactly one file scan (the store), got ${other.size}")
+        }
+        assert(scan.metadata("PartitionFilters").contains("hp"),
+          "store scan has no partition filter")
+        val read = scan.metrics("numPartitions").value
+        assert(read <= probeHps.size,
+          s"scan read $read partitions for a ${probeHps.size}-prefix probe")
+        assert(probeHps.size < storeParts,
+          "vacuous probe: prefix set covers the whole store")
+        rows
+      }
+      val streamed = perBatch.flatten
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+      assert(streamed === expected.filter(_._1 % 5 == 0))
+      assert(streamed(5L)._3 && !streamed(10L)._3)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("streaming EWMA: any micro-batch split equals the batch FIR (qst31 face)") {
     import spark.implicits._
     // planted hourly series with a gap (hour 2 missing — the tap join
