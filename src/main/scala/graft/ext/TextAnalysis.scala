@@ -253,7 +253,13 @@ object TextAnalysis {
     * at 30×: see BASELINE.md BPE row) and depth is bounded by wall-clock
     * budget, not plan growth. On a cluster pass
     * [[CheckpointStrategy.Reliable]] for fault tolerance; local mode
-    * needs no recovery. The
+    * needs no recovery. Driver-loop bound (measured at depth 512,
+    * BPE_CURVE_r16.json): each merge is one limit(1).collect() argmax
+    * job with a ~0.13 s fixed floor — corpus-independent, so 30k
+    * production merges ≈ 65 min of job overhead; if that ever binds,
+    * batch by materializing the top-K pair counts per round and
+    * replaying the argmax driver-locally until a merge invalidates a
+    * top-K entry. The
     * superseded snapshot's blocks are dropped by the ContextCleaner once
     * unreferenced. `onStep` reports (step, nanos) per merge for the
     * BpeCurve probe. */
