@@ -34,11 +34,23 @@ object BpeCurve {
     val vocabSize = vocab.count()
 
     val steps = Seq.newBuilder[String]
+    // forceDistributed: the curve's claim is about the DISTRIBUTED fold
+    // loop (flat cost per merge, no lineage growth) — the shipping hybrid
+    // would short-circuit to the driver-local path at this vocab size
     val merges = graft.ext.TextAnalysis.trainBpe(vocab, depth,
-      (i, nanos) => steps += f"""{"step":$i,"sec":${nanos / 1e9}%.3f}""")
+      (i, nanos) => steps += f"""{"step":$i,"sec":${nanos / 1e9}%.3f}""",
+      forceDistributed = true)
     require(merges.size == depth, s"trained ${merges.size}/$depth")
+    // the hybrid's local path on the same vocab: one collect + the whole
+    // merge loop on the driver, merge-sequence equality asserted here so
+    // the speedup row can never quote a diverging trainer
+    val t0 = System.nanoTime()
+    val local = graft.ext.TextAnalysis.trainBpe(vocab, depth)
+    val localSec = (System.nanoTime() - t0) / 1e9
+    require(local == merges, "local trainer diverged from distributed")
     println(s"""{"metric":"bpe_curve","mult":$mult,"vocab":$vocabSize,""" +
-      s""""depth":$depth,"steps":[${steps.result().mkString(",")}]}""")
+      f""""depth":$depth,"local_total_sec":$localSec%.3f,""" +
+      s""""steps":[${steps.result().mkString(",")}]}""")
     spark.stop()
   }
 }

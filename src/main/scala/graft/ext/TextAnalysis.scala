@@ -263,9 +263,73 @@ object TextAnalysis {
     * superseded snapshot's blocks are dropped by the ContextCleaner once
     * unreferenced. `onStep` reports (step, nanos) per merge for the
     * BpeCurve probe. */
+  /** Word-type row bound under which [[trainBpe]] collects the vocabulary
+    * and trains DRIVER-LOCALLY. BPE training cost is driven by the
+    * word-TYPE table (Heaps-law sublinear in the corpus), so after the
+    * one distributed vocab-count pass the whole merge loop fits the
+    * driver for any realistic corpus — the shape every production BPE
+    * trainer uses, and the batching answer to the ~0.13 s/merge driver
+    * round-trip floor the distributed loop pays (BPE_CURVE_r16.json: 512
+    * merges = 94.8 s distributed; the local loop runs the same merges in
+    * well under a second). Above the bound the distributed fold loop
+    * still applies, so the operator never assumes the vocab fits. */
+  private[graft] val LocalTrainMaxTypes: Long =
+    sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Driver-local BPE merge loop over a collected (freq, enc) vocabulary.
+    * Semantics are BIT-IDENTICAL to the distributed fold (spec-pinned by
+    * exact merge-sequence equality, including the greedy left-to-right
+    * replace convention and the (count desc, pair asc) tie-break): the
+    * pair weights come from the same double-space tokenization, the
+    * argmax comparison is order-independent, and `String.replace` and
+    * Spark's `replace` share the non-overlapping left-to-right scan that
+    * resumes AFTER each replacement. */
+  private[graft] def trainBpeLocal(rows: Array[(Long, String)], n: Int,
+      onStep: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+    var cur = rows
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      cur.foreach { case (freq, e) =>
+        val syms = e.trim.split("  ")
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = syms(j) + " " + syms(j + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + freq)
+          j += 1
+        }
+      }
+      // argmax by (count desc, pair asc) — the distributed orderBy; the
+      // fold's comparison is order-independent, so HashMap iteration
+      // order cannot leak into the result
+      val (pair, c) = counts.foldLeft(("", Long.MinValue)) { (best, kv) =>
+        if (kv._2 > best._2 || (kv._2 == best._2 && kv._1 < best._1)) kv
+        else best
+      }
+      require(c != Long.MinValue, s"vocabulary exhausted at merge $i")
+      val Array(l, r) = pair.split(' ')
+      merges += ((l, r, c))
+      if (i < n) // the last fold is never read (mirrors the oracle CTEs)
+        cur = cur.map { case (f, e) => (f, e.replace(s" $l  $r ", s" $l$r ")) }
+      onStep(i, System.nanoTime() - t0)
+    }
+    merges.result()
+  }
+
   private[graft] def trainBpe(vocab: DataFrame, n: Int,
       onStep: (Int, Long) => Unit = (_, _) => (),
-      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk): Seq[(String, String, Long)] = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk,
+      forceDistributed: Boolean = false): Seq[(String, String, Long)] = {
+    // hybrid dispatch: one distributed count decides; the collect below
+    // is GUARDED by that count (CollectSiteSpec entry), so the local path
+    // never assumes boundedness it didn't check
+    if (!forceDistributed && vocab.count() <= LocalTrainMaxTypes) {
+      val rows = vocab.select(col("freq"), col("enc")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      return trainBpeLocal(rows, n, onStep)
+    }
     val pairsOf =
       "transform(sequence(1, size(syms) - 1), " +
         "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"

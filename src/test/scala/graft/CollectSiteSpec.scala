@@ -50,7 +50,9 @@ class CollectSiteSpec extends AnyFunSuite {
     ("streaming/StreamingQueries.scala", """java.util.Arrays.asList(built.collect(): _*), built.schema)""") ->
       (1, "bm25 query-term index: one row per derived query (= 3) by construction"),
     ("streaming/StreamingQueries.scala", """.collect().map(_.getInt(0)).toSeq.sorted""") ->
-      (1, "qst43 probe prefixes: <= 16 pmod-16 partition keys by construction"))
+      (1, "qst43 probe prefixes: <= 16 pmod-16 partition keys by construction"),
+    ("ext/TextAnalysis.scala", """val rows = vocab.select(col("freq"), col("enc")).collect()""") ->
+      (1, "BPE word-type vocab: GUARDED by the preceding count() <= LocalTrainMaxTypes check, distributed fallback above it"))
 
   private def scalaFiles(dir: File): Seq[File] =
     if (!dir.exists()) Nil

@@ -2358,6 +2358,27 @@ class BpeSpec extends SparkSpec {
     assert(TextAnalysis.trainBpe(vocab, 1) === Seq(("x", "y", 2L)))
   }
 
+  test("driver-local trainer reproduces the distributed merge sequence exactly") {
+    import spark.implicits._
+    // the real corpus vocabulary at the gated depth: the hybrid's local
+    // path (auto, vocab << LocalTrainMaxTypes) must emit the SAME rules,
+    // counts, and order as the distributed fold loop it replaces
+    val vocab = TextAnalysis.bpeVocab(spark, sf)
+    val dist = TextAnalysis.trainBpe(vocab, 20, forceDistributed = true)
+    val local = TextAnalysis.trainBpe(vocab, 20)
+    assert(local === dist)
+    // planted overlap corpus: runs of the merged pair ("a a a a") exercise
+    // the non-overlapping left-to-right replace convention, where a
+    // divergent scan-resume rule would change later pair counts
+    val planted = Seq((6L, "aaaa"), (5L, "aab"), (2L, "ba"))
+      .toDF("freq", "w").select(col("freq"), enc(col("w")).as("enc"))
+    // depth 4 exhausts this vocab exactly (every word ends single-symbol)
+    val dPlanted = TextAnalysis.trainBpe(planted, 4, forceDistributed = true)
+    assert(TextAnalysis.trainBpe(planted, 4) === dPlanted)
+    assert(dPlanted ===
+      Seq(("a", "a", 23L), ("aa", "aa", 6L), ("aa", "b", 5L), ("b", "a", 2L)))
+  }
+
   test("trains the gated depth (>= 20 merges) without plan blow-up") {
     // The r11 depth gate: 20 sequential merges over the real corpus vocab.
     // Each step must yield a fresh, nonzero-count rule (a stuck trainer
