@@ -2,22 +2,49 @@ package graft
 
 import java.io.File
 
-/** BPE-trainer cost-per-merge curve (VERDICT r09 Next #3 / r10 carry):
-  * train the qt16 tokenizer to SPARK_GRAFT_BPE_DEPTH merges (default 20,
-  * the gated depth) on the 30× soak documents corpus and report seconds
-  * per merge step. The claim under test: with per-iteration eager
-  * localCheckpoint the cost per merge is FLAT in the step index —
-  * one pair-count shuffle + one O(vocab) replace each — where the
-  * round-≤10 lineage-growing form was O(i) per step (and the naive
-  * cache-nesting form OOMs the driver on plan-string rendering at depth
-  * 20 before cost even matters). Vocab sizes are also reported: the
-  * corpus-scale anchor is that training cost is driven by the WORD-TYPE
-  * vocabulary (Heaps-law sublinear in corpus size), not corpus rows.
+/** BPE-trainer cost-per-merge curve (VERDICT r09 Next #3 / r10 carry;
+  * r16 Next #1/#5 extensions): train the qt16 tokenizer to
+  * SPARK_GRAFT_BPE_DEPTH merges (default 20, the gated depth) on the 30×
+  * soak documents corpus and report seconds per merge step.
   *
-  * Output: one JSON line {"metric":"bpe_curve","mult":M,"vocab":V,
-  * "steps":[{"step":i,"sec":s},...]} consumed into BASELINE.md.
+  * Claims under test:
+  *  - distributed fold loop: cost per ROUND is flat in the step index
+  *    (per-iteration eager checkpoint — the lineage-growing form was O(i)
+  *    per step), and with the r17 top-K argmax replay one round now
+  *    yields SEVERAL merges, amortizing the ~0.13 s/job driver
+  *    round-trip floor (`rounds` < `depth` in the output; merges asserted
+  *    bit-identical to the local trainer).
+  *  - driver-local incremental trainer: per-merge cost tracks TOUCHED
+  *    WORDS (pair→word index), not word types — probed on a planted
+  *    ≥100k-type vocabulary at depth ≥2048 when SPARK_GRAFT_BPE_PLANT is
+  *    set, with the r16 full-recount loop timed at a prefix depth as the
+  *    O(types × merges) contrast and its merge sequence asserted equal.
+  *
+  * Output: one JSON line {"metric":"bpe_curve",...} (consumed into
+  * BASELINE.md) plus, in plant mode, one {"metric":"bpe_plant",...} line.
   */
 object BpeCurve {
+
+  /** Deterministic planted vocabulary: `types` distinct words over a
+    * small alphabet (dense pair structure) with Zipf-ish frequencies.
+    * LCG-seeded — no RNG state outside this function, reproducible. */
+  private[graft] def plantVocab(types: Int): Array[(Long, String)] = {
+    val alpha = "abcdefgh"
+    var x = 0x2545F4914F6CDD1DL
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (seen.size < types) {
+      val len = 6 + (math.abs(nxt()) % 9).toInt
+      val sb = new StringBuilder
+      var j = 0
+      while (j < len) { sb += alpha((math.abs(nxt()) % alpha.length).toInt); j += 1 }
+      seen += sb.result(): Unit
+    }
+    seen.iterator.zipWithIndex.map { case (w, i) =>
+      val freq = math.max(1L, types.toLong / (i + 1))
+      (freq, " " + w.map(c => s"$c ").mkString(" ").stripSuffix(" ") + " ")
+    }.toArray
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,23 +61,67 @@ object BpeCurve {
     val vocabSize = vocab.count()
 
     val steps = Seq.newBuilder[String]
+    var rounds = 0
     // forceDistributed: the curve's claim is about the DISTRIBUTED fold
-    // loop (flat cost per merge, no lineage growth) — the shipping hybrid
-    // would short-circuit to the driver-local path at this vocab size
+    // loop (flat cost per round, top-K replay amortization) — the
+    // shipping hybrid would short-circuit to the driver-local path at
+    // this vocab size
     val merges = graft.ext.TextAnalysis.trainBpe(vocab, depth,
       (i, nanos) => steps += f"""{"step":$i,"sec":${nanos / 1e9}%.3f}""",
-      forceDistributed = true)
+      forceDistributed = true,
+      onRound = _ => rounds += 1)
     require(merges.size == depth, s"trained ${merges.size}/$depth")
-    // the hybrid's local path on the same vocab: one collect + the whole
-    // merge loop on the driver, merge-sequence equality asserted here so
-    // the speedup row can never quote a diverging trainer
+    // the hybrid's local path on the same vocab, called DIRECTLY (ADVICE
+    // r16 #3: auto-mode here would silently rerun the distributed loop if
+    // a soak tier ever exceeded the guard — the count above already ran)
+    require(vocabSize <= graft.ext.TextAnalysis.LocalTrainMaxTypes,
+      s"vocab $vocabSize exceeds the local-train guard; plant mode only")
+    val rows = vocab.select("freq", "enc").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
     val t0 = System.nanoTime()
-    val local = graft.ext.TextAnalysis.trainBpe(vocab, depth)
+    val local = graft.ext.TextAnalysis.trainBpeLocal(rows, depth)
     val localSec = (System.nanoTime() - t0) / 1e9
     require(local == merges, "local trainer diverged from distributed")
     println(s"""{"metric":"bpe_curve","mult":$mult,"vocab":$vocabSize,""" +
-      f""""depth":$depth,"local_total_sec":$localSec%.3f,""" +
+      f""""depth":$depth,"rounds":$rounds,"local_total_sec":$localSec%.3f,""" +
       s""""steps":[${steps.result().mkString(",")}]}""")
+
+    // planted-vocab probe (VERDICT r16 Next #1 "done" criterion): per-
+    // merge cost tracks touched words, not types
+    sys.env.get("SPARK_GRAFT_BPE_PLANT").map(_.toInt).foreach { types =>
+      val pDepth =
+        sys.env.get("SPARK_GRAFT_BPE_PLANT_DEPTH").map(_.toInt).getOrElse(2048)
+      val planted = plantVocab(types)
+      val touched = new Array[Int](pDepth + 1)
+      val nanos = new Array[Long](pDepth + 1)
+      val tInc0 = System.nanoTime()
+      val inc = graft.ext.TextAnalysis.trainBpeLocal(planted.map(identity),
+        pDepth, (i, ns) => nanos(i) = ns, (i, t) => touched(i) = t)
+      val incSec = (System.nanoTime() - tInc0) / 1e9
+      // the r16 full-recount loop as the O(types × merges) contrast, at a
+      // prefix depth (it would take minutes at pDepth); merge sequences
+      // are deterministic, so prefix equality pins bit-identity
+      val refDepth = math.min(pDepth, 256)
+      val tRef0 = System.nanoTime()
+      val ref = graft.ext.TextAnalysis.trainBpeLocalReference(
+        planted.map(identity), refDepth)
+      val refSec = (System.nanoTime() - tRef0) / 1e9
+      require(inc.take(refDepth) == ref, "incremental diverged from reference")
+      // decile summary of per-merge touched words and time: the claim is
+      // that both FALL with the live pair's support, not with `types`
+      def dec(a: Array[Long]): String =
+        (1 to 10).map(d => a.slice((d - 1) * pDepth / 10 + 1,
+            d * pDepth / 10 + 1) match {
+          case s if s.isEmpty => "0"
+          case s => (s.sum / s.length).toString
+        }).mkString("[", ",", "]")
+      println(s"""{"metric":"bpe_plant","types":$types,"depth":$pDepth,""" +
+        f""""inc_total_sec":$incSec%.3f,"ref_depth":$refDepth,""" +
+        f""""ref_total_sec":$refSec%.3f,""" +
+        s""""touched_decile_mean":${dec(touched.map(_.toLong))},""" +
+        s""""us_decile_mean":${dec(nanos.map(_ / 1000L))},""" +
+        s""""touched_max":${touched.max},"prefix_equal":true}""")
+    }
     spark.stop()
   }
 }

@@ -277,20 +277,41 @@ object TextAnalysis {
     sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").map(_.toLong)
       .getOrElse(2000000L)
 
-  /** Driver-local BPE merge loop over a collected (freq, enc) vocabulary.
-    * Semantics are BIT-IDENTICAL to the distributed fold (spec-pinned by
-    * exact merge-sequence equality, including the greedy left-to-right
-    * replace convention and the (count desc, pair asc) tie-break): the
-    * pair weights come from the same double-space tokenization, the
-    * argmax comparison is order-independent, and `String.replace` and
-    * Spark's `replace` share the non-overlapping left-to-right scan that
-    * resumes AFTER each replacement. */
-  private[graft] def trainBpeLocal(rows: Array[(Long, String)], n: Int,
-      onStep: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+  /** UTF-8 binary comparison — the ordering Spark's `orderBy(pair asc)`
+    * actually applies (UTF8String compares encoded bytes unsigned). Java
+    * `String` comparison is UTF-16 code-unit order; the two diverge for
+    * supplementary-plane symbols (ADVICE r16 #1), so every local
+    * tie-break goes through this, never `<` on `String`. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** One greedy merge pass over a symbol array — the array form of
+    * `enc.replace(" l  r ", " l+r ")`: left-to-right, non-overlapping,
+    * scan resumes AFTER each replacement (a merged symbol is never
+    * re-examined as the left element within the same pass). */
+  private def mergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+        out += l + r; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** The pre-r17 driver-local loop: a full pair recount every merge —
+    * O(types × merges), the bound VERDICT r16 flagged (stated in the
+    * scaladoc, unpaid at production depth). Kept as the SPEC REFERENCE
+    * the incremental trainer is pinned bit-identical against; production
+    * code calls [[trainBpeLocal]]. */
+  private[graft] def trainBpeLocalReference(rows: Array[(Long, String)], n: Int)
+      : Seq[(String, String, Long)] = {
     var cur = rows
     val merges = Seq.newBuilder[(String, String, Long)]
     for (i <- 1 to n) {
-      val t0 = System.nanoTime()
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       cur.foreach { case (freq, e) =>
         val syms = e.trim.split("  ")
@@ -301,11 +322,11 @@ object TextAnalysis {
           j += 1
         }
       }
-      // argmax by (count desc, pair asc) — the distributed orderBy; the
-      // fold's comparison is order-independent, so HashMap iteration
+      // argmax by (count desc, pair asc in UTF-8 byte order) — the
+      // distributed orderBy; order-independent, so HashMap iteration
       // order cannot leak into the result
       val (pair, c) = counts.foldLeft(("", Long.MinValue)) { (best, kv) =>
-        if (kv._2 > best._2 || (kv._2 == best._2 && kv._1 < best._1)) kv
+        if (kv._2 > best._2 || (kv._2 == best._2 && utf8Less(kv._1, best._1))) kv
         else best
       }
       require(c != Long.MinValue, s"vocabulary exhausted at merge $i")
@@ -313,15 +334,133 @@ object TextAnalysis {
       merges += ((l, r, c))
       if (i < n) // the last fold is never read (mirrors the oracle CTEs)
         cur = cur.map { case (f, e) => (f, e.replace(s" $l  $r ", s" $l$r ")) }
-      onStep(i, System.nanoTime() - t0)
     }
     merges.result()
   }
 
+  /** Driver-local BPE merge loop over a collected (freq, enc) vocabulary —
+    * the classic INCREMENTAL trainer (VERDICT r16 Next #1). Semantics are
+    * BIT-IDENTICAL to the distributed fold (spec-pinned by exact
+    * merge-sequence equality against both the distributed loop and
+    * [[trainBpeLocalReference]], including the greedy left-to-right
+    * replace convention and the (count desc, pair asc) tie-break in
+    * UTF-8 byte order — the ordering UTF8String applies).
+    *
+    * Cost shape: one full pair count at init, then per merge only the
+    * words CONTAINING the merged pair are recounted (pair→word inverted
+    * index), with the argmax served by a lazy-deletion max-heap — stale
+    * entries are discarded on pop by checking against the live count.
+    * Per-merge work is O(touched words × word length + heap churn), not
+    * O(types): at the scaladoc's production scenario (2M types × 30k
+    * merges) the reference loop is hundreds of billions of pair
+    * increments, this is minutes (BPE_CURVE_r17: planted 100k types at
+    * depth 2048 — per-merge cost tracks touched words).
+    *
+    * A pair's count can legitimately RE-FORM after being merged away
+    * (later merges can recreate the adjacency); the count map handles
+    * that as a plain re-increment, and zero counts are REMOVED so the
+    * exhaustion check and the argmax never see phantom pairs.
+    * `onTouched` reports (step, words recounted) for the BpeCurve probe. */
+  private[graft] def trainBpeLocal(rows: Array[(Long, String)], n: Int,
+      onStep: (Int, Long) => Unit = (_, _) => (),
+      onTouched: (Int, Int) => Unit = (_, _) => ()): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val freqs = rows.map(_._1)
+    val words: Array[Array[String]] = rows.map(_._2.trim.split("  "))
+    val counts = mutable.HashMap.empty[String, Long]
+    val index = mutable.HashMap.empty[String, mutable.Set[Int]]
+    // heap of (count, pairKey, utf8 bytes) with lazy deletion: count desc,
+    // key asc in UTF-8 byte order — exactly the distributed orderBy
+    val heap = new java.util.PriorityQueue[(Long, String, Array[Byte])](
+      math.max(16, rows.length),
+      (x: (Long, String, Array[Byte]), y: (Long, String, Array[Byte])) => {
+        val byCount = java.lang.Long.compare(y._1, x._1)
+        if (byCount != 0) byCount
+        else java.util.Arrays.compareUnsigned(x._3, y._3)
+      })
+    def push(key: String, c: Long): Unit = {
+      heap.add((c, key, key.getBytes(java.nio.charset.StandardCharsets.UTF_8))): Unit
+    }
+    def pairsOf(syms: Array[String]): Array[String] = {
+      val out = new Array[String](math.max(0, syms.length - 1))
+      var j = 0
+      while (j < syms.length - 1) { out(j) = syms(j) + " " + syms(j + 1); j += 1 }
+      out
+    }
+    var i = 0
+    while (i < words.length) {
+      val f = freqs(i)
+      pairsOf(words(i)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        index.getOrElseUpdate(p, mutable.Set.empty[Int]) += i
+      }
+      i += 1
+    }
+    counts.foreach { case (k, c) => push(k, c) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (step <- 1 to n) {
+      val t0 = System.nanoTime()
+      // pop until the top entry matches the live count (lazy deletion);
+      // every live count has a heap entry (pushed at init or on update)
+      var top: (Long, String, Array[Byte]) = null
+      var valid = false
+      while (!valid) {
+        top = heap.poll()
+        require(top != null, s"vocabulary exhausted at merge $step")
+        valid = counts.get(top._2).contains(top._1)
+      }
+      val pair = top._2
+      val c = top._1
+      val Array(l, r) = pair.split(' ')
+      merges += ((l, r, c))
+      if (step < n) { // the last fold is never read (mirrors the oracle CTEs)
+        val touched = index.getOrElse(pair, mutable.Set.empty[Int]).toArray
+        val changed = mutable.Set.empty[String]
+        touched.foreach { w =>
+          val f = freqs(w)
+          val oldPairs = pairsOf(words(w))
+          words(w) = mergePass(words(w), l, r)
+          val newPairs = pairsOf(words(w))
+          oldPairs.foreach { p =>
+            counts.update(p, counts.getOrElse(p, 0L) - f); changed += p
+          }
+          newPairs.foreach { p =>
+            counts.update(p, counts.getOrElse(p, 0L) + f); changed += p
+          }
+          // index maintenance on SET membership (multiplicity lives in
+          // counts): drop pairs this word no longer contains, add new ones
+          val oldSet = oldPairs.toSet
+          val newSet = newPairs.toSet
+          (oldSet diff newSet).foreach { p =>
+            index.get(p).foreach { s => s -= w; if (s.isEmpty) index.remove(p): Unit }
+          }
+          (newSet diff oldSet).foreach { p =>
+            index.getOrElseUpdate(p, mutable.Set.empty[Int]) += w
+          }
+        }
+        changed.foreach { p =>
+          val cNow = counts.getOrElse(p, 0L)
+          if (cNow <= 0L) counts.remove(p): Unit else push(p, cNow)
+        }
+        onTouched(step, touched.length)
+      }
+      onStep(step, System.nanoTime() - t0)
+    }
+    merges.result()
+  }
+
+  /** Top-K rows materialized per distributed round (VERDICT r16 Next #5):
+    * each round-trip pays the same ~0.13 s job floor whether it returns 1
+    * row or K, so the argmax is replayed driver-locally from the K-list
+    * until a merge could have invalidated the next entry. */
+  private[graft] val DistTrainBatchK: Int =
+    sys.env.get("SPARK_GRAFT_BPE_BATCH_K").map(_.toInt).getOrElse(128)
+
   private[graft] def trainBpe(vocab: DataFrame, n: Int,
       onStep: (Int, Long) => Unit = (_, _) => (),
       ckpt: CheckpointStrategy = CheckpointStrategy.LocalDisk,
-      forceDistributed: Boolean = false): Seq[(String, String, Long)] = {
+      forceDistributed: Boolean = false,
+      onRound: Int => Unit = _ => ()): Seq[(String, String, Long)] = {
     // hybrid dispatch: one distributed count decides; the collect below
     // is GUARDED by that count (CollectSiteSpec entry), so the local path
     // never assumes boundedness it didn't check
@@ -338,23 +477,99 @@ object TextAnalysis {
     // hundreds of millions of rows at 100 TB, so it takes the corpus-
     // sized default (LocalDisk; a cluster passes Reliable — VERDICT r15
     // #1 retrofit, see [[CheckpointStrategy]]).
+    //
+    // BATCHED ARGMAX REPLAY (VERDICT r16 Next #5): each round collects
+    // the top-K pair counts, then accepts entries off the sorted list
+    // driver-locally while they are PROVABLY still the argmax. After
+    // accepting merge (l, r) → lr with count c:
+    //  - counts of pairs (·, l) and (r, ·) only DECREASE; any remaining
+    //    list entry with second element l or first element r is stale →
+    //    stop (its true count is unknown, it might still be the argmax).
+    //  - NEW pairs (x, lr) / (lr, y) appear, each bounded by the count of
+    //    its source pair (x, l) / (r, y): by that stored count when the
+    //    source is in the list, else by the unseen-pair bound (the K-th
+    //    count — anything outside the list is ≤ it). The running `bound`
+    //    folds that in; the next entry is accepted only if its count is
+    //    STRICTLY above the bound (a tie could lose the pair-asc
+    //    tie-break to an unseen pair).
+    //  - if lr collides with an ALREADY-EXISTING symbol name (a merged
+    //    pair whose adjacency re-formed and was re-accepted), existing
+    //    pairs involving lr can INCREASE (by ≤ c per pair) — rare; the
+    //    round is simply ended there.
+    // Replays stop conservatively, never speculatively: every accepted
+    // merge is bit-identical to the limit(1)-per-merge loop (spec-pinned
+    // against the local trainer on real + planted vocab; BpeCurve
+    // asserts equality at depth 512).
     var cur = ckpt(vocab)
     val merges = Seq.newBuilder[(String, String, Long)]
-    for (i <- 1 to n) {
-      val t0 = System.nanoTime()
+    val seenSymbols = scala.collection.mutable.Set.empty[String]
+    // The collision rule above can only see symbols created by THIS call;
+    // a merged name could also collide with a multi-char symbol already
+    // in the input vocab. Merged names are always ≥2 codepoints, so when
+    // every input symbol is a single codepoint (the bpeEnc shape) no such
+    // collision exists and batching is sound; otherwise fall back to the
+    // exact one-merge-per-round loop (k=1). One extra job, paid once.
+    val maxInitSymLen = cur
+      .select(explode(split(trim(col("enc")), "  ")).as("s"))
+      .agg(max(length(col("s"))).as("m")).collect()(0) match {
+        case row if row.isNullAt(0) => 0
+        case row => row.getInt(0)
+      }
+    val k = if (maxInitSymLen <= 1) math.max(1, DistTrainBatchK) else 1
+    var i = 1
+    var tPrev = System.nanoTime()
+    while (i <= n) {
       val top = cur
         .withColumn("syms", split(trim(col("enc")), "  "))
         .filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(pairsOf)).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).collect()(0)
-      val Array(l, r) = top.getString(0).split(' ')
-      merges += ((l, r, top.getLong(1)))
-      if (i < n) // the last fold is never read (mirrors the oracle CTEs)
-        cur = ckpt(cur.withColumn("enc",
-          replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r "))))
-      onStep(i, System.nanoTime() - t0)
+        .limit(k).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      require(top.nonEmpty, s"vocabulary exhausted at merge $i")
+      // unseen-pair bound: with a full list, anything outside is ≤ the
+      // K-th count; a short list means there ARE no unseen pairs
+      var bound = if (top.length == k) top.last._2 else Long.MinValue
+      val dirtyL = scala.collection.mutable.Set.empty[String] // accepted l's
+      val dirtyR = scala.collection.mutable.Set.empty[String] // accepted r's
+      val newSyms = scala.collection.mutable.Set.empty[String]
+      var accepted = 0
+      var j = 0
+      var stop = false
+      // ≤64 accepts per round: each accept chains one replace onto the
+      // un-checkpointed plan; the cap bounds expression depth per round
+      while (!stop && j < top.length && i <= n && accepted < 64) {
+        val (pairStr, c) = top(j)
+        val Array(l, r) = pairStr.split(' ')
+        val exact = // count unchanged by every merge accepted this round
+          !dirtyL(r) && !dirtyR(l) && !newSyms(l) && !newSyms(r)
+        if (j > 0 && (!exact || c <= bound)) stop = true
+        else {
+          merges += ((l, r, c))
+          if (i < n) // the last fold is never read (mirrors the oracle CTEs)
+            cur = cur.withColumn("enc",
+              replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")))
+          val lr = l + r
+          // raise the new-pair bound: sources (x, l) / (r, y) in the list
+          // cap their descendants; unseen sources are already ≤ bound
+          top.foreach { case (p, pc) =>
+            val Array(a, b) = p.split(' ')
+            if (b == l || a == r) bound = math.max(bound, pc)
+          }
+          if (seenSymbols(lr)) stop = true // name collision: counts of
+            // existing lr-pairs can rise; end the round conservatively
+          dirtyL += l; dirtyR += r; newSyms += lr; seenSymbols += lr
+          accepted += 1
+          val now = System.nanoTime()
+          onStep(i, now - tPrev) // first acceptance carries the round's
+          tPrev = now            // shuffle cost; replays cost ~nothing
+          i += 1
+          j += 1
+        }
+      }
+      onRound(accepted)
+      if (i <= n) cur = ckpt(cur) // one checkpoint per ROUND, not per merge
     }
     merges.result()
   }

@@ -980,6 +980,16 @@ class TextSpec extends SparkSpec {
       assert(canon(graft.ext.Clustering.qc04Impl(spark, sf, CheckpointStrategy.Reliable))
         === canon(Registry.byName("qc04_classifier_train").run(spark, sf)),
         "qc04 rows differ under Reliable")
+      assert(canon(graft.ext.Dedup.qd17Impl(spark, sf, CheckpointStrategy.Reliable))
+        === canon(Registry.byName("qd17_edit_distance_dup").run(spark, sf)),
+        "qd17 rows differ under Reliable")
+      // trainBpe's per-round checkpoint takes the strategy too (ADVICE
+      // r16 #5): same merges under Reliable, forced through the
+      // distributed loop where the checkpoint actually runs
+      assert(TextAnalysis.trainBpe(TextAnalysis.bpeVocab(spark, sf), 5,
+          ckpt = CheckpointStrategy.Reliable, forceDistributed = true)
+        === TextAnalysis.trainBpe(TextAnalysis.bpeVocab(spark, sf), 5),
+        "trainBpe merges differ under Reliable")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
@@ -2377,6 +2387,42 @@ class BpeSpec extends SparkSpec {
     assert(TextAnalysis.trainBpe(planted, 4) === dPlanted)
     assert(dPlanted ===
       Seq(("a", "a", 23L), ("aa", "aa", 6L), ("aa", "b", 5L), ("b", "a", 2L)))
+  }
+
+  test("incremental local trainer is bit-identical to the full-recount reference") {
+    // VERDICT r16 Next #1: trainBpeLocal is now the pair→words-index
+    // incremental form; trainBpeLocalReference keeps the r16 full-recount
+    // loop as the semantic pin. Same merges, counts, and order on the
+    // real corpus vocabulary at a depth where re-formed pairs and
+    // multi-occurrence words have both occurred.
+    val vocab = TextAnalysis.bpeVocab(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val inc = TextAnalysis.trainBpeLocal(vocab, 64)
+    assert(inc === TextAnalysis.trainBpeLocalReference(vocab, 64))
+    // overlap-planted vocab: runs of the merged pair exercise the greedy
+    // left-to-right mergePass against the reference's String.replace
+    val planted = Array((6L, " a  a  a  a "), (5L, " a  a  b "), (2L, " b  a "))
+    assert(TextAnalysis.trainBpeLocal(planted, 4)
+      === TextAnalysis.trainBpeLocalReference(planted, 4))
+  }
+
+  test("tie-break is UTF-8 byte order in every trainer (supplementary plane)") {
+    import spark.implicits._
+    // ADVICE r16 #1: '｡' (halfwidth ideographic full stop) sorts
+    // ABOVE U+10000 in UTF-16 code units (a surrogate pair starts at
+    // 0xD800) but BELOW it in UTF-8 bytes (0xEF… < 0xF0…) — Spark's
+    // orderBy compares UTF-8 bytes, so the tied first merge must pick
+    // the '｡' pair in all three trainers.
+    val hw = "｡"                       // U+FF61, UTF-8 EF BD A1
+    val sp = new String(Character.toChars(0x10000)) // UTF-8 F0 90 80 80
+    val rows = Array((2L, s" a  $hw "), (2L, s" a  $sp "))
+    val expectFirst = ("a", hw, 2L)
+    val local = TextAnalysis.trainBpeLocal(rows, 2)
+    assert(local.head === expectFirst)
+    assert(local === TextAnalysis.trainBpeLocalReference(rows, 2))
+    val dist = TextAnalysis.trainBpe(
+      rows.toSeq.toDF("freq", "enc"), 2, forceDistributed = true)
+    assert(dist === local, "distributed and local tie-breaks diverge")
   }
 
   test("trains the gated depth (>= 20 merges) without plan blow-up") {
