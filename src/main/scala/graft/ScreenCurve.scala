@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** qst43 screen-cost curve (VERDICT r16 Next #4): the gate pins the
+  * pruned-scan CONTRACT on the physical plan; this probe measures the
+  * scale CLAIM — per-batch screen wall-time ~flat while the fingerprint
+  * store grows 1× → 30× → 100×.
+  *
+  * Store tiers are built by salting the real sf-corpus fingerprint set:
+  * tier M unions M copies of the winnowed distinct-h frame, copy k's
+  * values offset by k × an odd 64-bit constant (wrapping). Every store
+  * row is still a distinct opaque 64-bit key of identical IO cost — the
+  * letter-rotation soak corpus saturates at 26 distinct variants, so doc
+  * -level growth could not reach 100× honest store rows. The PROBE batch
+  * is fixed across tiers (a small slice of the base corpus, the steady-
+  * state trigger shape) and its fingerprints hit the unsalted k=0 slice.
+  *
+  * Two levers under test (both shipped in screenAgainstStore r17):
+  * row-count-scaled store fanout (partition pruning keeps touched
+  * partitions ≈ probe prefixes, rows-per-partition ~constant) and the
+  * h-IN parquet pushdown over h-sorted files (row-group/page pruning
+  * inside touched partitions).
+  *
+  * Output: one JSON line per tier
+  * {"metric":"screen_curve","mult":M,"store_rows":R,"fanout":F,
+  *  "build_sec":B,"probe_fps":P,"probe_prefixes":K,"passes":[...]}.
+  */
+object ScreenCurve {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tiers = sys.env.getOrElse("SPARK_GRAFT_SCREEN_MULTS", "1,30,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val out = "target/screen-curve"
+    val spark = GraftSession.local("graft-screen-curve",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.sources.Tables.documents(spark, base)
+    // base fingerprint set, materialized once and reused by every tier
+    val baseH = graft.ext.CheckpointStrategy.LocalDisk(
+      graft.ext.TextAnalysis.winnowedFingerprints(docs)
+        .select(col("h")).distinct())
+    val baseRows = baseH.count()
+    // fixed small probe batch — the steady-state trigger shape
+    val batch = docs.filter(col("doc_id") % 101 === 0).localCheckpoint(true)
+
+    tiers.foreach { m =>
+      val idxDir = s"$out/x$m/fp"
+      val dirF = new java.io.File(s"$out/x$m")
+      if (dirF.exists()) { // rebuild each run: build_sec is part of the row
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(dirF)
+      }
+      val t0 = System.nanoTime()
+      val tier = (0 until m).map { k =>
+        baseH.select((col("h") + lit(k * 0x9E3779B97F4A7C15L)).as("h"))
+      }.reduce(_ unionAll _)
+      graft.streaming.StreamingQueries.writeFingerprintIndexFromH(tier, idxDir)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val fanout = graft.streaming.StreamingQueries.readIndexFanout(spark, idxDir)
+
+      val probeFps = graft.ext.TextAnalysis.winnowedFingerprints(batch)
+        .select(col("h")).distinct().count()
+      val prefixes = graft.ext.TextAnalysis.winnowedFingerprints(batch)
+        .select(pmod(col("h"), lit(fanout)).cast("int")).distinct().count()
+
+      val passes = (1 to 4).map { _ =>
+        val p0 = System.nanoTime()
+        graft.streaming.StreamingQueries.screenAgainstStore(spark, idxDir)(batch)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - p0) / 1e9
+      }
+      println(f"""{"metric":"screen_curve","mult":$m,"store_rows":${baseRows * m},""" +
+        f""""fanout":$fanout,"build_sec":$buildSec%.2f,"probe_fps":$probeFps,""" +
+        s""""probe_prefixes":$prefixes,"passes":[${passes.map(p => f"$p%.3f").mkString(",")}]}""")
+    }
+    spark.stop()
+  }
+}

@@ -1711,17 +1711,76 @@ object StreamingQueries {
   // count. Oracle: qt22's SQL verbatim — the same rollup as qst33, so
   // store-served and broadcast-served screens must hash identically.
   // ---------------------------------------------------------------------
-  /** 16-way content-hash partition key over the winnowed fingerprint
-    * value (a 64-bit rolling hash, so the low bits are uniform). */
-  private def fpPrefix = pmod(col("h"), lit(16)).cast("int")
+  /** Content-hash partition key over the winnowed fingerprint value (a
+    * 64-bit rolling hash, so the low bits are uniform), at the store's
+    * recorded fanout. */
+  private def fpPrefix(fanout: Int) = pmod(col("h"), lit(fanout)).cast("int")
+
+  /** Store fanout for a fingerprint row count (VERDICT r16 Next #4): the
+    * per-batch screen reads ~(probed prefixes) × (rows / fanout), so a
+    * FIXED fanout makes screen IO grow linearly with the store. Scale the
+    * partition count with the store instead — ~[[ScreenPartRows]] rows
+    * per partition, clamped to [16, 4096] (the upper clamp bounds the
+    * small-files count; beyond it the h-sorted page pruning below is the
+    * operative lever). Powers of two so re-partitioning a grown store
+    * splits cleanly. */
+  private[graft] val ScreenPartRows = 65536L
+  private[graft] def fanoutFor(rows: Long): Int = {
+    var f = 16
+    while (f < 4096 && rows / f > ScreenPartRows) f *= 2
+    f
+  }
+
+  /** Probe-size cap for pushing the batch's fingerprint VALUES into the
+    * store scan as an `h IN (...)` parquet filter. The store files are
+    * h-sorted, so the pushed filter prunes row groups/pages by min-max —
+    * per-batch IO tracks the PROBE size, not the store partition size.
+    * Above the cap (a catch-up batch) the IN list itself would bloat the
+    * plan; partition pruning alone still applies. */
+  private[graft] val ScreenProbePushdownCap = 32768
+
+  private def idxMetaPath(idxDir: String) =
+    new org.apache.hadoop.fs.Path(idxDir, "_graft_index_meta.json")
 
   /** Build the persisted content-keyed fingerprint index for `seen` at
-    * `idxDir` (parquet, partitioned by hp). */
+    * `idxDir`: parquet partitioned by hp at a row-count-scaled fanout,
+    * one h-SORTED file per partition (sorted pages make the screen's
+    * pushed `h IN` filter prune at row-group/page granularity), plus a
+    * `_graft_index_meta.json` sidecar recording the fanout the probe
+    * side must hash with. */
   private[graft] def writeFingerprintIndex(seen: DataFrame, idxDir: String): Unit =
-    graft.ext.TextAnalysis.winnowedFingerprints(seen)
-      .select(col("h")).distinct()
-      .withColumn("hp", fpPrefix)
+    writeFingerprintIndexFromH(
+      graft.ext.TextAnalysis.winnowedFingerprints(seen)
+        .select(col("h")).distinct(), idxDir)
+
+  /** [[writeFingerprintIndex]] over an already-built distinct-h frame
+    * (the ScreenCurve probe feeds salted tiers directly). */
+  private[graft] def writeFingerprintIndexFromH(hRows: DataFrame, idxDir: String): Unit = {
+    // corpus-sized distinct-fingerprint frame: materialize once (LocalDisk
+    // strategy) so the fanout count and the write don't recompute the
+    // winnowing regex pass twice
+    val fps = graft.ext.CheckpointStrategy.LocalDisk(hRows)
+    val f = fanoutFor(fps.count())
+    fps.withColumn("hp", fpPrefix(f))
+      .repartition(f, col("hp"))
+      .sortWithinPartitions(col("hp"), col("h"))
       .write.partitionBy("hp").parquet(idxDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxDir), hRows.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(idxMetaPath(idxDir), true)
+    try out.write(s"""{"fanout":$f}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded fanout of a fingerprint index (from its meta sidecar). */
+  private[graft] def readIndexFanout(s: SparkSession, idxDir: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxDir), s.sparkContext.hadoopConfiguration)
+    val in = fs.open(idxMetaPath(idxDir))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(txt).get("fanout").asInt()
+  }
 
   /** The qst43 per-batch screen against a persisted index at `idxDir` —
     * package-private so the spec can replay planted corpora and pin the
@@ -1729,19 +1788,31 @@ object StreamingQueries {
   private[graft] def screenAgainstStore(s: SparkSession, idxDir: String)(
       batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
+    val fanout = readIndexFanout(s, idxDir)
     // trigger-bounded (one ingest batch), read twice (prefix probe + join)
     val fps = graft.ext.TextAnalysis.winnowedFingerprints(batch)
-      .withColumn("hp", fpPrefix)
+      .withColumn("hp", fpPrefix(fanout))
       .localCheckpoint(true)
-    // ≤16 rows by construction: hp ranges over pmod(h, 16)
-    val hps = fps.select(col("hp")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // trigger-bounded probe: one (hp, h) row per distinct batch
+    // fingerprint — the same bound as the batch itself
+    val probe = fps.select(col("hp"), col("h")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val hps = probe.map(_._1).distinct.sorted.toSeq
     // explicit schema: the partition values must read back as the int the
     // probe side computes, independent of partition-value type inference
-    val store = s.read.schema(StructType(Seq(
+    val scan = s.read.schema(StructType(Seq(
         StructField("h", LongType), StructField("hp", IntegerType))))
       .parquet(idxDir)
       .filter(col("hp").isin(hps: _*))
+    // h-value pushdown (capped): the store files are h-sorted, so the IN
+    // filter reaches parquet and prunes row groups/pages by min-max —
+    // per-batch IO tracks the probe, not the store partition size. Rows
+    // it drops could never join (equi-join on h), so the result is
+    // unchanged; a catch-up batch above the cap keeps prefix pruning only.
+    val hVals = probe.map(_._2).distinct
+    val store = (if (hVals.length <= ScreenProbePushdownCap)
+        scan.filter(col("h").isin(hVals.toSeq: _*))
+      else scan)
       .withColumn("hit", lit(1L))
     fps.join(store, Seq("hp", "h"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))

@@ -27,8 +27,10 @@ class CollectSiteSpec extends AnyFunSuite {
       (1, "1-row global (n_docs, n_correct) accuracy frame"),
     ("ext/Clustering.scala", """.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap""") ->
       (1, "gradient frame: exactly NumFeat rows (qc04 SGD step)"),
-    ("ext/TextAnalysis.scala", """.limit(1).collect()(0)""") ->
-      (1, "explicit limit(1): one argmax row"),
+    ("ext/TextAnalysis.scala", """.limit(k).collect()""") ->
+      (1, "explicit limit(k): <= DistTrainBatchK top pair-count rows per round"),
+    ("ext/TextAnalysis.scala", """.agg(max(length(col("s"))).as("m")).collect()(0) match {""") ->
+      (1, "1-row global max-symbol-length frame (batching soundness guard)"),
     ("ext/Dedup.scala", ".collect()(0).getLong(0)") ->
       (1, "1-row count frame (iteration size probe)"),
     ("ext/Dedup.scala", """changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)""") ->
@@ -49,8 +51,10 @@ class CollectSiteSpec extends AnyFunSuite {
       (1, "1-row global (min ts, max ts) bounds frame for the replay split"),
     ("streaming/StreamingQueries.scala", """java.util.Arrays.asList(built.collect(): _*), built.schema)""") ->
       (1, "bm25 query-term index: one row per derived query (= 3) by construction"),
-    ("streaming/StreamingQueries.scala", """.collect().map(_.getInt(0)).toSeq.sorted""") ->
-      (1, "qst43 probe prefixes: <= 16 pmod-16 partition keys by construction"),
+    ("streaming/StreamingQueries.scala", """.collect().map(r => (r.getInt(0), r.getLong(1)))""") ->
+      (1, "qst43 probe (hp, h) rows: trigger-bounded (one distinct row per " +
+        "batch fingerprint; the h-IN pushdown additionally caps its plan " +
+        "use at ScreenProbePushdownCap)"),
     ("ext/TextAnalysis.scala", """val rows = vocab.select(col("freq"), col("enc")).collect()""") ->
       (1, "BPE word-type vocab: GUARDED by the preceding count() <= LocalTrainMaxTypes check, distributed fallback above it"))
 

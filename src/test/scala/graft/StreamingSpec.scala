@@ -1217,6 +1217,11 @@ class StreamingSpec extends SparkSpec {
         }
         assert(scan.metadata("PartitionFilters").contains("hp"),
           "store scan has no partition filter")
+        // r17: the probe's fingerprint VALUES are pushed as an h IN (...)
+        // parquet filter — with h-sorted store files this prunes row
+        // groups/pages, so per-batch IO tracks the probe, not the store
+        assert(scan.metadata("PushedFilters").contains("In(h"),
+          "h IN probe-values filter not pushed to the store scan")
         val read = scan.metrics("numPartitions").value
         assert(read <= probeHps.size,
           s"scan read $read partitions for a ${probeHps.size}-prefix probe")
