@@ -54,6 +54,39 @@ object Bench {
     }
     calibrate() // untimed: absorb the probe's own codegen/JIT so pre/post
                 // measure machine load, not first-pass warmup
+    // Idle-watch mode (VERDICT r16 Next #3): nine manual clean-window
+    // attempts failed in r16 — a loop should hunt the window, not a
+    // human. With SPARK_GRAFT_IDLE_WATCH=1 the run polls the calibration
+    // probe every SPARK_GRAFT_IDLE_WATCH_POLL_S seconds (default 120 —
+    // the burst budget refills in ~1-2 min, so polling faster reads the
+    // probe's own exhaust) and fires the query passes only when a probe
+    // reads < 1.15× idle_ref, giving up after
+    // SPARK_GRAFT_IDLE_WATCH_MAX attempts (default 45, ~1.5 h) and
+    // running anyway so an artifact is always produced. Attempts and
+    // seconds waited are recorded in the artifact.
+    val idleRefEnv =
+      sys.env.get("SPARK_GRAFT_CAL_IDLE_REF").map(_.toDouble).getOrElse(1.0)
+    var watchAttempts = 0
+    var watchWaitedS = 0L
+    if (sys.env.get("SPARK_GRAFT_IDLE_WATCH").contains("1")) {
+      val pollS =
+        sys.env.get("SPARK_GRAFT_IDLE_WATCH_POLL_S").map(_.toInt).getOrElse(120)
+      val maxTries =
+        sys.env.get("SPARK_GRAFT_IDLE_WATCH_MAX").map(_.toInt).getOrElse(45)
+      var probe = calibrate()
+      watchAttempts = 1
+      while (probe >= 1.15 * idleRefEnv && watchAttempts < maxTries) {
+        System.err.println(
+          f"[bench] idle-watch attempt $watchAttempts: probe $probe%.2f s >= " +
+            f"${1.15 * idleRefEnv}%.2f — sleeping $pollS s")
+        Thread.sleep(pollS * 1000L)
+        watchWaitedS += pollS
+        probe = calibrate()
+        watchAttempts += 1
+      }
+      System.err.println(f"[bench] idle-watch: firing after $watchAttempts " +
+        f"attempt(s), probe $probe%.2f s")
+    }
     val calPre = calibrate()
     // Best-of-2 per query: a single cold pass bills one-time JVM/codegen/
     // page-cache effects to whichever query hits them first (round-1 driver
@@ -100,10 +133,9 @@ object Bench {
     // hardware / SPARK_GRAFT_CPUS, and emitted in the JSON so the
     // threshold each artifact was judged against is recorded in it
     // (ADVICE r15).
-    val calIdleRef =
-      sys.env.get("SPARK_GRAFT_CAL_IDLE_REF").map(_.toDouble).getOrElse(1.0)
+    val calIdleRef = idleRefEnv
     val degraded = math.max(calPre, calPost) > 1.5 * calIdleRef
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost,"idle_ref":$calIdleRef,"cooldown_s":$cooldownS},"degraded":$degraded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost,"idle_ref":$calIdleRef,"cooldown_s":$cooldownS,"idle_watch_attempts":$watchAttempts,"idle_watch_waited_s":$watchWaitedS},"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,10 +152,14 @@ object PlanCensus {
     val rows = Registry.all.filterNot(q => skip(q.name))
       .filter(q => only.forall(_.contains(q.name))).sortBy(_.name).map { q =>
       val isStream = q.name.startsWith("qst")
-      val cap = if (isStream)
-        Some(graft.streaming.StreamPlanCapture.begin(spark)) else None
+      // begin() inside the try (ADVICE r16 #2): it throws on streams a
+      // PREVIOUS failed gate leaked — that must read as THIS gate's -1
+      // row, not abort the census; the catch also stops the leaks so the
+      // next gate starts clean.
+      var cap: Option[graft.streaming.StreamPlanCapture.Handle] = None
       val counts =
         try {
+          if (isStream) cap = Some(graft.streaming.StreamPlanCapture.begin(spark))
           val df = q.run(spark, sfDir)
           // Execute BEFORE capturing: with AQE the un-executed plan is the
           // initial (isFinalPlan=false) one — broadcast-vs-SMJ flips and
@@ -179,6 +183,11 @@ object PlanCensus {
         } catch {
           case e: Throwable =>
             cap.foreach(_.end(): Unit) // unregister the listener (idempotent)
+            // a gate that died after start() leaves its streams running —
+            // stop them here or every later gate's begin() throws
+            spark.streams.active.foreach { s =>
+              try s.stop() catch { case _: Throwable => () }
+            }
             System.err.println(s"[census] ${q.name} failed: ${e.getMessage}")
             metrics.map { case (k, _) => k -> -1 }
         }

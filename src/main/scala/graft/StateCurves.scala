@@ -191,11 +191,15 @@ object StateCurves {
     // offsets) at generation time, read them back on reuse, and fail fast
     // on a base mismatch instead of producing quietly-wrong curves.
     val metaFile = new File(s"$out/meta.json")
+    // Jackson, not a regex (ADVICE r16 #4): the regex's value class
+    // truncated at ',' '}' '"', so a base path containing one would
+    // store/parse inconsistently and trip the base-match require
     def readMeta(): Map[String, String] = {
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8")
-      """"([a-z_]+)":"?([^",}]+)"?""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2)).toMap
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(metaFile)
+      val out = Map.newBuilder[String, String]
+      root.fieldNames().forEachRemaining(k => out += k -> root.get(k).asText())
+      out.result()
     }
     if (!new File(evDir).exists()) {
       val ev = Tables.events(spark, base)
