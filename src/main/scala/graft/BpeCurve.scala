@@ -31,13 +31,19 @@ object BpeCurve {
   private[graft] def plantVocab(types: Int): Array[(Long, String)] = {
     val alpha = "abcdefgh"
     var x = 0x2545F4914F6CDD1DL
-    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    // draw from the HIGH bits: a power-of-two-modulus LCG's low bit k
+    // has period 2^(k+1), so low-bit draws repeat a tiny word set and
+    // the distinctness loop below never fills
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt
+    }
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     while (seen.size < types) {
-      val len = 6 + (math.abs(nxt()) % 9).toInt
+      val len = 6 + nxt(9)
       val sb = new StringBuilder
       var j = 0
-      while (j < len) { sb += alpha((math.abs(nxt()) % alpha.length).toInt); j += 1 }
+      while (j < len) { sb += alpha(nxt(alpha.length)); j += 1 }
       seen += sb.result(): Unit
     }
     seen.iterator.zipWithIndex.map { case (w, i) =>

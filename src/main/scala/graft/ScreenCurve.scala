@@ -56,7 +56,9 @@ object ScreenCurve {
       }
       val t0 = System.nanoTime()
       val tier = (0 until m).map { k =>
-        baseH.select((col("h") + lit(k * 0x9E3779B97F4A7C15L)).as("h"))
+        // XOR salt: bijective per copy and never overflows under ANSI
+        // arithmetic (k=0 is the identity — the probe hits that slice)
+        baseH.select(col("h").bitwiseXOR(lit(k * 0x9E3779B97F4A7CL)).as("h"))
       }.reduce(_ unionAll _)
       graft.streaming.StreamingQueries.writeFingerprintIndexFromH(tier, idxDir)
       val buildSec = (System.nanoTime() - t0) / 1e9

@@ -2406,6 +2406,18 @@ class BpeSpec extends SparkSpec {
       === TextAnalysis.trainBpeLocalReference(planted, 4))
   }
 
+  test("BpeCurve planted vocabulary: requested type count, distinct, well-formed") {
+    // regression: drawing LCG LOW bits repeats a tiny word set and the
+    // distinctness loop never fills (caught live at 100k types)
+    val v = BpeCurve.plantVocab(5000)
+    assert(v.length === 5000)
+    assert(v.map(_._2).distinct.length === 5000)
+    assert(v.forall { case (f, e) =>
+      f >= 1L && e.startsWith(" ") && e.endsWith(" ") &&
+        e.trim.split("  ").forall(s => s.length == 1 && s(0) >= 'a' && s(0) <= 'h')
+    })
+  }
+
   test("tie-break is UTF-8 byte order in every trainer (supplementary plane)") {
     import spark.implicits._
     // ADVICE r16 #1: '｡' (halfwidth ideographic full stop) sorts
