@@ -2406,6 +2406,31 @@ class BpeSpec extends SparkSpec {
       === TextAnalysis.trainBpeLocalReference(planted, 4))
   }
 
+  test("batched distributed replay equals the local trainer on adversarial random vocabs") {
+    import spark.implicits._
+    // 2-letter alphabet, short words: maximal tie density, overlapping
+    // runs, re-formed pairs, and name collisions (e.g. "ab" re-created
+    // by a later (a,b) re-merge or by (a,b)/(ab,·) chains) — the exact
+    // cases the top-K replay's stop rules must catch. Seeded LCG, high
+    // bits (see plantVocab).
+    var x = 0x9E3779B97F4A7C15L
+    def nxt(n: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % n).toInt
+    }
+    for (trial <- 1 to 3) {
+      val words = (1 to 24).map { _ =>
+        val w = (0 until (2 + nxt(5))).map(_ => "ab" (nxt(2))).mkString
+        (1L + nxt(7), " " + w.map(c => s"$c ").mkString(" ").stripSuffix(" ") + " ")
+      }.groupBy(_._2).map { case (e, g) => (g.map(_._1).sum, e) }.toSeq
+      val vocab = words.toDF("freq", "enc")
+      val depth = 6 + nxt(4)
+      val local = TextAnalysis.trainBpeLocal(words.toArray, depth)
+      val dist = TextAnalysis.trainBpe(vocab, depth, forceDistributed = true)
+      assert(dist === local, s"trial $trial (depth $depth) diverged")
+    }
+  }
+
   test("BpeCurve planted vocabulary: requested type count, distinct, well-formed") {
     // regression: drawing LCG LOW bits repeats a tiny word set and the
     // distinctness loop never fills (caught live at 100k types)
