@@ -77,7 +77,9 @@ object ScreenCurve {
       }
       println(f"""{"metric":"screen_curve","mult":$m,"store_rows":${baseRows * m},""" +
         f""""fanout":$fanout,"build_sec":$buildSec%.2f,"probe_fps":$probeFps,""" +
-        s""""probe_prefixes":$prefixes,"passes":[${passes.map(p => f"$p%.3f").mkString(",")}]}""")
+        s""""probe_prefixes":$prefixes,""" +
+        s""""pushdown_cap":${graft.streaming.StreamingQueries.ScreenProbePushdownCap},""" +
+        s""""passes":[${passes.map(p => f"$p%.3f").mkString(",")}]}""")
     }
     spark.stop()
   }

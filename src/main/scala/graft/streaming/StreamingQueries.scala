@@ -1725,9 +1725,14 @@ object StreamingQueries {
     * operative lever). Powers of two so re-partitioning a grown store
     * splits cleanly. */
   private[graft] val ScreenPartRows = 65536L
+  /** Upper fanout clamp — env-overridable so the ScreenCurve probe can
+    * emulate the beyond-clamp regime (a store that outgrew its fanout)
+    * at test scale and A/B the h-IN page-pruning lever there. */
+  private[graft] val ScreenFanoutMax: Int =
+    sys.env.get("SPARK_GRAFT_SCREEN_FANOUT_MAX").map(_.toInt).getOrElse(4096)
   private[graft] def fanoutFor(rows: Long): Int = {
     var f = 16
-    while (f < 4096 && rows / f > ScreenPartRows) f *= 2
+    while (f < ScreenFanoutMax && rows / f > ScreenPartRows) f *= 2
     f
   }
 
@@ -1736,8 +1741,10 @@ object StreamingQueries {
     * h-sorted, so the pushed filter prunes row groups/pages by min-max —
     * per-batch IO tracks the PROBE size, not the store partition size.
     * Above the cap (a catch-up batch) the IN list itself would bloat the
-    * plan; partition pruning alone still applies. */
-  private[graft] val ScreenProbePushdownCap = 32768
+    * plan; partition pruning alone still applies. Env-overridable so the
+    * ScreenCurve probe can A/B the lever (0 disables). */
+  private[graft] val ScreenProbePushdownCap: Int =
+    sys.env.get("SPARK_GRAFT_SCREEN_PUSHDOWN_CAP").map(_.toInt).getOrElse(32768)
 
   private def idxMetaPath(idxDir: String) =
     new org.apache.hadoop.fs.Path(idxDir, "_graft_index_meta.json")
