@@ -38,63 +38,35 @@ object Bench {
         Registry.all.filterNot(q =>
           q.name.startsWith("qst") || smallSfOnly(q.name))
       else Registry.all.filter(_.headline)
-    // Fixed-cost calibration probe (SF-independent CPU+shuffle work), timed
-    // before and after the query passes. Its wall time depends only on the
-    // machine: on an idle box it is stable run-to-run, so a bench artifact
-    // whose calibration is 2-3× the historical value is self-identifying as
-    // a loaded-machine run (the round-3 driver artifact showed a phantom
-    // 2.2× "regression" that an idle rerun could not reproduce — this field
-    // adjudicates that case without a rerun).
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 1L << 24, 1, 32).selectExpr("id % 1000003 as k")
-        .groupBy("k").count().agg(org.apache.spark.sql.functions.sum("count"))
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Fixed-cost calibration probe + idle-watch, shared machinery in
+    // [[BenchCal]] (factored out r18 so the YSB streaming bench runs the
+    // same watch — VERDICT r17 Next #4).
+    def calibrate(): Double = BenchCal.calibrate(spark)
     calibrate() // untimed: absorb the probe's own codegen/JIT so pre/post
                 // measure machine load, not first-pass warmup
-    // Idle-watch mode (VERDICT r16 Next #3): nine manual clean-window
-    // attempts failed in r16 — a loop should hunt the window, not a
-    // human. With SPARK_GRAFT_IDLE_WATCH=1 the run polls the calibration
-    // probe every SPARK_GRAFT_IDLE_WATCH_POLL_S seconds (default 120 —
-    // the burst budget refills in ~1-2 min, so polling faster reads the
-    // probe's own exhaust) and fires the query passes only when a probe
-    // reads < 1.15× idle_ref, giving up after
-    // SPARK_GRAFT_IDLE_WATCH_MAX attempts (default 45, ~1.5 h) and
-    // running anyway so an artifact is always produced. Attempts and
-    // seconds waited are recorded in the artifact.
-    val idleRefEnv =
-      sys.env.get("SPARK_GRAFT_CAL_IDLE_REF").map(_.toDouble).getOrElse(1.0)
-    var watchAttempts = 0
-    var watchWaitedS = 0L
-    if (sys.env.get("SPARK_GRAFT_IDLE_WATCH").contains("1")) {
-      val pollS =
-        sys.env.get("SPARK_GRAFT_IDLE_WATCH_POLL_S").map(_.toInt).getOrElse(120)
-      val maxTries =
-        sys.env.get("SPARK_GRAFT_IDLE_WATCH_MAX").map(_.toInt).getOrElse(45)
-      var probe = calibrate()
-      watchAttempts = 1
-      while (probe >= 1.15 * idleRefEnv && watchAttempts < maxTries) {
-        System.err.println(
-          f"[bench] idle-watch attempt $watchAttempts: probe $probe%.2f s >= " +
-            f"${1.15 * idleRefEnv}%.2f — sleeping $pollS s")
-        Thread.sleep(pollS * 1000L)
-        watchWaitedS += pollS
-        probe = calibrate()
-        watchAttempts += 1
-      }
-      System.err.println(f"[bench] idle-watch: firing after $watchAttempts " +
-        f"attempt(s), probe $probe%.2f s")
-    }
-    val calPre = calibrate()
+    val watch = BenchCal.idleWatch(spark)
+    // When the watch fired, its successful probe IS the pre-calibration:
+    // an immediate re-probe would read that probe's own exhaust (probes
+    // closer than a refill window interfere — ADVICE r17), so a clean
+    // watch hit could yield an inflated calPre and a falsely degraded
+    // artifact.
+    val calPre = if (watch.ran) watch.lastProbe else calibrate()
     // Best-of-2 per query: a single cold pass bills one-time JVM/codegen/
     // page-cache effects to whichever query hits them first (round-1 driver
     // run measured 23.7 s where warm local runs measured 14.5 s). Two timed
     // passes, keep the faster — still honest end-to-end plan execution. Both
     // pass times are emitted (`passes`) so inter-pass variance is visible in
     // the artifact.
-    val results = headline.map { q =>
+    // Segmented calibration (VERDICT r17 Next #6): the pre/post pair
+    // brackets the WHOLE suite, so one mid-run burst taints the whole
+    // artifact (r17's BENCH_ALL post-cal hit 7.04 for a 152 s run). A
+    // calibration checkpoint every SPARK_GRAFT_CAL_SEGMENT queries
+    // (default 40 — never fires on the 14-query headline set) localizes
+    // a burst to its segment: per-segment cals land in the artifact, so
+    // a degraded segment is attributable while the others stay quotable.
+    val segLen = sys.env.get("SPARK_GRAFT_CAL_SEGMENT").map(_.toInt).getOrElse(40)
+    val segCals = Seq.newBuilder[(Int, Double)]
+    val results = headline.zipWithIndex.map { case (q, idx) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -103,6 +75,8 @@ object Bench {
       val passes = try Seq(timed(), timed())
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); Seq(-1.0) }
+      if ((idx + 1) % segLen == 0 && idx + 1 < headline.size)
+        segCals += ((idx + 1, calibrate()))
       q.name -> passes
     }
     // r15 established the throttle mechanism: the query passes themselves
@@ -133,9 +107,12 @@ object Bench {
     // hardware / SPARK_GRAFT_CPUS, and emitted in the JSON so the
     // threshold each artifact was judged against is recorded in it
     // (ADVICE r15).
-    val calIdleRef = idleRefEnv
+    val calIdleRef = BenchCal.idleRef
     val degraded = math.max(calPre, calPost) > 1.5 * calIdleRef
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost,"idle_ref":$calIdleRef,"cooldown_s":$cooldownS,"idle_watch_attempts":$watchAttempts,"idle_watch_waited_s":$watchWaitedS},"degraded":$degraded,"sf":"$sfDir"}""")
+    val segs = segCals.result()
+      .map { case (after, c) => s"""{"after":$after,"cal":$c}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"calibration":{"pre":$calPre,"post":$calPost,"idle_ref":$calIdleRef,"cooldown_s":$cooldownS,"idle_watch_attempts":${watch.attempts},"idle_watch_waited_s":${watch.waitedS},"segments":$segs},"degraded":$degraded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -499,7 +499,8 @@ object TextAnalysis {
     // Replays stop conservatively, never speculatively: every accepted
     // merge is bit-identical to the limit(1)-per-merge loop (spec-pinned
     // against the local trainer on real + planted vocab; BpeCurve
-    // asserts equality at depth 512).
+    // asserts equality at its configured SPARK_GRAFT_BPE_DEPTH — the
+    // checked-in BPE_CURVE artifacts record depth-512 runs).
     var cur = ckpt(vocab)
     val merges = Seq.newBuilder[(String, String, Long)]
     val seenSymbols = scala.collection.mutable.Set.empty[String]
