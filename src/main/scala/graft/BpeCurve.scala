@@ -26,10 +26,15 @@ import java.io.File
 object BpeCurve {
 
   /** Deterministic planted vocabulary: `types` distinct words over a
-    * small alphabet (dense pair structure) with Zipf-ish frequencies.
-    * LCG-seeded — no RNG state outside this function, reproducible. */
-  private[graft] def plantVocab(types: Int): Array[(Long, String)] = {
-    val alpha = "abcdefgh"
+    * small alphabet (dense pair structure by default; widen `alphaLen`
+    * to thin the pair support — at 26 letters each merge's pair reuses
+    * less, so the batched distributed replay accepts FEWER merges per
+    * round, the regime VERDICT r17 Next #5 asked to probe) with
+    * Zipf-ish frequencies. LCG-seeded — no RNG state outside this
+    * function, reproducible. */
+  private[graft] def plantVocab(types: Int,
+      alphaLen: Int = 8): Array[(Long, String)] = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz".take(alphaLen)
     var x = 0x2545F4914F6CDD1DL
     // draw from the HIGH bits: a power-of-two-modulus LCG's low bit k
     // has period 2^(k+1), so low-bit draws repeat a tiny word set and
@@ -97,7 +102,9 @@ object BpeCurve {
     sys.env.get("SPARK_GRAFT_BPE_PLANT").map(_.toInt).foreach { types =>
       val pDepth =
         sys.env.get("SPARK_GRAFT_BPE_PLANT_DEPTH").map(_.toInt).getOrElse(2048)
-      val planted = plantVocab(types)
+      val pAlpha =
+        sys.env.get("SPARK_GRAFT_BPE_PLANT_ALPHA").map(_.toInt).getOrElse(8)
+      val planted = plantVocab(types, pAlpha)
       val touched = new Array[Int](pDepth + 1)
       val nanos = new Array[Long](pDepth + 1)
       val tInc0 = System.nanoTime()
@@ -106,8 +113,12 @@ object BpeCurve {
       val incSec = (System.nanoTime() - tInc0) / 1e9
       // the r16 full-recount loop as the O(types × merges) contrast, at a
       // prefix depth (it would take minutes at pDepth); merge sequences
-      // are deterministic, so prefix equality pins bit-identity
-      val refDepth = math.min(pDepth, 256)
+      // are deterministic, so prefix equality pins bit-identity.
+      // Env-tunable: the contrast loop costs ~types × refDepth, so the
+      // ≥1M-type production datapoint caps it lower (the 100k-type
+      // artifact already pins 256-deep equality)
+      val refDepth = math.min(pDepth,
+        sys.env.get("SPARK_GRAFT_BPE_REF_DEPTH").map(_.toInt).getOrElse(256))
       val tRef0 = System.nanoTime()
       val ref = graft.ext.TextAnalysis.trainBpeLocalReference(
         planted.map(identity), refDepth)
@@ -122,11 +133,36 @@ object BpeCurve {
           case s => (s.sum / s.length).toString
         }).mkString("[", ",", "]")
       println(s"""{"metric":"bpe_plant","types":$types,"depth":$pDepth,""" +
+        s""""alpha":$pAlpha,""" +
         f""""inc_total_sec":$incSec%.3f,"ref_depth":$refDepth,""" +
         f""""ref_total_sec":$refSec%.3f,""" +
         s""""touched_decile_mean":${dec(touched.map(_.toLong))},""" +
         s""""us_decile_mean":${dec(nanos.map(_ / 1000L))},""" +
         s""""touched_max":${touched.max},"prefix_equal":true}""")
+
+      // distributed batched-replay probe on the SAME planted vocab
+      // (VERDICT r17 Next #5's second half: the 199-rounds-for-512-merges
+      // figure came from an 8-letter corpus; a wider alphabet thins pair
+      // support so rounds accept fewer merges — measure it, don't guess).
+      // Equality with the local trainer pins the replay's stop rules on
+      // this alphabet too.
+      sys.env.get("SPARK_GRAFT_BPE_PLANT_DIST").map(_.toInt).foreach { dDepth =>
+        require(dDepth <= pDepth,
+          "PLANT_DIST depth must be <= PLANT_DEPTH (equality is a prefix check)")
+        import spark.implicits._
+        val vocabDf = spark.sparkContext
+          .parallelize(planted.toIndexedSeq, 32).toDF("freq", "enc")
+        var dRounds = 0
+        val tD0 = System.nanoTime()
+        val dist = graft.ext.TextAnalysis.trainBpe(vocabDf, dDepth,
+          forceDistributed = true, onRound = _ => dRounds += 1)
+        val distSec = (System.nanoTime() - tD0) / 1e9
+        require(dist == inc.take(dDepth),
+          "distributed replay diverged from the incremental local trainer")
+        println(s"""{"metric":"bpe_plant_dist","types":$types,""" +
+          s""""alpha":$pAlpha,"depth":$dDepth,"rounds":$dRounds,""" +
+          f""""dist_total_sec":$distSec%.3f,"equal_local":true}""")
+      }
     }
     spark.stop()
   }

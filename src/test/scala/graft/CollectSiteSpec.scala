@@ -51,10 +51,15 @@ class CollectSiteSpec extends AnyFunSuite {
       (1, "1-row global (min ts, max ts) bounds frame for the replay split"),
     ("streaming/StreamingQueries.scala", """java.util.Arrays.asList(built.collect(): _*), built.schema)""") ->
       (1, "bm25 query-term index: one row per derived query (= 3) by construction"),
-    ("streaming/StreamingQueries.scala", """.collect().map(r => (r.getInt(0), r.getLong(1)))""") ->
-      (1, "qst43 probe (hp, h) rows: trigger-bounded (one distinct row per " +
-        "batch fingerprint; the h-IN pushdown additionally caps its plan " +
-        "use at ScreenProbePushdownCap)"),
+    ("streaming/FingerprintStore.scala", """.collect().map(_.getInt(0)).sorted.toSeq""") ->
+      (1, "screen/append prefix probe: <= fanout <= ScreenFanoutMax " +
+        "(4096) rows by construction (hp = pmod(h, fanout); the distinct " +
+        "runs distributed, the driver sees only its bounded image)"),
+    ("streaming/FingerprintStore.scala", """.limit(pushdownCap + 1).collect().map(_.getLong(0))""") ->
+      (1, "screen/append value probe: explicit limit(cap + 1) — an " +
+        "over-cap batch materializes at most cap + 1 longs, then the " +
+        "pushdown is skipped (VERDICT r17 #1: never collects the full " +
+        "distinct set just to discard it)"),
     ("ext/TextAnalysis.scala", """val rows = vocab.select(col("freq"), col("enc")).collect()""") ->
       (1, "BPE word-type vocab: GUARDED by the preceding count() <= LocalTrainMaxTypes check, distributed fallback above it"))
 

@@ -1237,6 +1237,53 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("over-cap screen batch: partition pruning survives, h-IN pushdown is skipped, result unchanged (VERDICT r17 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val run = (1 to 8).map(i => s"fp$i").mkString(" ")
+    val seenDocs = (1L to 40L).filter(_ % 5 != 0).map { i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" ") +
+        (if (i == 1L) " " + run else ""))
+    }
+    val d5 = (5L, run + " " + (1 to 15).map(i => s"x$i").mkString(" "))
+    val root = java.nio.file.Files.createTempDirectory("graft-qst43-cap-spec-")
+    graft.ext.SpanDedup.registerTempRoot(root)
+    val idxDir = s"$root/fp"
+    StreamingQueries.writeFingerprintIndex(seenDocs.toDF("doc_id", "text"), idxDir)
+    val b = Seq(d5).toDF("doc_id", "text")
+    val distinctH = graft.ext.TextAnalysis.winnowedFingerprints(b)
+      .select(col("h")).distinct().count()
+    assert(distinctH > 2, "planted batch must exceed the test cap")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val withCap = StreamingQueries.screenAgainstStore(spark, idxDir)(b)
+      val overCap = StreamingQueries.screenAgainstStore(spark, idxDir,
+        pushdownCap = 2)(b)
+      val rows = overCap.collect()
+      val scan = overCap.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      } match {
+        case Seq(one) => one
+        case other => fail(s"expected exactly one file scan, got ${other.size}")
+      }
+      // degraded path contract: prefix pruning is independent of the
+      // value pushdown — only the In(h...) filter drops above the cap
+      assert(scan.metadata("PartitionFilters").contains("hp"),
+        "over-cap screen lost the partition filter")
+      assert(!scan.metadata("PushedFilters").contains("In(h"),
+        "over-cap screen still pushed the h-IN filter")
+      val probeHps = graft.ext.TextAnalysis.winnowedFingerprints(b)
+        .select(pmod(col("h"), lit(16)).cast("int").as("hp"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(scan.metrics("numPartitions").value <= probeHps.size)
+      // the pushdown only ever drops rows that could not join: the
+      // over-cap result is the under-cap result exactly
+      val key = (r: org.apache.spark.sql.Row) => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      assert(rows.map(key).toMap === withCap.collect().map(key).toMap)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("streaming EWMA: any micro-batch split equals the batch FIR (qst31 face)") {
     import spark.implicits._
     // planted hourly series with a gap (hour 2 missing — the tap join
