@@ -35,6 +35,13 @@ object ScreenCurve {
     val spark = GraftSession.local("graft-screen-curve",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    // Calibration bracket + optional idle-watch (shared BenchCal
+    // machinery): the curve's claim is RELATIVE flatness across tiers,
+    // so a mid-run burst fakes a slope — the cal line makes a tainted
+    // sitting self-identifying instead of silently quotable.
+    BenchCal.calibrate(spark) // untimed: absorb probe codegen/JIT
+    val watch = BenchCal.idleWatch(spark)
+    val calPre = if (watch.ran) watch.lastProbe else BenchCal.calibrate(spark)
 
     val docs = graft.sources.Tables.documents(spark, base)
     // base fingerprint set, materialized once and reused by every tier
@@ -79,8 +86,14 @@ object ScreenCurve {
         f""""fanout":$fanout,"build_sec":$buildSec%.2f,"probe_fps":$probeFps,""" +
         s""""probe_prefixes":$prefixes,""" +
         s""""pushdown_cap":${graft.streaming.StreamingQueries.ScreenProbePushdownCap},""" +
+        s""""part_rows":${graft.streaming.FingerprintStore.ScreenPartRows},""" +
         s""""passes":[${passes.map(p => f"$p%.3f").mkString(",")}]}""")
     }
+    val calPost = BenchCal.calibrate(spark)
+    println(f"""{"metric":"screen_curve_cal","pre":$calPre%.2f,""" +
+      f""""post":$calPost%.2f,"idle_ref":${BenchCal.idleRef},""" +
+      s""""idle_watch_attempts":${watch.attempts},""" +
+      s""""degraded":${math.max(calPre, calPost) > 1.5 * BenchCal.idleRef}}""")
     spark.stop()
   }
 }

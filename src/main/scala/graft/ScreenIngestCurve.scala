@@ -54,6 +54,11 @@ object ScreenIngestCurve {
     val spark = GraftSession.local("graft-screen-ingest-curve",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
+    // shared calibration bracket — see ScreenCurve's rationale; a burst
+    // mid-curve would fake an append/screen slope
+    BenchCal.calibrate(spark)
+    val watch = BenchCal.idleWatch(spark)
+    val calPre = if (watch.ran) watch.lastProbe else BenchCal.calibrate(spark)
 
     val dirF = new File(out)
     if (dirF.exists()) {
@@ -100,6 +105,11 @@ object ScreenIngestCurve {
         f""""files":${fileCount(idxDir)},"compact_sec":$compactSec%.3f,""" +
         s""""screen":[${screen.map(p => f"$p%.3f").mkString(",")}]}""")
     }
+    val calPost = BenchCal.calibrate(spark)
+    println(f"""{"metric":"screen_ingest_cal","pre":$calPre%.2f,""" +
+      f""""post":$calPost%.2f,"idle_ref":${BenchCal.idleRef},""" +
+      s""""idle_watch_attempts":${watch.attempts},""" +
+      s""""degraded":${math.max(calPre, calPost) > 1.5 * BenchCal.idleRef}}""")
     spark.stop()
   }
 }
