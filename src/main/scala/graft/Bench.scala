@@ -33,11 +33,15 @@ object Bench {
     // Streaming machinery, not a batch plan) and the deliberate O(N²)
     // small-SF-only baselines, which must never run above test scale.
     val smallSfOnly = Set("qd05_embedding_dup", "qs01_knn_brute")
+    // SPARK_GRAFT_ONLY=qa,qb: restrict to a subset for fast local iteration
+    // (Verify/PlanCensus's knob; the driver never sets it — full set there).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val headline =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+      (if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         Registry.all.filterNot(q =>
           q.name.startsWith("qst") || smallSfOnly(q.name))
-      else Registry.all.filter(_.headline)
+      else Registry.all.filter(_.headline))
+        .filter(q => only.forall(_.contains(q.name)))
     // Fixed-cost calibration probe + idle-watch, shared machinery in
     // [[BenchCal]] (factored out r18 so the YSB streaming bench runs the
     // same watch — VERDICT r17 Next #4).

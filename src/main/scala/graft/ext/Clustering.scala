@@ -448,7 +448,8 @@ object Clustering {
     * featFrame qc03Impl LocalDisks — the in-heap copy is the r14-measured
     * decade-tier OOM shape. A cluster passes Reliable. */
   private[graft] def qc04Impl(s: SparkSession, d: String,
-      ckpt: CheckpointStrategy): DataFrame = {
+      ckpt: CheckpointStrategy,
+      pinErr: Boolean = true): DataFrame = {
     import s.implicits._
     val feats = ckpt(featFrame(s, d))
     var w: Map[Long, Long] = s.range(NumFeat)
@@ -457,7 +458,16 @@ object Clustering {
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
     for (t <- 1 to TrainSteps) {
       val wDF = w.toSeq.toDF("j", "w")
-      val err = feats.join(broadcast(wDF), Seq("j"))
+      // err is read twice per step (the accuracy total + the gradient
+      // join) — without pinning, the score aggregation (the feats join +
+      // per-doc rollup, the step's dominant pass) re-executes for each,
+      // the same multiply-referenced shape qc03Impl already checkpoints.
+      // Optimization r18: one score pass per step instead of two; err is
+      // corpus-sized but thin (3 longs/doc), so the step strategy applies.
+      // pinErr = false is the pre-r18 recompute shape (OptProbe's A/B
+      // control — identical trajectory either way, spec-pinned).
+      val pin: DataFrame => DataFrame = if (pinErr) ckpt.apply else identity
+      val err = pin(feats.join(broadcast(wDF), Seq("j"))
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(col("x") * col("w")).as("z"))
         .select(col("doc_id"), col("y"),
@@ -465,7 +475,7 @@ object Clustering {
             lit(500L) + floor(col("z") / 4000.0))).as("p"))
         .select(col("doc_id"),
           (col("p") - lit(1000L) * col("y")).as("e"),
-          when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok"))
+          when((col("p") >= 500) === (col("y") === 1), 1L).otherwise(0L).as("ok")))
       val totRow = err.agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
         .collect()(0)
       val (nDocs, nCorrect) = (totRow.getLong(0), totRow.getLong(1))

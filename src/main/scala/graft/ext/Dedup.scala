@@ -722,7 +722,8 @@ object Dedup {
     * round bound on adversarial (path-graph) inputs qd03 never produces. */
   private[graft] def components(pairFrame: DataFrame,
       maxRounds: Int = MaxPropagationRounds,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local,
+      coPart: Boolean = false): DataFrame = {
     // Eager checkpoint on every per-round frame: the doubling step
     // references the propagated frame twice and the propagated frame
     // references labels twice, so WITHOUT lineage truncation the logical
@@ -730,12 +731,28 @@ object Dedup {
     // driver near round 10. Checkpointing pins each round to a constant-size
     // LogicalRDD; Local vs Reliable is the caller's single-JVM vs cluster
     // trade (see [[CheckpointStrategy]]).
+    //
+    // Optimization r18 MEASURED ATTEMPT, declined: coPart = true
+    // materializes the loop-invariant edge list hash-partitioned by src
+    // (LogicalRDD keeps outputPartitioning) and pins the intra-round
+    // `propagated` frame so the doubling self-join reads blocks instead
+    // of re-deriving the neighbor-min chain. OptProbe's A/B measured it
+    // ~breakeven at sf0.1 (1.82 vs 1.72 s) and 30× (4.19 vs 4.35), and
+    // 1.4× WORSE at 100× (22.2 vs 15.8) — because the doubling join's
+    // two subtrees share their heavy exchanges via ReuseExchange (they
+    // are identical below the final label-keyed exchange), the presumed
+    // double execution never happens, and the extra eager materialization
+    // + per-round id re-partition are pure added cost. Default stays the
+    // plain shape; the param + probe row document the attempt.
+    val part: (DataFrame, String) => DataFrame =
+      if (coPart) (df, c) => df.repartition(col(c)) else (df, _) => df
+    val pin: DataFrame => DataFrame = if (coPart) ckpt.apply else identity
     val pairs = ckpt(pairFrame.select(col("doc_a"), col("doc_b")))
-    val edges = ckpt(pairs
+    val edges = ckpt(part(pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst"))
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+      .toDF("src", "dst"), "src"))
+    var labels = ckpt(part(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")), "id"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -743,13 +760,13 @@ object Dedup {
       // The incoming label rides along as `old` so the convergence check
       // is a flag aggregate over the materialized round frame instead of
       // an extra join+pass against the previous labels.
-      val propagated = labels.select(col("id"), col("label").as("old"))
+      val propagated = pin(labels.select(col("id"), col("label").as("old"))
         .join(
           edges.join(labels, col("src") === col("id"))
             .groupBy(col("dst")).agg(min(col("label")).as("nbr")),
           col("id") === col("dst"), "left")
         .select(col("id"), col("old"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label")))
       // (2) pointer doubling: label ← label(label). Every label value is
       // itself a node id (it started as one), so the self-join always
       // resolves; coalesce covers the already-minimal fixed points.
@@ -761,7 +778,7 @@ object Dedup {
           col("old"))
         .select(col("id"), col("label"),
           (col("label") =!= col("old")).cast("long").as("chg"))
-      val next = ckpt(next0)
+      val next = ckpt(part(next0, "id"))
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
       labels = next.select(col("id"), col("label"))
       round += 1

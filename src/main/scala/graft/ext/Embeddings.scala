@@ -319,11 +319,28 @@ object Embeddings {
     pqRefineStepOn(Tables.embeddings(s, d), cbs)
 
   /** The same Lloyd update over an arbitrary (vec_id, embedding) frame —
-    * float or double arrays; AnnProbe trains RESIDUAL codebooks with it. */
+    * float or double arrays; AnnProbe trains RESIDUAL codebooks with it.
+    *
+    * singlePass = true (optimization r18, guide §6/§1.2): the update used
+    * to union FOUR per-subspace projections of the encode frame — column
+    * pruning kept the per-branch assignment compute disjoint, but each
+    * branch re-scanned the embeddings input, so one Lloyd iteration cost
+    * 4 corpus scans (13 per qe04 run: 3 iterations + the final encode).
+    * The fused shape emits all four (j, code, subvector) rows from ONE
+    * scan via an array explode — identical rows, identical exact
+    * fixed-point sums, 1 scan per iteration (4 per run). singlePass =
+    * false is the A/B control. */
   private[graft] def pqRefineStepOn(frame: DataFrame,
-      cbs: IndexedSeq[IndexedSeq[Array[Double]]]): IndexedSeq[IndexedSeq[Array[Double]]] = {
+      cbs: IndexedSeq[IndexedSeq[Array[Double]]],
+      singlePass: Boolean = true): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val enc = pqEncodedWith(frame, cbs.map(cbLitD))
-    val perSub = (0 until SubVecs).map { j =>
+    val perSub = if (singlePass)
+      enc.select(explode(expr("array(" + (0 until SubVecs).map(j =>
+          s"named_struct('j', $j, 'k', s$j.code, " +
+            s"'sub', slice(embedding, ${j * SubDim + 1}, $SubDim))")
+        .mkString(", ") + ")")).as("e"))
+        .select(col("e.j").as("j"), col("e.k").as("k"), col("e.sub").as("sub"))
+    else (0 until SubVecs).map { j =>
       enc.select(lit(j).as("j"), col(s"s$j.code").as("k"),
         expr(s"slice(embedding, ${j * SubDim + 1}, $SubDim)").as("sub"))
     }.reduce(_ unionAll _)

@@ -400,14 +400,31 @@ object SpanDedup {
     * stateChunks: `c, chunk, simhash`) — qd13's classification with the
     * seen side read from the store instead of recomputed. */
   private[graft] def classifyAgainstState(batch: DataFrame,
+      stateH: DataFrame, stateChunks: DataFrame): DataFrame =
+    classifyAgainstStateSigs(
+      batch.select(col("doc_id"), md5(col("text")).as("h")),
+      simhashChunks(batch)
+        .select(col("doc_id"), col("c"), col("chunk"), col("simhash")),
+      stateH, stateChunks)
+
+  /** The same classification over PRE-COMPUTED batch signature frames
+    * (batchH: `doc_id, h`; batchChunks: `doc_id, c, chunk, simhash`) —
+    * the reuseSigs = true variant of qd18's ingest loop feeds the same
+    * pinned frames to classification and the store merge instead of
+    * re-deriving the projections per consumer (an r18 measured attempt,
+    * declined as the default — see ingestSequentially). Every doc has
+    * exactly one md5 row, so `batchH.select(doc_id)` is row-identical to
+    * `batch.select(doc_id)` and the statuses are unchanged. */
+  private[graft] def classifyAgainstStateSigs(batchH: DataFrame,
+      batchChunks: DataFrame,
       stateH: DataFrame, stateChunks: DataFrame): DataFrame = {
-    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = batchH
       .join(stateH.select(col("h")).distinct().hint("merge"), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1L))
     val kept = stateChunks.groupBy(col("c"), col("chunk"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= Dedup.BucketCap)
       .select(col("c"), col("chunk"))
-    val near = simhashChunks(batch)
+    val near = batchChunks
       .join(
         stateChunks.join(kept.hint("merge"), Seq("c", "chunk"), "left_semi")
           .select(col("c"), col("chunk"), col("simhash").as("seen_sim"))
@@ -415,7 +432,7 @@ object SpanDedup {
         Seq("c", "chunk"))
       .filter(expr("bit_count(simhash ^ seen_sim) <= 12"))
       .select(col("doc_id")).distinct().withColumn("is_near", lit(1L))
-    batch.select(col("doc_id"))
+    batchH.select(col("doc_id"))
       .join(exact.hint("merge"), Seq("doc_id"), "left")
       .join(near.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -658,23 +675,47 @@ object SpanDedup {
     * classification is pinned eagerly before the next merge runs — a
     * bounded |batch| × (doc_id, batch_id, status) frame; the store files
     * are then deleted eagerly instead of lingering until JVM exit. */
-  private[graft] def ingestSequentially(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def ingestSequentially(s: SparkSession, docs: DataFrame,
+      reuseSigs: Boolean = false): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-qd18-state-")
     registerTempRoot(root)
     val store = SignatureStore(root).init()
     val outs = (0 to IngestBatches).map { b =>
       val batch = docs.withColumn("bid", batchIdCol)
         .filter(col("bid") === b).drop("bid")
-      val classified = classifyAgainstState(batch,
-          store.readH(s), store.readChunks(s))
-        .withColumn("batch_id", lit(b.toLong))
-        .localCheckpoint(true)
-      if (b < IngestBatches) {
-        store.merge(s,
-          batch.select(col("doc_id"), md5(col("text")).as("h")),
-          simhashChunks(batch)
-            .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))): Unit
-      }
+      // reuseSigs = true pins each batch's md5 + simhash frames eagerly
+      // and reuses them across classification, the merge's existence
+      // probe, and the merge's writes — an r18 MEASURED ATTEMPT, declined
+      // as the default: OptProbe's A/B read ~1.05× faster at sf0.1
+      // (14.4 vs 15.0 s, within noise) but 1.12× SLOWER at the 30× tier
+      // (35.1 vs 31.4 s) — the BlockManager round-trip of the signature
+      // frames costs more than the columnar re-scans it saves (statuses
+      // identical either way, spec-pinned).
+      val classified = (if (reuseSigs) {
+        val bH = batch.select(col("doc_id"), md5(col("text")).as("h"))
+          .localCheckpoint(true)
+        val bC = simhashChunks(batch)
+          .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
+          .localCheckpoint(true)
+        val cls = classifyAgainstStateSigs(bH, bC,
+            store.readH(s), store.readChunks(s))
+          .withColumn("batch_id", lit(b.toLong))
+          .localCheckpoint(true)
+        if (b < IngestBatches) store.merge(s, bH, bC): Unit
+        cls
+      } else {
+        val cls = classifyAgainstState(batch,
+            store.readH(s), store.readChunks(s))
+          .withColumn("batch_id", lit(b.toLong))
+          .localCheckpoint(true)
+        if (b < IngestBatches) {
+          store.merge(s,
+            batch.select(col("doc_id"), md5(col("text")).as("h")),
+            simhashChunks(batch)
+              .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))): Unit
+        }
+        cls
+      })
       classified
     }
     store.delete()

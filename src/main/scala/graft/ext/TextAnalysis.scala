@@ -845,28 +845,69 @@ object TextAnalysis {
   // per gram order + the per-doc rollup — the same linear, partial-agg-
   // heavy shape as qt06's tf counting.
   // ---------------------------------------------------------------------
-  private def qt09(s: SparkSession, d: String): DataFrame = {
+  private def qt09(s: SparkSession, d: String): DataFrame =
+    qt09Impl(s, d, fused = false)
+
+  /** qt09 with an r18 MEASURED-ATTEMPT fused shape as a parameter,
+    * DECLINED as the default (OptProbe A/B; output identical either way,
+    * spec-pinned).
+    *
+    * fused = true explodes both gram orders from ONE tokenize pass (each
+    * gram tagged with its order n), rolls both up in one (doc_id, n, g)
+    * shuffle + one per-doc aggregation, and derives n_words from the
+    * 2-gram occurrence count (n_words = n2 + 1 exactly for every doc
+    * passing the len ≥ 3 filter) — 3 corpus passes + 2 joins → 1 pass,
+    * zero joins. MEASURED: 2.00 vs 1.70 s at sf0.1 and 9.92 vs 9.65 s at
+    * the 30× tier — the three unfused passes are individually light
+    * (split + lower; the md5 work is identical in both shapes) while the
+    * fused concat-of-struct-arrays explode pays more per row than the
+    * extra scans cost, unlike qt19 where the eliminated recompute is the
+    * dominant md5-over-distinct-5-grams projection. Default stays the
+    * three-pass shape; the param + A/B rows document the attempt. */
+  private[graft] def qt09Impl(s: SparkSession, d: String,
+      fused: Boolean): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
       .filter(size(col("tk")) >= 3)
-    def gramCounts(n: Int) = toks
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(tk) - ${n - 1}), i -> md5(concat_ws(' ', slice(tk, i, $n))))"))
-        .as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val a2 = gramCounts(2).groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n2"))
-    val a3 = gramCounts(3).groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
-    // merge hints: a2/a3 are per-doc aggregates — corpus-sized, never
-    // broadcast-safe; the static planner's post-explode estimates are
-    // unreliable (see Dedup qd03/qd04). PlanLint asserts no broadcast here.
-    toks.select(col("doc_id"), size(col("tk")).as("n_words"))
-      .join(a2.hint("merge"), Seq("doc_id"))
-      .join(a3.hint("merge"), Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
-        (col("top2_n").cast("double") / col("n2")).as("top2gram_frac"),
-        ((col("n3") - col("d3")).cast("double") / col("n3")).as("dup3gram_frac"))
+    if (fused) {
+      def gramArr(n: Int) =
+        s"transform(sequence(1, size(tk) - ${n - 1}), i -> " +
+          s"named_struct('n', $n, 'g', md5(concat_ws(' ', slice(tk, i, $n)))))"
+      toks
+        .select(col("doc_id"),
+          explode(expr(s"concat(${gramArr(2)}, ${gramArr(3)})")).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"), col("e.g").as("g"))
+        .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(when(col("n") === 2, col("c"))).as("top2_n"),
+          sum(when(col("n") === 2, col("c"))).as("n2"),
+          sum(when(col("n") === 3, col("c"))).as("n3"),
+          count(when(col("n") === 3, lit(1))).as("d3"))
+        .select(col("doc_id"),
+          (col("n2") + 1).cast("int").as("n_words"),
+          (col("top2_n").cast("double") / col("n2")).as("top2gram_frac"),
+          ((col("n3") - col("d3")).cast("double") / col("n3")).as("dup3gram_frac"))
+    } else { // the pre-r18 three-pass shape (A/B control)
+      def gramCounts(n: Int) = toks
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(tk) - ${n - 1}), i -> md5(concat_ws(' ', slice(tk, i, $n))))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val a2 = gramCounts(2).groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top2_n"), sum(col("c")).as("n2"))
+      val a3 = gramCounts(3).groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+      // merge hints: a2/a3 are per-doc aggregates — corpus-sized, never
+      // broadcast-safe; the static planner's post-explode estimates are
+      // unreliable (see Dedup qd03/qd04). PlanLint asserts no broadcast here.
+      toks.select(col("doc_id"), size(col("tk")).as("n_words"))
+        .join(a2.hint("merge"), Seq("doc_id"))
+        .join(a3.hint("merge"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          (col("top2_n").cast("double") / col("n2")).as("top2gram_frac"),
+          ((col("n3") - col("d3")).cast("double") / col("n3")).as("dup3gram_frac"))
+    }
   }
 
   private val qt09Sql =
@@ -1076,29 +1117,69 @@ object TextAnalysis {
   // corpus-sized, so every join is merge-pinned: the plan lint asserts
   // ZERO BroadcastExchange (contrast qt10's exactly-one).
   // ---------------------------------------------------------------------
-  private def qt19(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
+  private def qt19(s: SparkSession, d: String): DataFrame =
+    qt19Impl(s, d, fused = true)
+
+  /** qt19 with the r18 fused shape as a parameter so OptProbe can A/B the
+    * two shapes in one sitting (the qd19 sizeFilter pattern — output is
+    * identical either way, spec-pinned).
+    *
+    * fused = true (the shipping shape, optimization r18, guide §1.2/§2.4):
+    * the gram projection (tokenize + per-position md5 + array_distinct +
+    * explode) is the dominant cost and the unfused shape feeds it to THREE
+    * consumers (shared, perDoc, hits) — three full executions, since their
+    * exchanges carry different columns and AQE's stage cache only reuses
+    * IDENTICAL exchanges (the qd04 caveat does not apply here). The fused
+    * shape materializes the gram frame once (LocalDisk — corpus-sized
+    * posting rows, the r14 lineage rule) and folds perDoc+hits into ONE
+    * rollup via a flag left-join: n_shared = Σ 1[g ∈ shared] over the
+    * same rows that n_grams counts. Same values, one gram pass instead
+    * of three, and the doc-keyed perDoc⋈hits join disappears. (No
+    * pre-shuffle before the checkpoint: Spark 4's localCheckpoint
+    * returns UnknownPartitioning, so a repartition there is a pure extra
+    * exchange — plan-verified in plans/r18.) */
+  private[graft] def qt19Impl(s: SparkSession, d: String,
+      fused: Boolean): DataFrame = {
+    def gramFrame = Tables.documents(s, d)
       .select(col("doc_id"), expr(s"transform($toksExpr, t -> lower(t))").as("tk"))
       .filter(size(col("tk")) >= 5)
       .select(col("doc_id"), (col("doc_id") % 2).as("side"), explode(expr(
         "array_distinct(transform(sequence(1, size(tk) - 4), i -> md5(concat_ws(' ', slice(tk, i, 5)))))"))
         .as("g"))
-    val shared = grams
-      .groupBy(col("g"))
-      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
-      .filter(col("mn") === 0 && col("mx") === 1)
-      .select(col("g"))
-    val perDoc = grams.groupBy(col("doc_id"), col("side"))
-      .agg(count(lit(1)).as("n_grams"))
-    val hits = grams.join(shared.hint("merge"), Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    perDoc.join(hits.hint("merge"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("side"), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
-          .as("shared_frac"),
-        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
-          .as("is_contaminated"))
+    if (fused) {
+      val grams = CheckpointStrategy.LocalDisk(gramFrame)
+      val shared = grams
+        .groupBy(col("g"))
+        .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+        .filter(col("mn") === 0 && col("mx") === 1)
+        .select(col("g"), lit(1L).as("hit"))
+      // corpus-sized × corpus-sized → merge-pinned (the qd04 broadcast trap)
+      grams.join(shared.hint("merge"), Seq("g"), "left")
+        .groupBy(col("doc_id"), col("side"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+        .select(col("doc_id"), col("side"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams")).as("shared_frac"),
+          when(col("n_shared") > 0, 1L).otherwise(0L).as("is_contaminated"))
+    } else { // the pre-r18 three-consumer shape (A/B control)
+      val grams = gramFrame
+      val shared = grams
+        .groupBy(col("g"))
+        .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+        .filter(col("mn") === 0 && col("mx") === 1)
+        .select(col("g"))
+      val perDoc = grams.groupBy(col("doc_id"), col("side"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = grams.join(shared.hint("merge"), Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      perDoc.join(hits.hint("merge"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("side"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+            .as("shared_frac"),
+          when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L)
+            .as("is_contaminated"))
+    }
   }
 
   private val qt19Sql =
