@@ -104,6 +104,11 @@ object OptProbe {
         reuseSigs = true)),
       noop(SpanDedup.ingestSequentially(spark, Tables.documents(spark, dir),
         reuseSigs = false)))
+    if (want("qd18c")) ab("qd18_append_compact",
+      noop(SpanDedup.ingestSequentially(spark, Tables.documents(spark, dir),
+        compactAppends = true)),
+      noop(SpanDedup.ingestSequentially(spark, Tables.documents(spark, dir),
+        compactAppends = false)))
     // qe04's Lloyd refine loop (3 iterations), single-pass vs the
     // 4-branch union — the refine step collects bounded codebook scalars
     // itself, so the trajectory IS the timed action (no noop needed).

@@ -480,7 +480,8 @@ object SpanDedup {
     * partition subdirs; partition swaps are filesystem moves (the
     * single-JVM stand-in for a table format's replace-partition
     * commit). */
-  private[graft] final case class SignatureStore(root: java.nio.file.Path) {
+  private[graft] final case class SignatureStore(root: java.nio.file.Path,
+      compactAppends: Boolean = true) {
     import org.apache.spark.sql.types._
 
     private val hDir = s"$root/h"
@@ -542,8 +543,20 @@ object SpanDedup {
       touched
     }
 
+    // One file per touched dp partition per append (optimization r18,
+    // guide §6 small files): an un-repartitioned partitionBy write fans
+    // each batch into (write tasks × dp keys) tiny files — at 32 local
+    // tasks × 16 prefixes that is up to 512 files per append per table,
+    // and EVERY later batch's classify + existence probe pays the
+    // per-file open/list overhead back. The dp repartition is a shuffle
+    // of batch-sized signature rows (trivial next to the store reads it
+    // saves); at cluster scale it is exactly Iceberg's
+    // write.distribution-mode=hash trade. compactAppends = false is the
+    // pre-r18 fanout shape (OptProbe A/B control; store contents
+    // identical either way — only file counts differ).
     private def appendRows(rows: DataFrame, dir: String): Unit =
-      rows.write.mode("append").partitionBy("dp").parquet(dir)
+      (if (compactAppends) rows.repartition(col("dp")) else rows)
+        .write.mode("append").partitionBy("dp").parquet(dir)
 
     /** Path of the swap commit marker — ONE file at the store root (not
       * per-table), written by [[swapPartitions]] only after EVERY staged
@@ -676,10 +689,11 @@ object SpanDedup {
     * bounded |batch| × (doc_id, batch_id, status) frame; the store files
     * are then deleted eagerly instead of lingering until JVM exit. */
   private[graft] def ingestSequentially(s: SparkSession, docs: DataFrame,
-      reuseSigs: Boolean = false): DataFrame = {
+      reuseSigs: Boolean = false,
+      compactAppends: Boolean = true): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-qd18-state-")
     registerTempRoot(root)
-    val store = SignatureStore(root).init()
+    val store = SignatureStore(root, compactAppends).init()
     val outs = (0 to IngestBatches).map { b =>
       val batch = docs.withColumn("bid", batchIdCol)
         .filter(col("bid") === b).drop("bid")
