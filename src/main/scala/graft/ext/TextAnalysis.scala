@@ -1117,8 +1117,19 @@ object TextAnalysis {
   // corpus-sized, so every join is merge-pinned: the plan lint asserts
   // ZERO BroadcastExchange (contrast qt10's exactly-one).
   // ---------------------------------------------------------------------
+  /** Default shape env-overridable (SPARK_GRAFT_QT19_FUSED=0 → the
+    * recompute shape) because the A/B crosses over at the largest
+    * measured tier: fused is 1.13× faster at sf0.1 and 2.19× at 30×,
+    * but 1.11× SLOWER at 100×, where the gram materialization
+    * (~4.5 GB DISK_ONLY) stops being page-cache-free and the eager
+    * checkpoint is a pipelining barrier (AB_PROBE_r18.jsonl). On a
+    * cluster the trade follows storage bandwidth vs CPU — both shapes
+    * ship, same oracle. */
+  private[graft] val Qt19FusedDefault: Boolean =
+    !sys.env.get("SPARK_GRAFT_QT19_FUSED").contains("0")
+
   private def qt19(s: SparkSession, d: String): DataFrame =
-    qt19Impl(s, d, fused = true)
+    qt19Impl(s, d, fused = Qt19FusedDefault)
 
   /** qt19 with the r18 fused shape as a parameter so OptProbe can A/B the
     * two shapes in one sitting (the qd19 sizeFilter pattern — output is
