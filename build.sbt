@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's contract line as ONE bare JSON line on stdout.
+// sbt's default LoggedOutput decorates every forked-run line as
+// "[info] {...}", so the line never matched and every BENCH_r*.json since
+// r14 carries parsed:null (VERDICT r18 What's-wrong #1). StdoutOutput
+// inherits the parent's stdout/stderr verbatim — the JSON line lands bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
