@@ -887,9 +887,39 @@ object Dedup {
 
   /** Fixed-point PageRank over undirected pair edges (columns doc_a,
     * doc_b) — package-private so the spec can run both checkpoint
-    * strategies on the same graph. */
+    * strategies on the same graph.
+    *
+    * coPart (optimization r19, VERDICT r18 Next #5): materialize the
+    * loop-invariant degEdges hash-partitioned by src THROUGH the
+    * checkpoint, so each round's degEdges⋈ranks join reads the edge
+    * list pre-placed instead of re-exchanging it. Only meaningful with
+    * [[CheckpointStrategy.Reliable]]: Spark 4's localCheckpoint returns
+    * UnknownPartitioning (the r18 components() finding), while
+    * `Dataset.checkpoint` preserves the physical plan's output
+    * partitioning in the LogicalRDD it produces. Measured by OptProbe
+    * (AB_PROBE_r19.jsonl); the default stays the plain shape unless the
+    * A/B won — see the probe rows / OPTIMIZATION_r19.md for the verdict. */
   private[graft] def pageRank(pairFrame: DataFrame,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local,
+      coPart: Boolean = false): DataFrame = {
+    val (ranks, pairs, nodes) = pageRankBuild(pairFrame, ckpt, coPart)
+    // Eager checkpoint materializes the ranks in the same single pass
+    // that pins them before the inputs are unpersisted (vs the old
+    // cache()+count(), which spent a full extra job) — same pattern as
+    // qd03's sigs; executor-loss caveat only under Local (see qd03).
+    val out = ckpt(ranks)
+    pairs.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** The pageRank iteration WITHOUT the final output checkpoint —
+    * package-private so OptProbe's explain mode can dump the per-round
+    * join plan (the output checkpoint collapses it to a LogicalRDD).
+    * Returns (ranks frame, cached pairs, cached nodes); callers
+    * materialize ranks before unpersisting the two caches. */
+  private[graft] def pageRankBuild(pairFrame: DataFrame,
+      ckpt: CheckpointStrategy,
+      coPart: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val pairs = pairFrame.select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -899,9 +929,11 @@ object Dedup {
     // each PageRank round is then a single join with the current ranks.
     val nodes = edges.select(col("src").as("id")).distinct().cache()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val degEdges = ckpt(edges
+    val degEdges0 = edges
       .join(outdeg.withColumnRenamed("src", "d_id"), col("src") === col("d_id"))
-      .select(col("src"), col("dst"), col("deg")))
+      .select(col("src"), col("dst"), col("deg"))
+    val degEdges =
+      ckpt(if (coPart) degEdges0.repartition(col("src")) else degEdges0)
     var ranks = nodes.select(col("id"), lit(RankScale).as("r"))
     for (_ <- 1 to RankIters) {
       val contrib = degEdges
@@ -913,15 +945,26 @@ object Dedup {
           (lit(RankTeleport) +
             expr("cast(coalesce(s, 0L) * 85 div 100 as bigint)")).as("r"))
     }
-    // Eager checkpoint materializes the ranks in the same single pass
-    // that pins them before the inputs are unpersisted (vs the old
-    // cache()+count(), which spent a full extra job) — same pattern as
-    // qd03's sigs; executor-loss caveat only under Local (see qd03).
-    val out = ckpt(ranks.select(col("id").as("doc_id"), col("r").as("rank_fp")))
-    pairs.unpersist(); nodes.unpersist()
-    out
+    (ranks.select(col("id").as("doc_id"), col("r").as("rank_fp")),
+      pairs, nodes)
   }
 
+  /** Optimization r19 MEASURED ATTEMPT (VERDICT r18 Next #5), DECLINED:
+    * the hypothesis was that `Dataset.checkpoint` (Reliable) — unlike
+    * Spark 4's localCheckpoint — preserves hash partitioning, so
+    * checkpointing degEdges repartitioned by src would elide each
+    * round's edge-side exchange. PLAN-REFUTED: the r19 dumps
+    * (plans/r19/qd09_graph_rank_{before,after}.txt, 100× tier) show the
+    * Reliable LogicalRDD also reports `UnknownPartitioning(0)` and both
+    * layouts' physical plans are node-identical (Exchange over the edge
+    * scan still inserted). The A/B read Reliable+coPart ~1.1× faster at
+    * 100× (3.98 vs 4.51 warm, 3.46 vs 3.76 cold) and ~6% slower at 30×
+    * (AB_PROBE_r19.jsonl) — a sub-second delta with NO plan mechanism
+    * (plausibly hash-clustered checkpoint blocks turning the all-to-all
+    * scatter into one-mapper-per-reducer fetches) — too weak and too
+    * unexplained to flip a default on. The coPart param + probe rows +
+    * plan dumps document the negative result; the default stays the
+    * plain Local shape. */
   private def qd09(s: SparkSession, d: String): DataFrame =
     pageRank(qd03(s, d))
 

@@ -481,7 +481,8 @@ object SpanDedup {
     * single-JVM stand-in for a table format's replace-partition
     * commit). */
   private[graft] final case class SignatureStore(root: java.nio.file.Path,
-      compactAppends: Boolean = true) {
+      compactAppends: Boolean = true,
+      overlapMerge: Boolean = true) {
     import org.apache.spark.sql.types._
 
     private val hDir = s"$root/h"
@@ -508,12 +509,15 @@ object SpanDedup {
       s.read.schema(cSchema).parquet(cDir)
         .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))
 
-    /** MERGE one batch's signatures in. Returns the dp keys that needed
-      * a partition REWRITE (empty for the pure-append case of all-new
-      * doc ids — then the only work is writing O(|batch|) new files). */
-    def merge(s: SparkSession, batchH: DataFrame, batchC: DataFrame): Seq[String] = {
+    /** Read-only half of [[merge]]: which dp partitions hold doc ids the
+      * batch replaces (empty → the merge is a pure append). Split out
+      * (optimization r19) so the ingest loop can run this probe
+      * CONCURRENTLY with the batch's classification — both read the same
+      * pre-merge store state and neither mutates anything, so the
+      * overlap is semantics-free; only the mutating half must wait for
+      * the classification to be pinned. */
+    def probeTouched(s: SparkSession, batchH: DataFrame): Seq[String] = {
       val bH = batchH.withColumn("dp", dpCol)
-      val bC = batchC.withColumn("dp", dpCol)
       val batchDocs = bH.select(col("dp"), col("doc_id")).distinct()
       // partition-pruned existence probe: read doc_id from ONLY the
       // partitions the batch's ids hash to; ≤ 16 dp keys come back
@@ -523,25 +527,51 @@ object SpanDedup {
         .filter(col("dp").isin(batchDps: _*)).select(col("doc_id"))
         .join(batchDocs.select(col("doc_id")).hint("merge"),
           Seq("doc_id"), "left_semi")
-      val touched = replaceDocs.select(dpCol.as("dp")).distinct()
+      replaceDocs.select(dpCol.as("dp")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
+    }
+
+    /** MERGE one batch's signatures in. Returns the dp keys that needed
+      * a partition REWRITE (empty for the pure-append case of all-new
+      * doc ids — then the only work is writing O(|batch|) new files).
+      * `touchedPre`: a [[probeTouched]] result computed by the caller
+      * (possibly overlapped with other read-only work) — MUST come from
+      * the same batch against the current store state. */
+    def merge(s: SparkSession, batchH: DataFrame, batchC: DataFrame,
+        touchedPre: Option[Seq[String]] = None): Seq[String] = {
+      val bH = batchH.withColumn("dp", dpCol)
+      val bC = batchC.withColumn("dp", dpCol)
+      val touched = touchedPre.getOrElse(probeTouched(s, batchH))
       if (touched.nonEmpty) {
         // rewrite ONLY the touched partitions: upsert the batch slice
         // into the store slice, stage to a sibling dir, swap dirs in.
         // Both tables stage (the actions that drain every read of the
-        // live slices) before either swaps.
-        val hStage = stageTouched(s, hDir, hSchema, touched,
-          bH.filter(col("dp").isin(touched: _*)))
-        val cStage = stageTouched(s, cDir, cSchema, touched,
-          bC.filter(col("dp").isin(touched: _*)))
+        // live slices) before either swaps. The h and chunks sides of
+        // each step are INDEPENDENT jobs (different inputs, different
+        // output dirs) run sequentially only by driver-code ordering —
+        // overlapped from a second thread (guide §2.6, optimization
+        // r19) so one side's stage/append tail back-fills the cores the
+        // other leaves idle. The swap itself stays sequential: it is
+        // the filesystem transaction both sides must reach first.
+        var hStage: String = null
+        var cStage: String = null
+        inParallel(
+          { hStage = stageTouched(s, hDir, hSchema, touched,
+              bH.filter(col("dp").isin(touched: _*))) },
+          { cStage = stageTouched(s, cDir, cSchema, touched,
+              bC.filter(col("dp").isin(touched: _*))) })
         swapPartitions(Seq(hStage -> hDir, cStage -> cDir), touched)
-        appendRows(bH.filter(!col("dp").isin(touched: _*)), hDir)
-        appendRows(bC.filter(!col("dp").isin(touched: _*)), cDir)
+        inParallel(
+          appendRows(bH.filter(!col("dp").isin(touched: _*)), hDir),
+          appendRows(bC.filter(!col("dp").isin(touched: _*)), cDir))
       } else {
-        appendRows(bH, hDir); appendRows(bC, cDir)
+        inParallel(appendRows(bH, hDir), appendRows(bC, cDir))
       }
       touched
     }
+
+    private def inParallel(a: => Unit, b: => Unit): Unit =
+      overlapped(overlapMerge)(a, b)
 
     // One file per touched dp partition per append (optimization r18,
     // guide §6 small files): an un-repartitioned partitionBy write fans
@@ -688,12 +718,44 @@ object SpanDedup {
     * classification is pinned eagerly before the next merge runs — a
     * bounded |batch| × (doc_id, batch_id, status) frame; the store files
     * are then deleted eagerly instead of lingering until JVM exit. */
+  /** Run two independent steps concurrently (`a` on the calling thread,
+    * `b` on one spawned thread) — or sequentially when `overlap = false`
+    * (the pre-r19 shape, OptProbe's A/B control). Spark's scheduler runs
+    * jobs from both threads at once, so one side's stage tail back-fills
+    * the cores the other leaves idle (guide §2.6). Both sides complete
+    * before return either way, so callers' ordering invariants (classify
+    * before mutation, stage before swap) hold; the first failure is
+    * rethrown only after BOTH sides have settled (never mutating the
+    * store concurrently with an unwinding exception). */
+  private[graft] def overlapped(overlap: Boolean)(a: => Unit, b: => Unit): Unit =
+    if (!overlap) { a; b }
+    else {
+      @volatile var bErr: Throwable = null
+      val t = new Thread(() => try b catch { case x: Throwable => bErr = x })
+      t.setName("graft-qd18-merge-overlap")
+      t.start()
+      val aErr = try { a; null } catch { case x: Throwable => x }
+      t.join()
+      if (aErr != null) throw aErr
+      if (bErr != null) throw bErr
+    }
+
+  /** Release the storage blocks behind an eagerly localCheckpointed frame
+    * once its last consumer has run. */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   private[graft] def ingestSequentially(s: SparkSession, docs: DataFrame,
       reuseSigs: Boolean = false,
-      compactAppends: Boolean = true): DataFrame = {
+      compactAppends: Boolean = true,
+      overlapMerge: Boolean = true): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-qd18-state-")
     registerTempRoot(root)
-    val store = SignatureStore(root, compactAppends).init()
+    val store = SignatureStore(root, compactAppends, overlapMerge).init()
     val outs = (0 to IngestBatches).map { b =>
       val batch = docs.withColumn("bid", batchIdCol)
         .filter(col("bid") === b).drop("bid")
@@ -716,18 +778,34 @@ object SpanDedup {
           .withColumn("batch_id", lit(b.toLong))
           .localCheckpoint(true)
         if (b < IngestBatches) store.merge(s, bH, bC): Unit
+        // the merge is the last consumer of this batch's signature
+        // blocks — drop them so a full ingest doesn't accumulate one
+        // pinned pair per batch until session end (ADVICE r18). NB
+        // Dataset.unpersist() is a no-op for localCheckpointed frames
+        // (their blocks hang off the RDD, not the CacheManager), so
+        // unpersist the LogicalRDD's RDD directly.
+        dropLocalCheckpoint(bH); dropLocalCheckpoint(bC)
         cls
       } else {
-        val cls = classifyAgainstState(batch,
+        val clsFrame = classifyAgainstState(batch,
             store.readH(s), store.readChunks(s))
           .withColumn("batch_id", lit(b.toLong))
-          .localCheckpoint(true)
+        val bH = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        var cls: DataFrame = null
         if (b < IngestBatches) {
-          store.merge(s,
-            batch.select(col("doc_id"), md5(col("text")).as("h")),
+          // classification and the merge's existence probe both read the
+          // SAME pre-merge store state and are independent — overlap them
+          // (guide §2.6; sequential when overlapMerge = false). Only the
+          // mutating half of the merge waits for the classification pin.
+          var touched: Seq[String] = null
+          overlapped(overlapMerge)(
+            { cls = clsFrame.localCheckpoint(true) },
+            { touched = store.probeTouched(s, bH) })
+          store.merge(s, bH,
             simhashChunks(batch)
-              .select(col("doc_id"), col("c"), col("chunk"), col("simhash"))): Unit
-        }
+              .select(col("doc_id"), col("c"), col("chunk"), col("simhash")),
+            touchedPre = Some(touched)): Unit
+        } else cls = clsFrame.localCheckpoint(true)
         cls
       })
       classified

@@ -1117,14 +1117,18 @@ object TextAnalysis {
   // corpus-sized, so every join is merge-pinned: the plan lint asserts
   // ZERO BroadcastExchange (contrast qt10's exactly-one).
   // ---------------------------------------------------------------------
-  /** Default shape env-overridable (SPARK_GRAFT_QT19_FUSED=0 → the
-    * recompute shape) because the A/B crosses over at the largest
-    * measured tier: fused is 1.13× faster at sf0.1 and 2.19× at 30×,
-    * but 1.11× SLOWER at 100×, where the gram materialization
-    * (~4.5 GB DISK_ONLY) stops being page-cache-free and the eager
-    * checkpoint is a pipelining barrier (AB_PROBE_r18.jsonl). On a
-    * cluster the trade follows storage bandwidth vs CPU — both shapes
-    * ship, same oracle. */
+  /** Fused is the default at EVERY tier (re-adjudicated r19, VERDICT r18
+    * Next #2): r18's lone counter-row — fused 1.11× slower at 100× — did
+    * not reproduce on a clean box. This round's interleaved A/B reads
+    * fused 1.78× faster at 30× warm and, at the 100× tier, **1.29×
+    * faster warm and 1.59× faster with the OS page cache dropped before
+    * every pass** (AB_PROBE_r19.jsonl, `cold:true` rows) — i.e. exactly
+    * where the r18 row feared materialization would lose to re-scanning,
+    * fused wins by MORE cold, because the recompute shape re-reads and
+    * re-grams the corpus three times from storage. The r18 row was taken
+    * on a sitting whose post-cal hit 4.24× idle; it was noise, not a
+    * crossover. SPARK_GRAFT_QT19_FUSED=0 still flips a run to the
+    * recompute shape (OptProbe's control; spec-pinned identical). */
   private[graft] val Qt19FusedDefault: Boolean =
     !sys.env.get("SPARK_GRAFT_QT19_FUSED").contains("0")
 

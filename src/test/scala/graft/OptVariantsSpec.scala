@@ -15,8 +15,10 @@ import graft.sources.Tables
   */
 class OptVariantsSpec extends SparkSpec {
 
-  private def rows(df: DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  /** Sorted multiset, not Set: a variant that changed row MULTIPLICITY
+    * (e.g. a fan-out join bug) must fail the pin too (ADVICE r18). */
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
 
   test("qt19 fused == unfused (rows)") {
     assert(rows(TextAnalysis.qt19Impl(spark, sf, fused = true)) ==
@@ -50,6 +52,8 @@ class OptVariantsSpec extends SparkSpec {
       reuseSigs = true)) == base)
     assert(rows(SpanDedup.ingestSequentially(spark, docs,
       compactAppends = false)) == base)
+    assert(rows(SpanDedup.ingestSequentially(spark, docs,
+      overlapMerge = false)) == base)
   }
 
   test("components coPart layout == plain layout (labels)") {
@@ -58,4 +62,16 @@ class OptVariantsSpec extends SparkSpec {
     assert(rows(Dedup.components(pairs, coPart = true)) ==
       rows(Dedup.components(pairs, coPart = false)))
   }
+
+  test("pageRank coPart/Reliable layout == plain/Local layout (ranks)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_opt_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val pairs = Registry.byName("qd03_minhash_lsh_pairs").run(spark, sf)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    assert(rows(Dedup.pageRank(pairs, CheckpointStrategy.Reliable,
+        coPart = true)) ==
+      rows(Dedup.pageRank(pairs, CheckpointStrategy.Local,
+        coPart = false)))
+  }
+
 }
